@@ -1,0 +1,58 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs every registered batch query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Per-query timing: one warm-up pass of the whole suite is amortized by
+the JVM/session warm-up query; each query is then timed as a full
+plan→execute→collect-count cycle (df.count() forces execution without
+driver-side row materialization cost dominating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from weather_flink_spark.plans.registry import all_specs
+from weather_flink_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    specs = all_specs()
+
+    # warm up: JVM, codegen, parquet footer caches
+    specs["q_agg_groupby"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        spec = specs[name]
+        t0 = time.time()
+        spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Operator-level semantic unit tests (beyond the oracle diff)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_specs()
+
+
+def test_outer_join_family(spark):
+    c = load(spark, SF, "customer")
+    o = load(spark, SF, "orders").filter(F.col("o_totalprice") > 3000.0)
+    inner = c.join(o, c.c_custkey == o.o_custkey, "inner").count()
+    left = c.join(o, c.c_custkey == o.o_custkey, "left").count()
+    right = c.join(o, c.c_custkey == o.o_custkey, "right").count()
+    full = c.join(o, c.c_custkey == o.o_custkey, "full").count()
+    n_c = c.count()
+    n_o = o.count()
+    assert left >= max(inner, n_c)
+    assert right == n_o  # every filtered order has a customer or null-extends
+    assert full == left + right - inner
+
+
+def test_semi_anti_partition(spark):
+    """semi ∪ anti partitions the left side exactly."""
+    c = load(spark, SF, "customer")
+    o = load(spark, SF, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_setop_all_variants(spark):
+    o = load(spark, SF, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    assert a.unionAll(b).count() == a.count() + b.count()
+    assert a.exceptAll(b).count() >= a.subtract(b).count()  # ALL keeps multiplicity
+    assert a.intersectAll(b).count() >= a.intersect(b).count()
+
+
+def test_window_rank_determinism(spark, specs):
+    df1 = specs["q_win_rank"].fn(spark, SF).orderBy("o_orderkey").collect()
+    df2 = specs["q_win_rank"].fn(spark, SF).orderBy("o_orderkey").collect()
+    assert df1 == df2
+
+
+def test_topk_per_group_bound(spark, specs):
+    rows = specs["q_topk_per_group"].fn(spark, SF).groupBy("o_custkey").count().collect()
+    assert all(r["count"] <= 3 for r in rows)
+
+
+def test_sort_order_is_actually_sorted(spark, specs):
+    rows = specs["q_sort_multi"].fn(spark, SF).collect()
+    keys = [(r.c_mktsegment, -r.c_acctbal if r.c_acctbal is not None else float("inf"), r.c_custkey) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_limit_topk_matches_full_sort(spark, specs):
+    o = load(spark, SF, "orders")
+    expect = [
+        (r.o_orderkey, r.o_totalprice)
+        for r in o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(25).collect()
+    ]
+    got = [
+        (r.o_orderkey, r.o_totalprice)
+        for r in specs["q_limit_topk"].fn(spark, SF).collect()
+    ]
+    assert got == expect
+
+
+def test_approx_count_distinct_bounds(spark, specs):
+    rows = specs["q_agg_approx"].fn(spark, SF).collect()
+    li = load(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("n")).collect()
+    }
+    for r in rows:
+        rel_err = abs(r["approx_orders"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]]
+        assert rel_err < 0.05
+
+
+def test_stddev_formula_matches_native(spark, specs):
+    """Decimal-moment stddev tracks native stddev_samp within float tolerance."""
+    ours = {
+        r["l_returnflag"]: r["price_stddev"]
+        for r in specs["q_agg_stats"].fn(spark, SF).collect()
+    }
+    li = load(spark, SF, "lineitem")
+    native = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag").agg(F.stddev_samp("l_extendedprice").alias("s")).collect()
+    }
+    for k in native:
+        assert math.isclose(ours[k], native[k], rel_tol=1e-9)
+
+
+def test_near_dup_pairs_are_high_jaccard_only(spark, specs):
+    rows = specs["q_dedup_near_minhash"].fn(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+    # the sf0.001 corpus has clean separation: near-dups sit way above 0.8
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+
+
+def test_cosine_topk_sane(spark, specs):
+    rows = specs["q_sim_cosine_topk"].fn(spark, SF).collect()
+    assert len(rows) == 50  # 5 queries × top-10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["k_rank"], r["cosine"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        cosines = [c for _, c in lst]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0000001 <= c <= 1.0000001 for c in cosines)
+
+
+def test_asof_join_semantics(spark, specs):
+    """Every matched order date must be <= the event ts (as-of contract)."""
+    rows = specs["q_join_asof"].fn(spark, SF).collect()
+    matched = [r for r in rows if r["last_order_date"] is not None]
+    assert matched, "expected at least some as-of matches"
+    assert all(r["last_order_date"] <= r["ts"] for r in matched)
+
+
+def test_session_gap_invariant(spark, specs):
+    """No session may contain an internal gap above the 30-minute threshold."""
+    e = load(spark, SF, "events")
+    sess = specs["q_session_batch"].fn(spark, SF)
+    # sessions of one user must not overlap and must be ordered
+    rows = sorted(
+        sess.collect(), key=lambda r: (r["user_id"], r["session_start"])
+    )
+    prev = {}
+    for r in rows:
+        if r["user_id"] in prev:
+            gap = (r["session_start"] - prev[r["user_id"]]).total_seconds()
+            assert gap > 1800, "consecutive sessions closer than the gap threshold"
+        prev[r["user_id"]] = r["session_end"]
+    total = sum(r["n_events"] for r in rows)
+    assert total == e.count()

@@ -1,0 +1,68 @@
+"""Plan-shape assertions: the physical plans must be the ones that
+survive a 100× scale-up (pushdown reaches the scan, dims broadcast,
+no unblocked cartesian products, Python stays off the hot path)."""
+
+from __future__ import annotations
+
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_specs()[name].fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q_scan_filter_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = plan_of(spark, "q_scan_project")
+    assert "l_comment" not in plan
+    # ReadSchema carries only the 3 projected columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_extendedprice" not in read[0]
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_star_no_cartesian(spark):
+    plan = plan_of(spark, "q_join_multiway_star")
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_is_blocked_not_cartesian(spark):
+    plan = plan_of(spark, "q_dedup_near_minhash")
+    assert "CartesianProduct" not in plan, "LSH candidate join must be an equi-join on buckets"
+
+
+def test_no_python_udfs_in_batch_plans(spark):
+    """Everything batch stays JVM-side: no BatchEvalPython/ArrowEvalPython."""
+    for name in ("q_agg_groupby", "q_join_multiway_star", "q_sim_cosine_topk", "q_text_quality"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_limit_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE defers physical planning, so codegen subtrees only appear with it off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = all_specs()["q_agg_groupby"].fn(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen" in plan
+    assert "Found 0 WholeStageCodegen" not in plan

@@ -1,0 +1,198 @@
+"""Aggregation queries (SURVEY.md §2-C "Aggregation" block).
+
+All hash aggregations: Catalyst plans partial (map-side) + final
+aggregation around a single shuffle on the group keys — the shape that
+scales linearly with data volume. No collect_list on unbounded groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_flink_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            {dsum_sql('l_quantity', 'sum_qty')},
+            {dsum_sql('l_extendedprice', 'sum_base_price')},
+            {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+            {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+            {davg_sql('l_quantity', 'avg_qty')},
+            {davg_sql('l_extendedprice', 'avg_price')},
+            {davg_sql('l_discount', 'avg_disc')},
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: filter → hash agg (sum/avg/count) by flag+status.",
+    tags=("agg", "flagship"),
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            COUNT(DISTINCT o_custkey) AS n_customers,
+            CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_distinct_price,
+            COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregates: count-distinct + sum-distinct alongside plain count.",
+    tags=("agg",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum_distinct(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_distinct_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q_agg_approx",
+    oracle=None,  # nondeterministic vs oracle; driver records rows-only
+    doc="Approximate count-distinct (HyperLogLog++); bounds asserted in unit tests.",
+    tags=("agg", "approx"),
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_rollup_cube",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            GROUPING(l_returnflag, l_linestatus) AS gid,
+            COUNT(*) AS n_rows,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with grouping_id: hierarchical subtotals in one pass (expand + hash agg).",
+    tags=("agg",),
+)
+def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+
+
+@register(
+    "q_agg_having",
+    oracle=f"""
+        SELECT
+            l_partkey,
+            COUNT(*) AS n_lines,
+            {dsum_sql('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING COUNT(*) >= 3 AND SUM(CAST(l_quantity AS DECIMAL(18,6))) > 50
+    """,
+    doc="Post-aggregation filter (HAVING).",
+    tags=("agg",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_exact_sum"),
+        )
+        .filter((F.col("n_lines") >= 3) & (F.col("_exact_sum") > 50))
+        .drop("_exact_sum")
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1), 3) AS price_var,
+            ROUND(SQRT(
+                (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)
+            ), 6) AS price_stddev,
+            MIN(l_extendedprice) AS price_min,
+            MAX(l_extendedprice) AS price_max,
+            COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Statistical aggregates: sample variance/stddev via exact decimal "
+        "moment sums (order-independent, oracle-exact), plus min/max. "
+        "Native stddev_samp is covered with float tolerance in unit tests."
+    ),
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(x * x).cast("double").alias("_sx2"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.count("*").alias("n_rows"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+    )
+    var = (F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("n_rows")) / (
+        F.col("n_rows") - 1
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(var, 3).alias("price_var"),
+        F.round(F.sqrt(var), 6).alias("price_stddev"),
+        "price_min",
+        "price_max",
+        "n_rows",
+    )

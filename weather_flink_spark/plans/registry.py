@@ -1,0 +1,66 @@
+"""Central registry of engine queries (the SURVEY.md §2-C contract).
+
+Every operator the engine claims is registered here as a ``QuerySpec``:
+a named Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL.
+``__spark_entry__.py`` exposes this registry to the driver.
+
+Numeric-parity discipline (SURVEY.md §7 M1 "oracle parity traps"):
+aggregates over double columns go through exact DECIMAL arithmetic on
+both sides and surface as DOUBLE, so Spark's partition-order-dependent
+float summation can never drift from DuckDB's sequential summation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: SparkQuery
+    oracle: str | None = None  # DuckDB SQL; None => rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a Spark query under ``name`` with its oracle."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Import every query module (side-effect: registration) and return the registry."""
+    # Local imports so that merely importing the package stays cheap.
+    from weather_flink_spark.plans import (  # noqa: F401
+        relational,
+        joins,
+        aggregates,
+        windows,
+        setops,
+        llm_pipeline,
+        events_queries,
+    )
+
+    return dict(_REGISTRY)

@@ -1,0 +1,156 @@
+"""Window-function queries (SURVEY.md §2-C "Window functions" block).
+
+Determinism discipline: every window ORDER BY carries a unique
+tiebreaker (primary key) so rank/row_number/lag are reproducible and
+oracle-comparable. Running sums go through DECIMAL inside the window
+frame: Spark accumulates sequentially while DuckDB may use a segment
+tree, so float summation order differs between engines — decimal makes
+the result order-independent and therefore identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+        SELECT
+            o_custkey,
+            o_orderkey,
+            o_totalprice,
+            RANK()       OVER w AS price_rank,
+            DENSE_RANK() OVER w AS price_dense_rank,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+    doc="rank/dense_rank/row_number per customer by order price.",
+    tags=("window",),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wrn = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.row_number().over(wrn).alias("rn"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+        SELECT
+            user_id,
+            event_id,
+            ts,
+            event_type,
+            LAG(event_type)  OVER w AS prev_type,
+            LEAD(event_type) OVER w AS next_type,
+            LAG(ts)          OVER w AS prev_ts,
+            CAST(DATE_DIFF('microsecond', LAG(ts) OVER w, ts) AS BIGINT) AS us_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc="lag/lead analytics over per-user event sequences; inter-arrival gap in ms.",
+    tags=("window",),
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        prev_ts.alias("prev_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("us_since_prev"),
+    )
+
+
+@register(
+    "q_win_frame_running",
+    oracle="""
+        SELECT
+            user_id,
+            event_id,
+            ts,
+            value,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS running_sum,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+            ) AS DOUBLE)
+            / COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+            ) AS moving_avg3
+        FROM events
+    """,
+    doc="Running sum + 3-row moving average with explicit frames (decimal-exact).",
+    tags=("window",),
+)
+def q_win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ob = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_run = (
+        Window.partitionBy("user_id").orderBy(*ob).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_m3 = Window.partitionBy("user_id").orderBy(*ob).rowsBetween(-2, 0)
+    v = F.col("value").cast("decimal(18,6)")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(v).over(w_run).cast("double").alias("running_sum"),
+        (F.sum(v).over(w_m3).cast("double") / F.count("*").over(w_m3)).alias("moving_avg3"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn AS k_rank
+        FROM (
+            SELECT
+                o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC
+                ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer via ranked window + filter (scales: single shuffle on group key).",
+    tags=("window", "topk"),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("k_rank", F.row_number().over(w))
+        .filter(F.col("k_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "k_rank")
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Scale posture (100 TB target, tested on local[32]):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast
+  conversion replace hand-tuned plans at cluster scale.
+- UTC session timezone: deterministic date/time semantics that match the
+  DuckDB oracle (SURVEY.md §7 M1).
+- Arrow enabled: every Python-side operator (pandas UDFs, applyInPandas)
+  moves data in columnar batches, never row-at-a-time pickling.
+- shuffle.partitions default sized for local runs; on a real cluster this
+  is overridden by --conf (AQE coalesces down, so oversizing is safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "weather-flink-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession with the engine defaults.
+
+    The defaults are chosen so the same logical plans scale from local[32]
+    to a 1000-executor cluster without code changes: everything
+    data-size-dependent is left to AQE.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # deterministic time semantics (oracle parity)
+        .config("spark.sql.session.timeZone", "UTC")
+        # adaptive execution: coalesce shuffles, convert to broadcast,
+        # split skewed partitions at runtime
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every JVM<->Python crossing
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet: vectorized reads + pushdown are defaults; keep explicit
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # timestamps in testdata are TIMESTAMP (no tz); keep them as-is
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
