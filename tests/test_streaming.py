@@ -1,0 +1,155 @@
+"""Streaming semantics tests (SURVEY.md §5.2: crafted sequences, no oracle).
+
+Covers the reference's ingest path (framed Avro/JSON decode with
+schema-registry dispatch, name guard, poison-pill drop —
+WeatherKafkaAvroDeserializerSchema.java:41-67), the declared event-time
+intent (3.5 s watermark, B1), session/presence semantics (B3), and the
+egress serializer shape (A4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weather_flink_spark.sources.framed import (
+    decode_framed_avro,
+    decode_framed_json,
+    to_presence_kafka_records,
+)
+from weather_flink_spark.streaming import fixtures as fx
+from weather_flink_spark.streaming.jobs import (
+    presence_transitions,
+    run_to_memory,
+    session_windows,
+    tumbling_counts,
+    with_event_time,
+)
+
+N_GOOD = 25  # 24 in-order records + 1 late straggler
+
+
+def _value_df(spark, values):
+    schema = T.StructType([T.StructField("value", T.BinaryType())])
+    return spark.createDataFrame([(v,) for v in values], schema)
+
+
+# ---------------------------------------------------------------------------
+# ingest path (batch — the decoders are mode-agnostic row transforms)
+# ---------------------------------------------------------------------------
+
+
+def test_avro_decode_drops_all_poison_keeps_all_good(spark):
+    out = decode_framed_avro(_value_df(spark, fx.framed_values()), fx.REGISTRY)
+    rows = out.collect()
+    assert len(rows) == N_GOOD
+    assert {r["deviceId"] for r in rows} == {"dev-0", "dev-1", "dev-2"}
+
+
+def test_avro_schema_evolution_v0_reader_defaults(spark):
+    """v0-written records (no temperature/humidity) resolve to null via reader defaults."""
+    out = decode_framed_avro(_value_df(spark, fx.framed_values()), fx.REGISTRY)
+    v0_magic_devices = {"dev-0", "dev-2"}  # burst 1 written with magic d%2==0
+    rows = out.collect()
+    v0_rows = [r for r in rows if r["temperature"] is None]
+    assert len(v0_rows) == 12  # 12 v0-framed records
+    assert {r["deviceId"] for r in v0_rows} <= v0_magic_devices | {"dev-1"}
+
+
+def test_json_decode_drops_all_poison_keeps_all_good(spark):
+    out = decode_framed_json(_value_df(spark, fx.json_framed_values()), known_magics=(0, 1))
+    assert out.count() == N_GOOD
+
+
+def test_presence_kafka_record_shape(spark):
+    """A4: key = deviceId bytes, value = JSON with nulls omitted."""
+    decoded = decode_framed_avro(_value_df(spark, fx.framed_values()), fx.REGISTRY)
+    rec = to_presence_kafka_records(decoded).filter(F.col("key") == b"dev-1").first()
+    payload = json.loads(bytes(rec["value"]))
+    assert payload["deviceId"] == "dev-1"
+    assert "station" not in payload  # dev-1 station is null → omitted (NON_NULL)
+    assert isinstance(payload["timestamp"], int)
+
+
+# ---------------------------------------------------------------------------
+# event-time streaming
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_stream_complete_matches_batch_twin(spark):
+    d = fx.write_value_files(
+        spark,
+        os.path.join(tempfile.gettempdir(), "wfs_test_tumb"),
+        fx.framed_values(),
+        n_files=2,
+    )
+    stream = with_event_time(decode_framed_avro(fx.read_value_stream(spark, d), fx.REGISTRY))
+    got = run_to_memory(tumbling_counts(stream), output_mode="complete")
+    batch = tumbling_counts(
+        with_event_time(decode_framed_avro(_value_df(spark, fx.framed_values()), fx.REGISTRY))
+    )
+    key = lambda r: (r["window_start"], r["deviceId"])
+    got_rows = {key(r): r["n_events"] for r in got.collect()}
+    want_rows = {key(r): r["n_events"] for r in batch.collect()}
+    assert got_rows == want_rows
+    assert sum(want_rows.values()) == N_GOOD
+
+
+def test_session_append_emits_only_watermark_closed_sessions(spark):
+    d = fx.write_value_files(
+        spark,
+        os.path.join(tempfile.gettempdir(), "wfs_test_sess"),
+        fx.framed_values(),
+        n_files=1,
+    )
+    stream = with_event_time(decode_framed_avro(fx.read_value_stream(spark, d), fx.REGISTRY))
+    got = run_to_memory(session_windows(stream), output_mode="append").collect()
+    # final watermark = max event (BASE+65s) - 3.5s; only burst-1 sessions
+    # (ending ≤ BASE+35s incl. 30s gap) are closed and emitted
+    assert {(r["deviceId"], r["n_events"]) for r in got} == {
+        ("dev-0", 4),
+        ("dev-1", 4),
+        ("dev-2", 4),
+    }
+
+
+def test_presence_transitions_single_batch_sequence(spark):
+    d = fx.write_value_files(
+        spark,
+        os.path.join(tempfile.gettempdir(), "wfs_test_pres"),
+        fx.framed_values(),
+        n_files=1,
+    )
+    stream = with_event_time(decode_framed_avro(fx.read_value_stream(spark, d), fx.REGISTRY))
+    rows = run_to_memory(presence_transitions(stream), output_mode="append").collect()
+    by_dev = {}
+    for r in sorted(rows, key=lambda r: r["at"]):
+        by_dev.setdefault(r["deviceId"], []).append((r["transition"], r["at"]))
+    b = fx.BASE_MS
+    # dev-0: burst1 @b.. , straggler 55s joins burst2's session (gap 52s → new session @55s)
+    assert by_dev["dev-0"] == [
+        ("online", b),
+        ("offline", b + 3_000 + 30_000),
+        ("online", b + 55_000),
+    ]
+    # dev-1/2: online @t0, offline @t0+33s, online @t0+60s
+    for dd in (1, 2):
+        t0 = b + dd * 1_000
+        assert by_dev[f"dev-{dd}"] == [
+            ("online", t0),
+            ("offline", t0 + 3_000 + 30_000),
+            ("online", t0 + 60_000),
+        ]
+
+
+def test_late_data_query_accounting(spark):
+    from weather_flink_spark.plans.registry import all_specs
+
+    row = all_specs()["s_late_data"].fn(spark, "/root/testdata/sf0.001").first()
+    assert row["n_dropped_late"] == 1  # the 5s-late straggler, beyond 3.5s bound
+    assert row["n_window_updates"] >= 3

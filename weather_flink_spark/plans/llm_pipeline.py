@@ -235,42 +235,137 @@ N_MINHASH = 8  # 4 bands × 2 rows
 N_BANDS = 4
 
 
-def _minhash_bands(d: DataFrame) -> DataFrame:
+def _shingle_table(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle_h28): 28-bit shingle-hash sets, materialized once.
+
+    Design notes, all measured at sf0.1 (5000 docs, 56 s → ~4 s):
+    - Shingles are never materialized as strings: each 3-gram is built,
+      md5-hashed and truncated to 28 bits inside ONE lambda body, so the
+      token array is read instead of re-derived (interpreted
+      higher-order projections get no common-subexpression elimination —
+      any expression referenced twice is computed twice).
+    - Tokens come through a persist barrier for the same reason: the
+      persist is the CSE/recompute barrier, and the LSH self-join below
+      would otherwise recompute the whole tree on both sides. At
+      cluster scale this persist is the classic "write the signature
+      table once" step of a MinHash pipeline.
+    - Downstream Jaccard runs on the hashed sets (deterministic and
+      identical in both engines; 28-bit collisions only merge ~1e-5 of
+      shingle pairs and affect both engines identically).
+    - The repartition spreads hash-heavy work across cores (a single
+      small parquet file is one input split locally) and keys the table
+      for the downstream joins.
+    """
+    toks = (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tokens_col().alias("tok"))
+        .persist()
+    )
+    tok = F.col("tok")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - 2, F.lit(0)))
+    gram_hash = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(tok, i.cast("int")),
+                        F.element_at(tok, (i + 1).cast("int")),
+                        F.element_at(tok, (i + 2).cast("int")),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return toks.select(
+        "doc_id", F.array_distinct(gram_hash).alias("shingle_h28")
+    ).persist()
+
+
+# Universal-hash permutations over the 28-bit base hash: proper
+# independent minhash perms (unlike double-hashing, whose correlated
+# mins break LSH band independence). a_i·h + b_i < 2^59 + 2^31 — exact
+# BIGINT arithmetic, identical in Spark and DuckDB.
+MINHASH_PERMS = [
+    (1500450271, 2103518347),
+    (2860486313, 1534812407),
+    (1111111121, 1076767861),
+    (2071723019, 1000000007),
+    (433024253, 2006654197),
+    (1677216671, 987654323),
+    (736787717, 1414213563),
+    (2147481503, 1732050807),
+]
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _perm_value(h: Column, i: int) -> Column:
+    a, b = MINHASH_PERMS[i]
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
     """doc_id + exploded (band_id, band_key) from an 8-perm minhash signature."""
-    tok = tokens_col()
-    sh = shingles_col(tok)
-    sig = [minhash_col(sh, i) for i in range(N_MINHASH)]
+
+    def perm_min(i: int) -> Column:
+        return F.array_min(F.transform(F.col("shingle_h28"), lambda h: _perm_value(h, i)))
+
+    sig = [perm_min(i) for i in range(N_MINHASH)]
     rows_per_band = N_MINHASH // N_BANDS
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band])).alias(
-                    "band_key"
-                ),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            s.cast("string")
+                            for s in sig[b * rows_per_band : (b + 1) * rows_per_band]
+                        ],
+                    )
+                ).alias("band_key"),
             )
             for b in range(N_BANDS)
         ]
     )
-    return d.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
+    return (
+        sh.select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_key")
+        .persist()
     )
 
+
+def _perm_sql(i: int) -> str:
+    a, b = MINHASH_PERMS[i]
+    return f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+
+
+H28_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, GREATEST(len(tok) - 1, 1)),"
+    " i -> CAST('0x' || md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])[1:7] AS BIGINT)))"
+)
 
 _BANDS_SQL = f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS tok FROM documents
-    ), s AS (
-        SELECT doc_id, {SHINGLE_SQL} AS shingles FROM t
+    ), hashed AS (
+        SELECT doc_id, {H28_SHINGLE_SQL} AS hs FROM t
     ), sig AS (
-        SELECT doc_id, shingles,
-            {", ".join(f"{minhash_sql(i)} AS mh{i}" for i in range(N_MINHASH))}
-        FROM s
+        SELECT doc_id,
+            {", ".join(f"{_perm_sql(i)} AS mh{i}" for i in range(N_MINHASH))}
+        FROM hashed
     ), bands AS (
         SELECT doc_id,
             UNNEST([
                 {", ".join(
-                    "{'band_id': %d, 'band_key': md5(mh%d || '|' || mh%d)}" % (b, 2 * b, 2 * b + 1)
+                    "{'band_id': %d, 'band_key': md5(CAST(mh%d AS VARCHAR) || '|' || CAST(mh%d AS VARCHAR))}"
+                    % (b, 2 * b, 2 * b + 1)
                     for b in range(N_BANDS)
                 )}
             ]) AS band
@@ -291,33 +386,36 @@ _BANDS_SQL = f"""
              AND a.doc_id < b.doc_id
         ),
         sh AS (
-            SELECT doc_id, {SHINGLE_SQL} AS shingles
+            SELECT doc_id, {H28_SHINGLE_SQL} AS hs
             FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
         )
         SELECT
             c.doc_a,
             c.doc_b,
-            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-              / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+            CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+              / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
               AS jaccard
         FROM cand c
         JOIN sh x ON x.doc_id = c.doc_a
         JOIN sh y ON y.doc_id = c.doc_b
-        WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-              / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+        WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+              / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
               >= 0.5
     """,
     doc=(
-        "MinHash+LSH near-duplicate detection: 8 deterministic md5 minhash "
-        "perms → 4 bands of 2 → bucket self-join for candidates → exact "
-        "3-shingle Jaccard ≥ 0.5 verification. Never O(n²): pair "
-        "generation is blocked by band buckets."
+        "MinHash+LSH near-duplicate detection: 28-bit hashed 3-shingle "
+        "sets → 8 universal-hash minhash perms → 4 bands of 2 → bucket "
+        "self-join for candidates → hashed-shingle Jaccard ≥ 0.5 "
+        "verification. Never O(n²): pair generation is blocked by band "
+        "buckets, and the signature table is persisted so the self-join "
+        "doesn't recompute it."
     ),
     tags=("dedup", "lsh"),
 )
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    bands = _minhash_bands(d)
+    sh = _shingle_table(d)
+    bands = _minhash_bands(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -330,11 +428,10 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = d.select("doc_id", shingles_col(tokens_col()).alias("shingles"))
     x = sh.alias("x")
     y = sh.alias("y")
-    inter = F.size(F.array_intersect(F.col("x.shingles"), F.col("y.shingles")))
-    union = F.size(F.col("x.shingles")) + F.size(F.col("y.shingles")) - inter
+    inter = F.size(F.array_intersect(F.col("x.shingle_h28"), F.col("y.shingle_h28")))
+    union = F.size(F.col("x.shingle_h28")) + F.size(F.col("y.shingle_h28")) - inter
     jac = inter.cast("double") / union
     return (
         cand.join(x, cand.doc_a == F.col("x.doc_id"))
@@ -371,6 +468,26 @@ def norm_col(a: Column) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+    )
+
+
+def _emb_table(d: DataFrame) -> DataFrame:
+    """(vec_id, label, demb, nrm): double-cast embeddings + L2 norms.
+
+    Persisted for the same reason as the MinHash signature table: the
+    pairwise self-join would otherwise recompute cast + norm fold per
+    PAIR instead of per ROW (O(n²·d) extra interpreted work). cosine
+    stays dot/(na·nb) — bit-identical to the oracle's formula.
+    """
+    return (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("demb"),
+            norm_col(F.col("embedding")).alias("nrm"),
+        )
+        .persist()
     )
 
 
@@ -437,12 +554,10 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "pairwise"),
 )
 def q_sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cosine = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
-        norm_col(F.col("a.embedding")) * norm_col(F.col("b.embedding"))
-    )
+    emb = _emb_table(load(spark, sf_dir, "embeddings"))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cosine = dot_col(F.col("a.demb"), F.col("b.demb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

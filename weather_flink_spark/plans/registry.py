@@ -61,6 +61,7 @@ def all_specs() -> dict[str, QuerySpec]:
         setops,
         llm_pipeline,
         events_queries,
+        streaming_queries,
     )
 
     return dict(_REGISTRY)

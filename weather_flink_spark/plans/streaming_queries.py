@@ -1,0 +1,200 @@
+"""Streaming registry entries (rows-only checks — SURVEY.md §2-C).
+
+Each entry builds a real Structured Streaming pipeline: a file source
+carrying the reference's Kafka wire shape (``value: binary``, framed
+Avro/JSON — WeatherKafkaAvroDeserializerSchema.java:41-67), event-time
+transforms with the declared 3.5 s watermark
+(WeatherProcessingJob.java:66), availableNow execution into a memory
+sink, and returns the sink contents as the result DataFrame. No DuckDB
+oracle — window/watermark semantics are instead pinned by the
+oracle-checked batch twins (q_tumbling_batch / q_sliding_batch /
+q_session_batch in events_queries.py) and by tests/test_streaming.py.
+
+Determinism: fixtures are fixed byte sequences; single-batch execution
+(availableNow, no maxFilesPerTrigger) makes watermark progression
+deterministic. ``s_late_data`` alone uses two ordered files
+(mtime-ranked, maxFilesPerTrigger=1) so the watermark provably advances
+between batches and drops the late straggler.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_flink_spark.plans.registry import register
+from weather_flink_spark.sources.framed import decode_framed_avro, decode_framed_json
+from weather_flink_spark.streaming import fixtures as fx
+from weather_flink_spark.streaming.jobs import (
+    dedup_stream,
+    presence_transitions,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+    with_event_time,
+)
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Runtime confs the streaming entries need even on a foreign session.
+
+    The driver runs queries() on its own SparkSession, so session-factory
+    defaults don't reach it; these are runtime-settable SQL confs.
+    """
+    try:
+        # Spark 4.1 checksum checkpoint manager deadlocks its async pool
+        # under many concurrent state partitions on local filesystems.
+        spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    except Exception:
+        pass
+    return spark
+
+
+def _fixture_dir(spark: SparkSession, kind: str) -> str:
+    """Write the named fixture into a fresh per-process temp dir."""
+    d = os.path.join(tempfile.gettempdir(), f"wfs_stream_{kind}_{os.getpid()}")
+    values = fx.framed_values() if kind == "avro" else fx.json_framed_values()
+    if kind == "dup":
+        values = fx.json_framed_values() * 2  # exact duplicates for dedup
+    fx.write_value_files(spark, d, values, n_files=2)
+    return d
+
+
+def _avro_stream(spark: SparkSession) -> DataFrame:
+    _configure(spark)
+    raw = fx.read_value_stream(spark, _fixture_dir(spark, "avro"))
+    return with_event_time(decode_framed_avro(raw, fx.REGISTRY))
+
+
+def _json_stream(spark: SparkSession, kind: str = "json") -> DataFrame:
+    _configure(spark)
+    raw = fx.read_value_stream(spark, _fixture_dir(spark, kind))
+    return with_event_time(decode_framed_json(raw, known_magics=(0, 1)))
+
+
+@register(
+    "s_watermark_tumbling",
+    doc=(
+        "B1 end-to-end: framed-Avro Kafka-shaped stream → magic-dispatch "
+        "resolving decode (drop-on-error) → 3.5 s watermark → per-device "
+        "1-minute tumbling window counts (update mode)."
+    ),
+    tags=("streaming",),
+)
+def s_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(tumbling_counts(_avro_stream(spark)), output_mode="update")
+
+
+@register(
+    "s_sliding",
+    doc="Sliding 10 min/5 min window counts over the JSON-framed stream (pure-Catalyst decode).",
+    tags=("streaming",),
+)
+def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(sliding_counts(_json_stream(spark)), output_mode="update")
+
+
+@register(
+    "s_session_presence",
+    doc=(
+        "B3 presence shape: per-device 30 s session windows over the "
+        "framed-Avro stream. Append mode (session windows forbid "
+        "update): only sessions closed by the final watermark emit — "
+        "burst-1 of each device; burst-2 stays open in state."
+    ),
+    tags=("streaming",),
+)
+def s_session_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(session_windows(_avro_stream(spark)), output_mode="append")
+
+
+@register(
+    "s_dedup_stream",
+    doc=(
+        "Watermark-scoped streaming dedup on (deviceId, event_time): the "
+        "fixture is duplicated wholesale; output holds each event once."
+    ),
+    tags=("streaming",),
+)
+def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(dedup_stream(_json_stream(spark, "dup")), output_mode="append")
+
+
+@register(
+    "s_stateful_transitions",
+    doc=(
+        "B3 arbitrary state: per-device online/offline presence "
+        "transitions via applyInPandasWithState (30 s gap)."
+    ),
+    tags=("streaming",),
+)
+def s_stateful_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(presence_transitions(_avro_stream(spark)), output_mode="append")
+
+
+@register(
+    "s_late_data",
+    doc=(
+        "Late-row drop accounting: main burst file then a straggler file "
+        "(5 s-late event) in a second micro-batch after the watermark "
+        "passed it. Returns one row: windows emitted, rows dropped late."
+    ),
+    tags=("streaming",),
+)
+def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _configure(spark)
+    d = os.path.join(tempfile.gettempdir(), f"wfs_stream_late_{os.getpid()}")
+    values = fx.json_framed_values()
+    late = values[-4:-3]  # the dev-0 straggler is the last good record
+    main = values[:-4] + values[-3:]
+    # Spark filters late rows with the PREVIOUS batch's watermark
+    # (watermarkForLateEvents lags eviction by one batch), so the
+    # straggler must land in batch 3: batch 1 advances the watermark,
+    # batch 2 (any on-time row) activates it for filtering, batch 3
+    # delivers the straggler → provably dropped.
+    ontime = [fx.frame(1, b'{"deviceId": "dev-2", "timestamp": %d}' % (fx.BASE_MS + 65_000))]
+    fx.write_value_files(spark, d, main, n_files=1)
+    seen = {f for f in os.listdir(d) if f.endswith(".parquet")}
+    now = time.time()
+    for i, batch_values in enumerate((ontime, late), start=1):
+        spark.createDataFrame([(v,) for v in batch_values], "value binary").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        new = {f for f in os.listdir(d) if f.endswith(".parquet")} - seen
+        seen |= new
+        for f in new:  # FileStreamSource orders batches by mtime
+            os.utime(os.path.join(d, f), (now + 60 * i, now + 60 * i))
+    raw = fx.read_value_stream(spark, d)  # maxFilesPerTrigger=1 → ordered batches
+    # 10 s windows: the straggler's window END (BASE+60 s) is below the
+    # batch-2 watermark (BASE+61.5 s), so the row is provably dropped —
+    # Spark drops agg input only once its whole window is expired
+    agg = tumbling_counts(
+        with_event_time(decode_framed_json(raw, known_magics=(0, 1))), width="10 seconds"
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    # append mode: late input is dropped once its window is below the
+    # watermark (update mode would instead re-create the evicted window)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(1)
+    dropped = 0
+    for p in q.recentProgress:
+        for op in p.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    n_windows = spark.table(name).count()
+    return spark.createDataFrame(
+        [(int(n_windows), int(dropped))], "n_window_updates long, n_dropped_late long"
+    )

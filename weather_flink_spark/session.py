@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Spark 4.1's checksum checkpoint manager can deadlock its async
+        # checksum pool under many concurrent state partitions on local
+        # filesystems; plain rename-based checkpointing is correct and fast
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
     for k, v in (extra_conf or {}).items():
