@@ -1,0 +1,568 @@
+"""Second wave of LLM-training-data operators (SURVEY.md §2-C north star).
+
+Dedup family completion (SimHash, n-gram Jaccard, embedding-cosine
+near-dup with hyperplane LSH), the IVF scale path for ANN search,
+language-ID and BPE-ish token counting.
+
+Shared discipline with llm_pipeline.py:
+- every randomized-looking constant is a fixed literal → deterministic
+  and reproducible in the DuckDB oracle;
+- hashing is md5-derived (identical hex in both engines), truncated to
+  ≤60 bits so BIGINT arithmetic is exact on both sides;
+- no operator is ever unblocked O(n²): SimHash bands, min-gram blocks,
+  hyperplane buckets, and IVF cells all bound the pair/search space,
+  which is what survives a 100 TB corpus;
+- signature tables are persisted before self-joins (interpreted
+  higher-order functions get no CSE — a self-join would recompute the
+  whole expression tree per side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col, tokens_col
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → exact BIGINT in Spark AND DuckDB
+SIMHASH_BANDS = 4  # 4 × 15 bits; hamming ≤ 3 ⇒ ≥1 band collides (pigeonhole)
+SIMHASH_MAX_HAMMING = 3
+
+# Spark-SQL and DuckDB share the 60-bit token hash via md5 hex prefix
+_TOKHASH_SPARK = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+_TOKHASH_DUCK = "CAST('0x' || md5(t)[1:15] AS BIGINT)"
+
+
+def _simhash_table(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit simhash per document, persisted.
+
+    simhash bit i is set iff more than half the distinct token hashes
+    have bit i set (majority vote per bit — the classic Charikar
+    construction with unit weights).
+    """
+    hs = F.expr(
+        "array_distinct(transform(filter(split(text, ' '), t -> t <> ''),"
+        f" t -> {_TOKHASH_SPARK}))"
+    )
+    hashed = (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", hs.alias("hs"))
+        .persist()
+    )
+    simhash = F.expr(
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, i) -> acc + "
+        "IF(2 * size(filter(hs, h -> ((shiftright(h, i) & 1) = 1))) > size(hs),"
+        " shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+    return hashed.select("doc_id", simhash.alias("simhash")).persist()
+
+
+_SIMHASH_DUCK = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   list_filter(string_split(text, ' '), t -> t <> ''),
+                   t -> {_TOKHASH_DUCK})) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}),
+               i -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> i) & 1) = 1)) > len(hs)
+                         THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM t
+"""
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+        WITH sim AS ({_SIMHASH_DUCK}),
+        bands AS (
+            SELECT doc_id, simhash, UNNEST(range(0, {SIMHASH_BANDS})) AS band_id FROM sim
+        ),
+        keyed AS (
+            SELECT doc_id, simhash, band_id,
+                   (simhash >> (15 * CAST(band_id AS INTEGER))) & 32767 AS band_val
+            FROM bands
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keyed a JOIN keyed b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sim x ON x.doc_id = c.doc_a
+        JOIN sim y ON y.doc_id = c.doc_b
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc=(
+        "SimHash near-duplicate detection: 60-bit majority-vote simhash "
+        "over md5 token hashes → 4 bands of 15 bits → band-collision "
+        "blocking (pigeonhole-complete for hamming ≤ 3) → bit_count(xor) "
+        "verification. The whole pipeline is integer expressions — no "
+        "Python, no O(n²)."
+    ),
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_table(load(spark, sf_dir, "documents"))
+    band_ids = F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])
+    keyed = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(band_ids).alias("band_id"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, 15 * band_id) & 32767"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x, y = sim.alias("x"), sim.alias("y")
+    hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("bigint")
+    return (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (bigram) Jaccard near-dedup, min-gram blocked
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size(tok) - 1, 1)),"
+    " i -> cast(conv(substring(md5(concat_ws(' ', element_at(tok, cast(i as int)),"
+    " element_at(tok, cast(i + 1 as int)))), 1, 7), 16, 10) as bigint)))"
+)
+_BIGRAM_DUCK = (
+    "list_distinct(list_transform(range(1, GREATEST(len(tok), 2)),"
+    " i -> CAST('0x' || md5(tok[i] || ' ' || tok[i+1])[1:7] AS BIGINT)))"
+)
+
+NGRAM_JACCARD_THRESHOLD = 0.4
+
+
+def _bigram_table(d: DataFrame) -> DataFrame:
+    toks = (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tokens_col().alias("tok"))
+    )
+    return toks.select("doc_id", F.expr(_BIGRAM_SPARK).alias("grams")).persist()
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, {_BIGRAM_DUCK} AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+        ),
+        blocked AS (
+            SELECT doc_id, grams, list_min(grams) AS block_key FROM g
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM blocked a JOIN blocked b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                 / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+                 AS jaccard
+        FROM cand c
+        JOIN g x ON x.doc_id = c.doc_a
+        JOIN g y ON y.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                 / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+              >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    doc=(
+        "Word-bigram Jaccard near-dedup, blocked on the minimum bigram "
+        "hash (1-perm minhash blocking: true near-dups almost surely "
+        "share their min gram). Complements q_dedup_near_minhash's "
+        "banded 8-perm LSH with a cheaper single-key block."
+    ),
+    tags=("dedup", "ngram"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _bigram_table(load(spark, sf_dir, "documents"))
+    blocked = g.select("doc_id", "grams", F.array_min("grams").alias("block_key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x, y = g.alias("x"), g.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.grams"), F.col("y.grams")))
+    union = F.size(F.col("x.grams")) + F.size(F.col("y.grams")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup via random-hyperplane (sign) LSH
+# ---------------------------------------------------------------------------
+
+N_PLANES = 4  # 16 buckets; P[bucket match] = (1 - θ/π)^4
+EMB_DIM = 64
+EMB_COSINE_THRESHOLD = 0.3
+
+# hyperplane component (p, i): fixed LCG over the flattened index —
+# deterministic small integers in [-48, 48], identical in both engines
+_PLANE_SPARK = "((1103515245 * cast(64 * {p} + i - 1 as bigint) + 12345) % 97) - 48"
+_PLANE_DUCK = "((1103515245 * CAST(64 * {p} + i - 1 AS BIGINT) + 12345) % 97) - 48"
+
+
+def _bucket_spark() -> Column:
+    terms = []
+    for p in range(N_PLANES):
+        dot_p = (
+            f"aggregate(sequence(1, {EMB_DIM}), cast(0.0 as double), (acc, i) -> "
+            f"acc + cast(element_at(embedding, cast(i as int)) as double)"
+            f" * cast({_PLANE_SPARK.format(p=p)} as double))"
+        )
+        terms.append(f"IF({dot_p} > 0, {1 << p}, 0)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def _bucket_duck() -> str:
+    terms = []
+    for p in range(N_PLANES):
+        dot_p = (
+            f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * CAST({_PLANE_DUCK.format(p=p)} AS DOUBLE)))"
+        )
+        terms.append(f"CASE WHEN {dot_p} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding, {_bucket_duck()} AS bucket FROM embeddings
+        ),
+        cand AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.embedding AS emb_a, b.embedding AS emb_b
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                   i -> CAST(emb_a[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM cand
+        WHERE list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                   i -> CAST(emb_a[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= {EMB_COSINE_THRESHOLD}
+    """,
+    doc=(
+        "Embedding near-duplicate detection: random-hyperplane sign LSH "
+        "(4 fixed integer hyperplanes → 16 buckets) blocks the pair "
+        "space; candidates verified with exact cosine. The hyperplanes "
+        "are literal constants, so the oracle reproduces the bucketing "
+        "exactly. The scale path for 'find near-identical embeddings in "
+        "100 TB': bucket-join, never all-pairs."
+    ),
+    tags=("dedup", "embedding", "lsh"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    bucketed = (
+        e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("demb"),
+            norm_col(F.col("embedding")).alias("nrm"),
+            _bucket_spark().alias("bucket"),
+        )
+        .persist()
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cosine = dot_col(F.col("a.demb"), F.col("b.demb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+IVF_CENTROID_STRIDE = 100  # centroids = vec_id % stride == 0 → ~n/100 cells
+IVF_TOP_K = 5
+IVF_N_QUERIES = 5
+
+_DOT_AB_DUCK = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_DUCK = "SQRT(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos_duck(a: str, b: str) -> str:
+    return (
+        f"{_DOT_AB_DUCK.format(a=a, b=b)}"
+        f" / ({_NORM_DUCK.format(v=a)} * {_NORM_DUCK.format(v=b)})"
+    )
+
+
+@register(
+    "q_sim_ann_ivf",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+            WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_cos_duck('e.embedding', 'c.cent_emb')} DESC,
+                                    c.cent_id ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        )
+        SELECT query_id, vec_id, cell, cosine, k_rank FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS vec_id, v.cell AS cell,
+                   {_cos_duck('q.embedding', 'v.embedding')} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
+                                v.vec_id ASC
+                   ) AS k_rank
+            FROM assigned q JOIN assigned v
+              ON q.cell = v.cell AND q.vec_id <> v.vec_id
+            WHERE q.vec_id < {IVF_N_QUERIES}
+        ) WHERE k_rank <= {IVF_TOP_K}
+    """,
+    doc=(
+        "IVF-style ANN: coarse quantization assigns every vector to its "
+        "nearest centroid (deterministic centroid subset, broadcast), "
+        "then each query searches ONLY its own cell (nprobe=1) for "
+        "top-5 by cosine. The scale path vs q_sim_cosine_topk's exact "
+        "brute force: search cost drops from O(n) to O(n/cells) per "
+        "query; cells are the partitioning key."
+    ),
+    tags=("similarity", "ann", "ivf"),
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+    )
+    cos_vc = dot_col(F.col("embedding"), F.col("cent_emb")) / (
+        norm_col(F.col("embedding")) * norm_col(F.col("cent_emb"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "cent_id", cos_vc.alias("cent_cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+        .persist()
+    )
+    q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    cos_qv = dot_col(F.col("q_emb"), F.col("embedding")) / (
+        norm_col(F.col("q_emb")) * norm_col(F.col("embedding"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "cell", cos_qv.alias("cosine"))
+        .withColumn("k_rank", F.row_number().over(w_rank))
+        .filter(F.col("k_rank") <= IVF_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "de": ("der", "die", "und", "ist", "nicht", "das"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "los", "que", "es", "y"),
+    "fr": ("le", "les", "des", "est", "et", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "he2"),
+}
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang AS lang_true, string_split(text, ' ') AS tok
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang_true, len(tok) AS n_tokens,
+                {", ".join(
+                    f"CAST(len(list_filter(tok, x -> x IN {LANG_MARKERS[lg]!r})) AS DOUBLE)"
+                    f" / len(tok) AS score_{lg}"
+                    for lg in sorted(LANG_MARKERS)
+                )}
+            FROM t
+        )
+        SELECT doc_id, lang_true,
+               CASE
+                   {" ".join(
+                       f"WHEN score_{lg} >= GREATEST({', '.join('score_' + o for o in sorted(LANG_MARKERS))}) THEN '{lg}'"
+                       for lg in sorted(LANG_MARKERS)
+                   )}
+               END AS lang_pred,
+               GREATEST({", ".join("score_" + lg for lg in sorted(LANG_MARKERS))}) AS best_score
+        FROM scored
+    """,
+    doc=(
+        "Language identification by stopword-marker ratio (the classic "
+        "cheap n-gram/stopword heuristic): per-language marker hit rate, "
+        "argmax with deterministic alphabetical tie-break. One pass over "
+        "the token array per language — pure expressions, trivially "
+        "data-parallel."
+    ),
+    tags=("text", "langid"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = tokens_col()
+    langs = sorted(LANG_MARKERS)
+    scores = {}
+    for lg in langs:
+        marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lg]])
+        n_hits = F.size(F.filter(tok, lambda x: F.array_contains(marker_arr, x)))
+        scores[lg] = (n_hits.cast("double") / F.size(tok)).alias(f"score_{lg}")
+    scored = d.select("doc_id", F.col("lang").alias("lang_true"), *scores.values())
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(F.col(f"score_{langs[0]}") >= best, F.lit(langs[0]))
+    for lg in langs[1:]:
+        pred = pred.when(F.col(f"score_{lg}") >= best, F.lit(lg))
+    return scored.select(
+        "doc_id", "lang_true", pred.alias("lang_pred"), best.alias("best_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace + BPE-ish regex pretokenizer
+# ---------------------------------------------------------------------------
+
+# character classes only — identical semantics in Java regex and RE2
+BPE_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "q_text_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS n_re_tokens,
+               CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+    doc=(
+        "Token counting three ways: whitespace split, a BPE-ish regex "
+        "pretokenizer (letters / digits / punctuation runs), and the "
+        "chars/4 estimator used for quick corpus budgeting."
+    ),
+    tags=("text", "tokens"),
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_col()).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_re_tokens"),
+        F.ceil(F.col("n_chars").cast("double") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary decode path (Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_binary_features",
+    oracle="""
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS first_byte,
+               ascii(substr(text, length(text), 1)) AS last_byte,
+               CAST(list_sum(list_transform(range(1, LEAST(length(text), 16) + 1),
+                    i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS byte_sum_16
+        FROM documents
+    """,
+    doc=(
+        "Opaque-binary decode path end to end: payload binary column + "
+        "typed metadata struct assembled, then byte-level features "
+        "extracted by an Arrow-batched mapInPandas kernel "
+        "(operators/multimodal.py). The oracle recomputes the features "
+        "arithmetically, proving the JVM→Arrow→pandas→JVM loop is "
+        "byte-exact. Documents are ASCII, so char codes == bytes."
+    ),
+    tags=("multimodal", "binary"),
+)
+def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.multimodal import attach_payload, extract_binary_features
+
+    d = load(spark, sf_dir, "documents")
+    out = extract_binary_features(attach_payload(d))
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.col("first_byte").cast("int").alias("first_byte"),
+        F.col("last_byte").cast("int").alias("last_byte"),
+        "byte_sum_16",
+    )

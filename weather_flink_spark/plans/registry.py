@@ -60,6 +60,7 @@ def all_specs() -> dict[str, QuerySpec]:
         windows,
         setops,
         llm_pipeline,
+        llm_extra,
         events_queries,
         streaming_queries,
     )
