@@ -23,6 +23,7 @@ import os
 import tempfile
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +55,22 @@ def _configure(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+@contextmanager
+def _small_state(spark: SparkSession, n: int = 4):
+    """Temporarily shrink shuffle/state partitions for tiny fixtures.
+
+    State-store partition count binds at stream START; 32 stores per
+    micro-batch spend the whole batch on setup/commit for a 28-row
+    fixture. Restored afterwards so batch queries keep full parallelism.
+    """
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def _fixture_dir(spark: SparkSession, kind: str) -> str:
@@ -88,7 +105,8 @@ def _json_stream(spark: SparkSession, kind: str = "json") -> DataFrame:
     tags=("streaming",),
 )
 def s_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(tumbling_counts(_avro_stream(spark)), output_mode="update")
+    with _small_state(spark):
+        return run_to_memory(tumbling_counts(_avro_stream(spark)), output_mode="update")
 
 
 @register(
@@ -97,7 +115,8 @@ def s_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(sliding_counts(_json_stream(spark)), output_mode="update")
+    with _small_state(spark):
+        return run_to_memory(sliding_counts(_json_stream(spark)), output_mode="update")
 
 
 @register(
@@ -111,7 +130,8 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def s_session_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(session_windows(_avro_stream(spark)), output_mode="append")
+    with _small_state(spark):
+        return run_to_memory(session_windows(_avro_stream(spark)), output_mode="append")
 
 
 @register(
@@ -123,7 +143,8 @@ def s_session_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(dedup_stream(_json_stream(spark, "dup")), output_mode="append")
+    with _small_state(spark):
+        return run_to_memory(dedup_stream(_json_stream(spark, "dup")), output_mode="append")
 
 
 @register(
@@ -135,7 +156,8 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def s_stateful_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(presence_transitions(_avro_stream(spark)), output_mode="append")
+    with _small_state(spark):
+        return run_to_memory(presence_transitions(_avro_stream(spark)), output_mode="append")
 
 
 @register(
@@ -149,6 +171,11 @@ def s_stateful_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     _configure(spark)
+    with _small_state(spark):
+        return _late_data_run(spark)
+
+
+def _late_data_run(spark: SparkSession) -> DataFrame:
     d = os.path.join(tempfile.gettempdir(), f"wfs_stream_late_{os.getpid()}")
     values = fx.json_framed_values()
     late = values[-4:-3]  # the dev-0 straggler is the last good record
