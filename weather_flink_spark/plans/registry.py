@@ -55,6 +55,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Local imports so that merely importing the package stays cheap.
     from weather_flink_spark.plans import (  # noqa: F401
         relational,
+        relational_extra,
         joins,
         aggregates,
         windows,
