@@ -58,6 +58,9 @@ def get_spark(
         # checksum pool under many concurrent state partitions on local
         # filesystems; plain rename-based checkpointing is correct and fast
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # commit validation rejects idempotent foreachBatch replay skips
+        # (streaming/exactly_once.py), which never commit state stores
+        .config("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
     for k, v in (extra_conf or {}).items():
