@@ -147,12 +147,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BIGRAM_SPARK = (
-    "array_distinct(transform(sequence(1, greatest(size(tok) - 1, 1)),"
+    "array_distinct(transform("
+    " IF(size(tok) >= 2, sequence(1, size(tok) - 1), cast(array() as array<int>)),"
     " i -> cast(conv(substring(md5(concat_ws(' ', element_at(tok, cast(i as int)),"
     " element_at(tok, cast(i + 1 as int)))), 1, 7), 16, 10) as bigint)))"
 )
 _BIGRAM_DUCK = (
-    "list_distinct(list_transform(range(1, GREATEST(len(tok), 2)),"
+    "list_distinct(list_transform(range(1, GREATEST(len(tok), 1)),"
     " i -> CAST('0x' || md5(tok[i] || ' ' || tok[i+1])[1:7] AS BIGINT)))"
 )
 

@@ -32,8 +32,14 @@ def tokens_col(text: str = "text") -> Column:
 
 
 def shingles_col(tok: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a token array (word k-grams)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(0)))
+    """Distinct k-word shingles of a token array (word k-grams).
+
+    Total on short inputs: fewer than k tokens → empty shingle set
+    (matches DuckDB's empty ``range``), never an out-of-bounds access.
+    """
+    idx = F.when(
+        F.size(tok) >= k, F.sequence(F.lit(1), F.size(tok) - (k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -262,7 +268,10 @@ def _shingle_table(d: DataFrame) -> DataFrame:
         .persist()
     )
     tok = F.col("tok")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - 2, F.lit(0)))
+    # total on short docs: < 3 tokens → no shingles (no OOB element_at)
+    idx = F.when(F.size(tok) >= 3, F.sequence(F.lit(1), F.size(tok) - 2)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
     gram_hash = F.transform(
         idx,
         lambda i: F.conv(

@@ -154,3 +154,41 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k_rank") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "k_rank")
     )
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               NTILE(4) OVER w AS quartile,
+               CUME_DIST() OVER w AS cume,
+               PERCENT_RANK() OVER w AS pct_rank,
+               FIRST_VALUE(c_custkey) OVER w AS richest_in_nation,
+               LAST_VALUE(c_custkey) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS poorest_in_nation
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc=(
+        "Distribution window functions: ntile quartiles, cume_dist, "
+        "percent_rank, first/last_value with explicit full frame (the "
+        "default frame would stop at CURRENT ROW for last_value)."
+    ),
+    tags=("window",),
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.first("c_custkey").over(w).alias("richest_in_nation"),
+        F.last("c_custkey").over(w_full).alias("poorest_in_nation"),
+    )
