@@ -1,0 +1,95 @@
+"""Bucketed co-located join: the shuffle-free fact⋈fact pattern.
+
+At 100 TB the expensive joins are fact-to-fact on a shared key; writing
+both sides bucketed by that key lets every join run with ZERO exchange
+— each task reads matching buckets. This test proves the engine
+produces that plan: bucketed tables joined with no Exchange operator,
+vs the plain-parquet join which must shuffle both sides.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    # in-memory catalog forgets tables across sessions; clear leftover dirs
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bucketed", "ord_bucketed"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        load(spark, sf_dir, "lineitem")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("ord_bucketed")
+    )
+    yield "li_bucketed", "ord_bucketed"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    li, ord_ = bucketed_tables
+    # merge hint: at toy scale Catalyst would broadcast; at fact⋈fact
+    # scale SMJ is what it picks, and buckets must feed it shuffle-free
+    joined = (
+        spark.table(li)
+        .hint("merge")
+        .join(spark.table(ord_).select("l_orderkey", "o_totalprice"), "l_orderkey")
+        .groupBy("o_totalprice")
+        .count()
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # the ONLY exchange is the post-agg repartition on o_totalprice;
+    # nothing repartitions on the join key — buckets feed the SMJ directly
+    assert "hashpartitioning(l_orderkey" not in plan, f"join side shuffled:\n{plan}"
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+
+
+def test_plain_parquet_join_does_shuffle(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    # force a non-broadcast join so the shuffle is observable at sf0.001
+    joined = li.hint("merge").join(o, "l_orderkey")
+    assert "Exchange" in _plan(joined)
+
+
+def test_bucketed_join_results_match_plain(spark, sf_dir, bucketed_tables):
+    li, ord_ = bucketed_tables
+    bucketed = (
+        spark.table(li).join(spark.table(ord_).select("l_orderkey", "o_totalprice"), "l_orderkey")
+    ).count()
+    plain = (
+        load(spark, sf_dir, "lineitem").join(
+            load(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+            ),
+            "l_orderkey",
+        )
+    ).count()
+    assert bucketed == plain > 0

@@ -227,3 +227,29 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+@register(
+    "q_explode_lateral",
+    oracle="""
+        SELECT vec_id, pos, CAST(component AS DOUBLE) AS component
+        FROM (
+            SELECT vec_id,
+                   UNNEST(range(1, len(embedding) + 1)) - 1 AS pos,
+                   UNNEST(embedding) AS component
+            FROM embeddings
+        )
+        WHERE vec_id < 20 AND pos < 8
+    """,
+    doc=(
+        "Lateral fan-out: posexplode of the embedding array to "
+        "(vec_id, pos, component) rows — the UDTF-shaped operator as a "
+        "built-in generator (no Python)."
+    ),
+    tags=("reshape", "array"),
+)
+def q_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "component")
+    ).filter(F.col("pos") < 8).withColumn("component", F.col("component").cast("double"))

@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed tables (bucketed-join tests) land in tmp, never the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/wfs_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         # Spark 4.1's checksum checkpoint manager can deadlock its async
         # checksum pool under many concurrent state partitions on local
