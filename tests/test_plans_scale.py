@@ -66,3 +66,30 @@ def test_whole_stage_codegen_active(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen" in plan
     assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """No registered batch query may fall back to an unblocked cross
+    product — at 100 TB that plan never finishes. (BroadcastNestedLoop
+    with a join condition is acceptable for the small theta-join side.)"""
+    bad = {}
+    for name, spec in all_specs().items():
+        if name.startswith("s_") or name == "q_sink_partitioned_roundtrip":
+            continue  # streaming entries execute eagerly; sink writes files
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+    assert not bad, f"cartesian fallback in: {bad}"
+
+
+def test_no_row_python_udf_in_registered_plans(spark):
+    """Hot paths stay JVM-side or Arrow-batched: no row-at-a-time
+    BatchEvalPython in any registered batch query plan (ArrowEvalPython
+    and mapInPandas are the sanctioned Python crossings)."""
+    bad = []
+    for name, spec in all_specs().items():
+        if name.startswith("s_") or name == "q_sink_partitioned_roundtrip":
+            continue
+        if "BatchEvalPython" in plan_of(spark, name):
+            bad.append(name)
+    assert not bad, f"row-Python UDF in: {bad}"

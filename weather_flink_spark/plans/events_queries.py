@@ -196,3 +196,76 @@ def q_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "q_events_resample_gapfill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT UNNEST(generate_series(
+                    (SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 1 HOUR)) AS h
+            ) g
+        )
+        SELECT g.event_type, g.h AS bucket_hour,
+               COALESCE(hy.n, 0) AS n_events,
+               LAST_VALUE(hy.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_filled
+        FROM grid g
+        LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.h
+    """,
+    doc=(
+        "Time-series resample + gap-fill: hourly per-type averages on a "
+        "dense generated grid, empty buckets forward-filled from the "
+        "last observation (last_value IGNORE NULLS). The grid comes "
+        "from sequence() over broadcast min/max bounds — no driver "
+        "loop, no cartesian blow-up (types × hours only)."
+    ),
+    tags=("window-time", "timeseries"),
+)
+def q_events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value")).alias(
+            "avg_value"
+        ),
+        F.count("*").alias("n"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select("event_type", F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    return joined.select(
+        "event_type",
+        F.col("h").alias("bucket_hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_filled"),
+    )

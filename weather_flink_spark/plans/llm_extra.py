@@ -567,3 +567,89 @@ def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_byte").cast("int").alias("last_byte"),
         "byte_sum_16",
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster resolution: iterative connected components
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+from weather_flink_spark.plans.llm_pipeline import NEAR_DUP_PAIRS_SQL
+
+DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({NEAR_DUP_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(d, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.d
+    )
+    SELECT d AS doc_id, MIN(r) AS canonical_id, (d <> MIN(r)) AS is_duplicate
+    FROM reach GROUP BY d
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=DEDUP_CLUSTERS_ORACLE,
+    doc=(
+        "Dedup cluster resolution: connected components over the "
+        "near-duplicate pair graph via iterative min-label propagation "
+        "(the canonical Spark pattern for iterative graph algorithms: "
+        "join-propagate-converge with persist per round, O(diameter) "
+        "rounds). Every document gets a canonical_id = min doc_id of "
+        "its component; singletons map to themselves. Transitivity "
+        "matters: a~b and b~c cluster a,b,c even when a!~c."
+    ),
+    tags=("dedup", "iterative", "graph"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import q_dedup_near_minhash
+
+    pairs = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .persist()
+    )
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .persist()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("canonical_id"),
+        (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
+    )

@@ -384,9 +384,9 @@ _BANDS_SQL = f"""
 """
 
 
-@register(
-    "q_dedup_near_minhash",
-    oracle=f"""
+# the full near-dup pair pipeline as oracle SQL — reused by
+# q_dedup_near_minhash and as the edge set of q_dedup_clusters
+NEAR_DUP_PAIRS_SQL = f"""
         WITH bands AS ({_BANDS_SQL}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -410,7 +410,12 @@ _BANDS_SQL = f"""
         WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
               / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
               >= 0.5
-    """,
+"""
+
+
+@register(
+    "q_dedup_near_minhash",
+    oracle=NEAR_DUP_PAIRS_SQL,
     doc=(
         "MinHash+LSH near-duplicate detection: 28-bit hashed 3-shingle "
         "sets → 8 universal-hash minhash perms → 4 bands of 2 → bucket "
