@@ -36,6 +36,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the oracle contract depends on, enforced on ANY
+    session (the driver's verify uses its own SparkSession, which may
+    not have gone through session.get_spark)."""
+    try:
+        # date/time semantics must match DuckDB's UTC interpretation
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Projection/filters push into the scan.
 
@@ -46,6 +57,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
