@@ -20,7 +20,12 @@ def test_oracle_coverage():
     """Every batch query should carry an oracle unless explicitly approximate."""
     specs = all_specs()
     no_oracle = {n for n, s in specs.items() if s.oracle is None and n.startswith("q_")}
-    assert no_oracle <= {"q_agg_approx"}, f"unexpected oracle-less queries: {no_oracle}"
+    # q_agg_approx: nondeterministic sketch; q_sim_cosine_topk_arrow:
+    # BLAS float order differs from the oracle's sequential fold — its
+    # equivalence is pinned by tests/test_vector_search.py instead
+    assert no_oracle <= {"q_agg_approx", "q_sim_cosine_topk_arrow"}, (
+        f"unexpected oracle-less queries: {no_oracle}"
+    )
 
 
 def test_driver_contract_shape():

@@ -653,3 +653,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("canonical_id"),
         (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
     )
+
+
+@register(
+    "q_sim_cosine_topk_arrow",
+    doc=(
+        "Arrow-vectorized cosine top-k (operators/vector_search.py): "
+        "numpy matmul per Arrow batch, per-partition local top-k as the "
+        "map-side combine, global top-k window. Rows-only here because "
+        "BLAS summation order differs from the oracle's sequential fold "
+        "in the last ulps; exact equivalence with q_sim_cosine_topk is "
+        "asserted in tests/test_vector_search.py."
+    ),
+    tags=("similarity", "topk", "arrow"),
+)
+def q_sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.vector_search import cosine_topk_arrow
+
+    return cosine_topk_arrow(load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10)
