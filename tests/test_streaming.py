@@ -153,3 +153,59 @@ def test_late_data_query_accounting(spark):
     row = all_specs()["s_late_data"].fn(spark, "/root/testdata/sf0.001").first()
     assert row["n_dropped_late"] == 1  # the 5s-late straggler, beyond 3.5s bound
     assert row["n_window_updates"] >= 3
+
+
+def test_presence_tws_matches_applyinpandas_semantics(spark):
+    """Spark 4 transformWithStateInPandas variant: same transitions as
+    the applyInPandasWithState implementation (skipped where the TWS
+    protobuf driver worker can't run)."""
+    import pytest as _pytest
+
+    from weather_flink_spark.plans.streaming_queries import _configure, _small_state
+    from weather_flink_spark.streaming.jobs import presence_transitions_tws, tws_available
+
+    if not tws_available():
+        _pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+    _configure(spark)
+    d = fx.write_value_files(
+        spark, os.path.join(tempfile.gettempdir(), "wfs_test_tws"), fx.framed_values(), 1
+    )
+    stream = with_event_time(decode_framed_avro(fx.read_value_stream(spark, d), fx.REGISTRY))
+    with _small_state(spark):
+        rows = run_to_memory(presence_transitions_tws(stream), output_mode="append").collect()
+    by_dev = {}
+    for r in sorted(rows, key=lambda r: r["at"]):
+        by_dev.setdefault(r["deviceId"], []).append((r["transition"], r["at"]))
+    b = fx.BASE_MS
+    assert by_dev["dev-0"][:2] == [("online", b), ("offline", b + 33_000)]
+
+
+def test_rocksdb_state_store_provider_works(spark):
+    """The beyond-memory state path: the same tumbling aggregation runs
+    on the RocksDB state store provider (what a 100 TB deployment uses)
+    and produces identical results to the default provider."""
+    from weather_flink_spark.plans.streaming_queries import _configure, _small_state
+
+    _configure(spark)
+    d = fx.write_value_files(
+        spark, os.path.join(tempfile.gettempdir(), "wfs_test_rocks"), fx.json_framed_values(), 1
+    )
+
+    def run():
+        stream = with_event_time(
+            decode_framed_json(fx.read_value_stream(spark, d), known_magics=(0, 1))
+        )
+        with _small_state(spark):
+            out = run_to_memory(tumbling_counts(stream), output_mode="complete")
+        return {(r["window_start"], r["deviceId"]): r["n_events"] for r in out.collect()}
+
+    default_result = run()
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_result = run()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocks_result == default_result and len(rocks_result) > 0

@@ -220,3 +220,108 @@ def run_to_memory(
         raise TimeoutError("streaming query did not finish in time")
     spark = result.sparkSession
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# B3 via Spark 4's transformWithStateInPandas (the successor API)
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas spawns a protobuf-speaking driver
+    worker; without a working google.protobuf it crashes at init."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def presence_transitions_tws(df: DataFrame, gap_ms: int = 30_000) -> DataFrame:
+    """Presence transitions on the Spark 4 ``transformWithStateInPandas``
+    API: typed value state + event-time timers instead of the single
+    opaque state tuple of ``applyInPandasWithState``. Same output
+    contract as ``presence_transitions``; the timer fires the offline
+    event when the watermark passes last_seen + gap.
+
+    Environment gate: the TWS driver worker requires ``google.protobuf``,
+    which this container lacks — the plan builds everywhere, execution
+    needs protobuf (tests skip via ``tws_available()``).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class PresenceProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("presence", _PRESENCE_STATE)
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            device = key[0]
+            ts: list[int] = []
+            for pdf in rows:
+                ts.extend(int(t) for t in pdf["timestamp"])
+            ts.sort()
+            last_seen, n_events = (
+                self.state.get() if self.state.exists() else (None, 0)
+            )
+            out: list[dict[str, Any]] = []
+            for t in ts:
+                if last_seen is None or t - last_seen > gap_ms:
+                    if last_seen is not None:
+                        out.append(
+                            {
+                                "deviceId": device,
+                                "transition": "offline",
+                                "at": last_seen + gap_ms,
+                                "n_events_in_session": n_events,
+                            }
+                        )
+                    out.append(
+                        {
+                            "deviceId": device,
+                            "transition": "online",
+                            "at": t,
+                            "n_events_in_session": 0,
+                        }
+                    )
+                    n_events = 0
+                n_events += 1
+                last_seen = t
+            self.state.update((last_seen, n_events))
+            wm = timerValues.getCurrentWatermarkInMs()
+            self.handle.registerTimer(max(last_seen + gap_ms, wm + 1))
+            yield pd.DataFrame(out, columns=[f.name for f in PRESENCE_OUTPUT.fields])
+
+        def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
+            if self.state.exists():
+                last_seen, n_events = self.state.get()
+                self.state.clear()
+                yield pd.DataFrame(
+                    [
+                        {
+                            "deviceId": key[0],
+                            "transition": "offline",
+                            "at": last_seen + gap_ms,
+                            "n_events_in_session": n_events,
+                        }
+                    ],
+                    columns=[f.name for f in PRESENCE_OUTPUT.fields],
+                )
+            else:  # pragma: no cover
+                yield pd.DataFrame(columns=[f.name for f in PRESENCE_OUTPUT.fields])
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("deviceId").transformWithStateInPandas(
+        PresenceProcessor(),
+        outputStructType=PRESENCE_OUTPUT,
+        outputMode="append",
+        timeMode="eventTime",
+    )
