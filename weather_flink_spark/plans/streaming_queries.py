@@ -229,3 +229,61 @@ def _late_data_run(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(int(n_windows), int(dropped))], "n_window_updates long, n_dropped_late long"
     )
+
+
+@register(
+    "s_stream_static_join",
+    doc=(
+        "Stream-static join: the decoded stream enriched against a "
+        "static in-memory dimension (device → site metadata). The "
+        "static side is re-planned per micro-batch and broadcast — no "
+        "state, no watermark needed."
+    ),
+    tags=("streaming", "join"),
+)
+def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame(
+        [("dev-0", "site-A"), ("dev-1", "site-B"), ("dev-2", "site-A")],
+        "deviceId string, site string",
+    )
+    enriched = (
+        _json_stream(spark)
+        .join(F.broadcast(dim), "deviceId", "left")
+        .groupBy("site")
+        .agg(F.count("*").alias("n_events"))
+    )
+    with _small_state(spark):
+        return run_to_memory(enriched, output_mode="complete")
+
+
+@register(
+    "s_stream_stream_join",
+    doc=(
+        "Stream-stream inner join: the Avro-framed feed correlated with "
+        "the JSON-framed feed per device within \u00b12 s event time. Both "
+        "sides watermarked (3.5 s); the equi key (deviceId) keys the "
+        "join state, the event-time range condition bounds state "
+        "retention. Caveat: the equi key must be a plain column - a key "
+        "derived from the watermark column breaks Spark's "
+        "state-watermark extraction with an internal error."
+    ),
+    tags=("streaming", "join"),
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = _avro_stream(spark).select(
+        F.col("deviceId").alias("dev"),
+        F.col("event_time").alias("t_a"),
+    )
+    right = _json_stream(spark).select(
+        F.col("deviceId").alias("dev_r"),
+        F.col("event_time").alias("t_b"),
+    )
+    joined = left.join(
+        right,
+        (F.col("dev") == F.col("dev_r"))
+        & (F.col("t_b") >= F.col("t_a") - F.expr("interval 2 seconds"))
+        & (F.col("t_b") <= F.col("t_a") + F.expr("interval 2 seconds")),
+        "inner",
+    ).select("dev", "t_a", "t_b")
+    with _small_state(spark):
+        return run_to_memory(joined, output_mode="append")
