@@ -191,16 +191,10 @@ def _late_data_run(spark: SparkSession) -> DataFrame:
     # delivers the straggler → provably dropped.
     ontime = [fx.frame(1, b'{"deviceId": "dev-2", "timestamp": %d}' % (fx.BASE_MS + 65_000))]
     fx.write_value_files(spark, d, main, n_files=1)
-    seen = {f for f in os.listdir(d) if f.endswith(".parquet")}
     now = time.time()
     for i, batch_values in enumerate((ontime, late), start=1):
-        spark.createDataFrame([(v,) for v in batch_values], "value binary").coalesce(
-            1
-        ).write.mode("append").parquet(d)
-        new = {f for f in os.listdir(d) if f.endswith(".parquet")} - seen
-        seen |= new
-        for f in new:  # FileStreamSource orders batches by mtime
-            os.utime(os.path.join(d, f), (now + 60 * i, now + 60 * i))
+        p = fx.append_value_file(d, batch_values, f"late-batch-{i}.parquet")
+        os.utime(p, (now + 60 * i, now + 60 * i))  # mtime orders the batches
     raw = fx.read_value_stream(spark, d)  # maxFilesPerTrigger=1 → ordered batches
     # 10 s windows: the straggler's window END (BASE+60 s) is below the
     # batch-2 watermark (BASE+61.5 s), so the row is provably dropped —
