@@ -624,6 +624,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("label"))
         .persist()
     )
+    # labels only ever DECREASE under min-propagation, so an unchanged
+    # label sum proves the fixpoint — one cheap aggregate per round
+    # instead of a join-and-count convergence check
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -638,16 +642,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         "doc_id",
         F.col("label").alias("canonical_id"),
