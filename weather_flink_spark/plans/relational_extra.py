@@ -14,7 +14,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_flink_spark.functions.numeric import dsum, dsum_sql
@@ -253,3 +253,76 @@ def q_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "component")
     ).filter(F.col("pos") < 8).withColumn("component", F.col("component").cast("double"))
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+        SELECT event_id,
+               CAST(len(json_keys(props)) AS INT) AS n_keys,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+               json_extract_string(props, '$.k') AS k_value,
+               COALESCE(json_extract_string(props, '$.missing'), '<absent>') AS missing_value
+        FROM events
+        WHERE event_id < 2000
+    """,
+    doc=(
+        "Map-typed column functions: JSON props parsed to map<string,string>, "
+        "then map_keys (sorted for determinism), element_at lookup, and "
+        "missing-key handling — the MapType member of the scalar family."
+    ),
+    tags=("scalar", "map"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "k").alias("k_value"),
+        F.coalesce(F.element_at(m, "missing"), F.lit("<absent>")).alias("missing_value"),
+    )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING
+               ) AS DOUBLE) AS near_price_sum,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING
+               ) AS near_price_n
+        FROM orders
+        WHERE o_orderkey < 5000
+    """,
+    doc=(
+        "RANGE window frames (value-based, vs the ROWS frames in "
+        "q_win_frame_running): for each order, the sum/count of the "
+        "same customer's orders within ±1000 of its price."
+    ),
+    tags=("window",),
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PySpark's Window.rangeBetween only accepts integer offsets; the
+    # SQL window syntax supports value-typed (here double) frame bounds
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    frame = (
+        "over (partition by o_custkey order by o_totalprice "
+        "range between 1000.0 preceding and 1000.0 following)"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(
+            f"cast(sum(cast(o_totalprice as decimal(18,6))) {frame} as double)"
+        ).alias("near_price_sum"),
+        F.expr(f"count(*) {frame}").alias("near_price_n"),
+    )
