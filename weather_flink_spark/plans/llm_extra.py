@@ -671,3 +671,177 @@ def q_sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.operators.vector_search import cosine_topk_arrow
 
     return cosine_topk_arrow(load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf, quality filtering, deterministic splits, interval correlate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok WHERE token <> '' GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, token, tf,
+               ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE doc_id < 100
+    """,
+    doc=(
+        "TF-IDF scoring: term frequency per doc joined with corpus "
+        "document frequency (broadcast — |vocab| rows) and the corpus "
+        "size scalar. Rounded to 6 dp for cross-engine float equality."
+    ),
+    tags=("text", "tfidf"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("token")).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; the one sanctioned driver value
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q_text_quality_filter",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS ttr
+            FROM documents
+        ),
+        med AS (
+            SELECT lang, quantile_cont(ttr, 0.5) AS median_ttr FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.ttr, m.median_ttr
+        FROM scored s JOIN med m ON s.lang = m.lang
+        WHERE s.ttr >= m.median_ttr
+    """,
+    doc=(
+        "Quality-based corpus filtering: keep documents at or above "
+        "their language's median type-token ratio — the 'drop the worst "
+        "half per language' stage of a training-data pipeline. The "
+        "per-language medians are a tiny broadcast aggregate."
+    ),
+    tags=("text", "quality", "filter"),
+)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = tokens_col()
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(tok)).cast("double") / F.size(tok)).alias("ttr"),
+    )
+    med = scored.groupBy("lang").agg(F.expr("percentile(ttr, 0.5)").alias("median_ttr"))
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .filter(F.col("ttr") >= F.col("median_ttr"))
+        .select("doc_id", "lang", "ttr", "median_ttr")
+    )
+
+
+@register(
+    "q_split_train_val_test",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || md5('split:' || CAST(doc_id AS VARCHAR))[1:7] AS BIGINT) % 100
+                       AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM h GROUP BY 1, 2
+    """,
+    doc=(
+        "Deterministic train/val/test split (80/10/10) by seeded "
+        "content hash of the doc id — reproducible across engines, "
+        "runs, and cluster sizes (never rand(): resampling on retry "
+        "would leak rows across splits)."
+    ),
+    tags=("split", "sampling"),
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 7), 16, 10)"
+        " as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "lang", "doc_id").groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
+    "q_join_interval_events",
+    oracle="""
+        SELECT a.event_id AS ev_a, b.event_id AS ev_b, a.user_id,
+               DATE_DIFF('microsecond', a.ts, b.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND b.ts >= a.ts - INTERVAL 10 MINUTE
+         AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+    doc=(
+        "Interval self-join (the batch twin of s_stream_stream_join): "
+        "same-user event pairs within ±10 min. Equi key (user_id) carries "
+        "the shuffle; the time predicate prunes inside each key group — "
+        "never an unkeyed time-only join."
+    ),
+    tags=("join", "interval", "streaming-twin"),
+)
+def q_join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    a = e.select(F.col("event_id").alias("ev_a"), "user_id", F.col("ts").alias("t_a")).alias("a")
+    b = e.select(
+        F.col("event_id").alias("ev_b"), F.col("user_id").alias("user_b"), F.col("ts").alias("t_b")
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ev_a") < F.col("ev_b"))
+            & (F.col("t_b") >= F.col("t_a") - F.expr("interval 10 minutes"))
+            & (F.col("t_b") <= F.col("t_a") + F.expr("interval 10 minutes")),
+        )
+        .select(
+            "ev_a",
+            "ev_b",
+            "user_id",
+            (F.unix_micros(F.col("t_b")) - F.unix_micros(F.col("t_a"))).alias("gap_us"),
+        )
+    )
