@@ -196,3 +196,97 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_max",
         "n_rows",
     )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+        -- width_bucket(x, 0, 500000, 20) spelled arithmetically
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1 AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    doc=(
+        "Value histogram via width_bucket: 20 equal bins over the price "
+        "domain — one hash aggregate, the building block of numeric "
+        "profiling over a 100 TB column."
+    ),
+    tags=("agg", "histogram"),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_on_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Bivariate statistics: Pearson correlation, sample covariance "
+        "and regression slope per group, rounded to fixed precision "
+        "(both engines use one-pass co-moment updates whose float "
+        "ordering differs in the last ulps)."
+    ),
+    tags=("agg", "stats"),
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+    )
+
+
+@register(
+    "q_agg_mode_deterministic",
+    oracle="""
+        SELECT user_id, event_type AS mode_event, n FROM (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type ASC
+                   ) AS rn
+            FROM (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+        ) WHERE rn = 1
+    """,
+    doc=(
+        "Deterministic mode (most frequent event_type per user): "
+        "count-then-argmax with an explicit alphabetical tiebreak — "
+        "never the builtin mode(), whose tie behavior is "
+        "engine-dependent."
+    ),
+    tags=("agg", "mode"),
+)
+def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )

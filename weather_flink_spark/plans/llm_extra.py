@@ -845,3 +845,64 @@ def q_join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.col("t_b")) - F.unix_micros(F.col("t_a"))).alias("gap_us"),
         )
     )
+
+
+@register(
+    "q_emb_quantize_int8",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS amax
+            FROM embeddings
+        ),
+        q AS (
+            SELECT e.vec_id, s.amax,
+                   list_transform(e.embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s.amax + 0.5) AS BIGINT)
+                   ) AS qvec,
+                   e.embedding
+            FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+        )
+        SELECT vec_id,
+               ROUND(amax / 127.0, 9) AS scale,
+               qvec[1] AS q0, qvec[2] AS q1, qvec[3] AS q2, qvec[4] AS q3,
+               ROUND(list_max(list_transform(range(1, 65),
+                   i -> ABS(qvec[i] * amax / 127.0 - CAST(embedding[i] AS DOUBLE)))), 9)
+                   AS max_abs_err
+        FROM q
+    """,
+    doc=(
+        "int8 embedding quantization (the 4x storage-compression path "
+        "for vectors at 100 TB): per-vector absmax scale, symmetric "
+        "quantize via floor(x*127/amax + 0.5) — identical rounding in "
+        "both engines, unlike ROUND's half-up/half-away split — plus "
+        "the max reconstruction error per vector."
+    ),
+    tags=("similarity", "quantization"),
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    demb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", demb.alias("demb")).withColumn(
+        "amax", F.array_max(F.transform(F.col("demb"), lambda x: F.abs(x)))
+    )
+    qvec = F.transform(
+        F.col("demb"), lambda x: F.floor(x * 127.0 / F.col("amax") + 0.5).cast("bigint")
+    )
+    quantized = base.withColumn("qvec", qvec)
+    err = F.array_max(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("demb"),
+            lambda q, x: F.abs(q * F.col("amax") / 127.0 - x),
+        )
+    )
+    return quantized.select(
+        "vec_id",
+        F.round(F.col("amax") / 127.0, 9).alias("scale"),
+        F.element_at("qvec", 1).alias("q0"),
+        F.element_at("qvec", 2).alias("q1"),
+        F.element_at("qvec", 3).alias("q2"),
+        F.element_at("qvec", 4).alias("q3"),
+        F.round(err, 9).alias("max_abs_err"),
+    )
