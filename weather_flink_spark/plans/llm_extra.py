@@ -906,3 +906,110 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("qvec", 4).alias("q3"),
         F.round(err, 9).alias("max_abs_err"),
     )
+
+
+@register(
+    "q_fuzzy_match_levenshtein",
+    oracle="""
+        WITH names AS (
+            SELECT DISTINCT p_name FROM part
+        ),
+        p AS (
+            SELECT p_name, length(p_name) AS ln, p_name[1:1] AS c1 FROM names
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM p a JOIN p b
+          ON a.c1 = b.c1
+         AND b.ln BETWEEN a.ln - 2 AND a.ln + 2
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc=(
+        "Fuzzy string matching over the DISTINCT name dictionary: "
+        "pairs within edit distance 3, blocked on (first char, length ±2) so the "
+        "quadratic levenshtein only runs inside small blocks — entity "
+        "resolution's cheap blocking discipline, same rule as every "
+        "dedup operator here: bound the pair space first."
+    ),
+    tags=("dedup", "fuzzy", "entity-resolution"),
+)
+def q_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedupe the name dictionary FIRST: fuzzy-matching runs on distinct
+    # values (64 here), never on the row population carrying them
+    p = (
+        load(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .select(
+            "p_name",
+            F.length("p_name").alias("ln"),
+            F.substring("p_name", 1, 1).alias("c1"),
+        )
+        .persist()
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c1") == F.col("b.c1"))
+            & (F.col("b.ln").between(F.col("a.ln") - 2, F.col("a.ln") + 2))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT
+            COUNT(*) AS n_users,
+            COUNT(t_view) AS n_view,
+            COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+            COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+                AS n_full_funnel
+        FROM firsts
+    """,
+    doc=(
+        "Funnel analysis: view → click → purchase ordered conversion "
+        "per user, via conditional-MIN first-touch timestamps — one "
+        "aggregate pass, no self-joins, no ordering shuffle beyond the "
+        "user key."
+    ),
+    tags=("analytics", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_view")), 1
+            )
+        ).alias("n_full_funnel"),
+    )
