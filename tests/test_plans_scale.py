@@ -93,3 +93,24 @@ def test_no_row_python_udf_in_registered_plans(spark):
         if "BatchEvalPython" in plan_of(spark, name):
             bad.append(name)
     assert not bad, f"row-Python UDF in: {bad}"
+
+
+def test_join_hints_are_respected(spark):
+    """The engine's escape hatches work: explicit join-strategy hints
+    override Catalyst's size-based choice (needed when statistics lie,
+    e.g. post-filter explosive joins at 100 TB)."""
+    from weather_flink_spark.io import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, SF, "lineitem")
+    o = load(spark, SF, "orders").select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    merge_plan = _plan_str(spark, li.hint("merge").join(o, "l_orderkey"))
+    assert "SortMergeJoin" in merge_plan
+    shuffle_hash_plan = _plan_str(spark, li.hint("shuffle_hash").join(o, "l_orderkey"))
+    assert "ShuffledHashJoin" in shuffle_hash_plan
+    bcast_plan = _plan_str(spark, li.join(o.hint("broadcast"), "l_orderkey"))
+    assert "BroadcastHashJoin" in bcast_plan
+
+
+def _plan_str(spark, df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")

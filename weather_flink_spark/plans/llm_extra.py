@@ -1013,3 +1013,88 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "q_split_leakage_check",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id,
+                   list_min(list_transform(range(1, GREATEST(len(tok) - 1, 1)),
+                       i -> CAST('0x' || md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])[1:7]
+                                AS BIGINT))) AS fp,
+                   CASE WHEN CAST('0x' || md5('split:' || CAST(doc_id AS VARCHAR))[1:7]
+                                  AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST('0x' || md5('split:' || CAST(doc_id AS VARCHAR))[1:7]
+                                  AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+        )
+        SELECT a.fp,
+               a.doc_id AS train_doc,
+               b.doc_id AS eval_doc,
+               b.split AS eval_split
+        FROM assigned a JOIN assigned b
+          ON a.fp = b.fp AND a.split = 'train' AND b.split <> 'train'
+    """,
+    doc=(
+        "Train/eval contamination check: min-shingle fingerprints "
+        "(near-dup sensitive, not just exact-copy) shared between the "
+        "train split and val/test — the leakage audit every LLM data "
+        "pipeline runs after splitting. One fingerprint-keyed "
+        "self-join; at 100 TB the fingerprint table is the only thing "
+        "shuffled, never the text."
+    ),
+    tags=("split", "dedup", "leakage"),
+)
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 7), 16, 10)"
+        " as bigint) % 100"
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    from weather_flink_spark.plans.llm_pipeline import _shingle_table
+
+    sh = _shingle_table(d)  # (doc_id, shingle_h28) — reused signature table
+    assigned = (
+        d.select("doc_id", split.alias("split"))
+        .join(sh.select("doc_id", F.array_min("shingle_h28").alias("fp")), "doc_id")
+        .persist()
+    )
+    a = assigned.filter(F.col("split") == "train").alias("a")
+    b = assigned.filter(F.col("split") != "train").alias("b")
+    return a.join(b, F.col("a.fp") == F.col("b.fp")).select(
+        F.col("a.fp").alias("fp"),
+        F.col("a.doc_id").alias("train_doc"),
+        F.col("b.doc_id").alias("eval_doc"),
+        F.col("b.split").alias("eval_split"),
+    )
+
+
+@register(
+    "q_text_normalize",
+    oracle="""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_fp,
+               length(text) - length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                   AS chars_removed,
+               (trim(regexp_replace(lower(text), ' +', ' ', 'g')) = text) AS already_normal
+        FROM documents
+    """,
+    doc=(
+        "Text normalization: lowercase, collapse whitespace runs, trim "
+        "— fingerprinted so normalized-dedup can key on norm_fp. The "
+        "canonicalization stage that runs before any exact dedup."
+    ),
+    tags=("text", "normalize"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"),
+        (norm == F.col("text")).alias("already_normal"),
+    )
