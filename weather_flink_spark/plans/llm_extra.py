@@ -1,8 +1,12 @@
 """Second wave of LLM-training-data operators (SURVEY.md §2-C north star).
 
 Dedup family completion (SimHash, n-gram Jaccard, embedding-cosine
-near-dup with hyperplane LSH), the IVF scale path for ANN search,
-language-ID and BPE-ish token counting.
+near-dup with hyperplane LSH, connected-components cluster resolution,
+fuzzy levenshtein entity matching), similarity/ANN (IVF cells, Arrow
+top-k, int8 quantization), text analysis (language-ID, token counting,
+TF-IDF, normalization, quality filtering), corpus management
+(deterministic train/val/test splits, cross-split leakage audit,
+interval correlation, multimodal binary features).
 
 Shared discipline with llm_pipeline.py:
 - every randomized-looking constant is a fixed literal → deterministic
