@@ -284,3 +284,42 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.col("_side") == 1).select(
         "event_id", "user_id", "ts", "last_order_key", "last_order_date", "last_order_price"
     )
+
+
+@register(
+    "q_integrity_audit",
+    oracle="""
+        SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+        FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders->customer', COUNT(*)
+        FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'customer->nation', COUNT(*)
+        FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc=(
+        "Referential-integrity audit: orphaned foreign keys counted per "
+        "relationship via anti joins (broadcast for the dim sides) — "
+        "the data-quality gate run before any pipeline consumes a drop."
+    ),
+    tags=("join", "audit"),
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def orphans(fact, dim, fk, pk, label):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(orphans(c, F.broadcast(n), "c_nationkey", "n_nationkey", "customer->nation"))
+    )

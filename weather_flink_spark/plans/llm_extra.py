@@ -1102,3 +1102,41 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(norm)).alias("chars_removed"),
         (norm == F.col("text")).alias("already_normal"),
     )
+
+
+@register(
+    "q_emb_dimension_stats",
+    oracle="""
+        SELECT pos,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(component AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_c,
+               CAST(MIN(component) AS DOUBLE) AS min_c,
+               CAST(MAX(component) AS DOUBLE) AS max_c
+        FROM (
+            SELECT UNNEST(range(1, len(embedding) + 1)) - 1 AS pos,
+                   UNNEST(embedding) AS component
+            FROM embeddings
+        )
+        GROUP BY pos
+    """,
+    doc=(
+        "Per-dimension embedding statistics (the feature-stats pass "
+        "before normalization/whitening): posexplode fans each vector "
+        "to (pos, component), one hash aggregate computes exact-decimal "
+        "sums and ranges per dimension — 64 output rows regardless of "
+        "corpus size, and the shuffle carries partial aggregates."
+    ),
+    tags=("similarity", "stats"),
+)
+def q_emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "component"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("component").cast("double").cast("decimal(18,9)")).cast("double").alias("sum_c"),
+            F.min("component").cast("double").alias("min_c"),
+            F.max("component").cast("double").alias("max_c"),
+        )
+    )
