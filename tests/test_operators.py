@@ -152,3 +152,18 @@ def test_session_gap_invariant(spark, specs):
         prev[r["user_id"]] = r["session_end"]
     total = sum(r["n_events"] for r in rows)
     assert total == e.count()
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """q_agg_approx has no oracle (sketch nondeterminism across engines);
+    pin its accuracy against the exact count instead."""
+    from weather_flink_spark.io import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).first()
+    # default HLL rsd is 5%; allow 2 sigma
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.10
