@@ -62,6 +62,7 @@ def all_specs() -> dict[str, QuerySpec]:
         setops,
         llm_pipeline,
         llm_extra,
+        pipeline_extra,
         events_queries,
         streaming_queries,
     )
