@@ -327,3 +327,342 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history reconstruction
+# ---------------------------------------------------------------------------
+
+# identical text runs on Spark and DuckDB (gaps-and-islands via windowed
+# change flags); {events} is a temp view on Spark, the real table on DuckDB
+_SCD2_BODY = """
+    WITH c AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        FROM {events}
+    ), g AS (
+        SELECT user_id, ts, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM c
+    ), p AS (
+        SELECT user_id, grp, event_type AS state,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM g GROUP BY user_id, grp, event_type
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           n_events
+    FROM p
+"""
+
+
+@register(
+    "q_scd2_intervals",
+    oracle=_SCD2_BODY.format(events="events"),
+    doc=(
+        "SCD type-2 history reconstruction (gaps-and-islands): the event "
+        "changelog collapsed into per-user state intervals "
+        "[valid_from, valid_to) whenever event_type changes, open-ended "
+        "for the current state. Windowed change flags + running sum "
+        "assign island ids — one shuffle on the key, no self-join."
+    ),
+    tags=("events", "cdc", "window"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_scd2_v")
+    return spark.sql(_SCD2_BODY.format(events="events_scd2_v"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles with accuracy bound
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_approx_quantile",
+    oracle=None,  # sketch-based; driver records rows-only, bounds asserted below
+    doc=(
+        "Approximate percentiles (Greenwald-Khanna sketch via "
+        "approx_percentile) next to the exact values, with the relative "
+        "rank error surfaced as a checked bound — the pattern for "
+        "monitoring quantiles at 100 TB where exact percentile would "
+        "need a full sort."
+    ),
+    tags=("agg", "approx"),
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact"),
+        F.max("o_totalprice").alias("hi"),
+        F.min("o_totalprice").alias("lo"),
+    )
+    return agg.select(
+        F.round(F.col("approx")[0], 6).alias("p50_approx"),
+        F.round(F.col("exact")[0], 6).alias("p50_exact"),
+        F.round(F.col("approx")[1], 6).alias("p90_approx"),
+        F.round(F.col("exact")[1], 6).alias("p90_exact"),
+        # with accuracy=10000 on fixture scales the sketch is exact; the
+        # boolean pins the contract without hash-comparing sketch output
+        (
+            (F.abs(F.col("approx")[0] - F.col("exact")[0]) <= (F.col("hi") - F.col("lo")) * 0.01)
+            & (F.abs(F.col("approx")[1] - F.col("exact")[1]) <= (F.col("hi") - F.col("lo")) * 0.01)
+            & (F.abs(F.col("approx")[2] - F.col("exact")[2]) <= (F.col("hi") - F.col("lo")) * 0.01)
+        ).alias("within_bounds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy audit
+# ---------------------------------------------------------------------------
+
+
+def _minhash_accuracy_sql() -> str:
+    from weather_flink_spark.plans.llm_pipeline import (
+        H28_SHINGLE_SQL,
+        MINHASH_P,
+        MINHASH_PERMS,
+        N_BANDS,
+        N_MINHASH,
+    )
+
+    def perm_sql(i: int) -> str:
+        a, b = MINHASH_PERMS[i]
+        return f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+
+    band_structs = ", ".join(
+        "{'band_id': %d, 'band_key': md5(CAST(mh%d AS VARCHAR) || '|' || CAST(mh%d AS VARCHAR))}"
+        % (b, 2 * b, 2 * b + 1)
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id, {H28_SHINGLE_SQL} AS hs FROM t
+        ), sig AS (
+            SELECT doc_id,
+                {", ".join(f"{perm_sql(i)} AS mh{i}" for i in range(N_MINHASH))}
+            FROM hashed
+        ), bands AS (
+            SELECT doc_id, UNNEST([{band_structs}]) AS band FROM sig
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band.band_id = b.band.band_id
+             AND a.band.band_key = b.band.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               ({agree}) / {float(N_MINHASH)} AS est_jaccard,
+               CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                 / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+                 AS exact_jaccard,
+               ABS(({agree}) / {float(N_MINHASH)}
+                   - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                     / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))))
+                 AS abs_err
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        JOIN hashed x ON x.doc_id = c.doc_a
+        JOIN hashed y ON y.doc_id = c.doc_b
+    """
+
+
+@register(
+    "q_dedup_minhash_accuracy",
+    oracle=_minhash_accuracy_sql(),
+    doc=(
+        "Estimator-quality audit for the MinHash pipeline: for every "
+        "LSH-blocked candidate pair, the signature-agreement Jaccard "
+        "estimate (8 universal-hash perms) next to the exact "
+        "hashed-shingle Jaccard and their absolute error. Everything is "
+        "md5-deterministic, so even the error column hash-matches the "
+        "DuckDB oracle — the audit itself is reproducible at scale."
+    ),
+    tags=("dedup", "lsh", "audit"),
+)
+def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import (
+        N_MINHASH,
+        _minhash_bands,
+        _perm_value,
+        _shingle_table,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_table(d)
+
+    def perm_min(i: int) -> F.Column:
+        return F.array_min(
+            F.transform(F.col("shingle_h28"), lambda h: _perm_value(h, i))
+        )
+
+    sig = sh.select(
+        "doc_id", *[perm_min(i).alias(f"mh{i}") for i in range(N_MINHASH)]
+    ).persist()
+    bands = _minhash_bands(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    x, y = sh.alias("x"), sh.alias("y")
+    n_agree = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = n_agree / float(N_MINHASH)
+    inter = F.size(F.array_intersect(F.col("x.shingle_h28"), F.col("y.shingle_h28")))
+    union = F.size(F.col("x.shingle_h28")) + F.size(F.col("y.shingle_h28")) - inter
+    exact = inter.cast("double") / union
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_anomaly_zscore",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND((e.value - s.sx / s.n)
+                     / SQRT((s.sx2 - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE ABS((e.value - s.sx / s.n)
+                  / SQRT((s.sx2 - s.sx * s.sx / s.n) / (s.n - 1))) > 2
+    """,
+    doc=(
+        "Grouped z-score anomaly detection: per-event-type mean/stddev "
+        "from exact decimal moment sums (order-independent), outliers at "
+        "|z| > 2. The stats aggregate is tiny and broadcast back onto "
+        "the fact — one shuffle for the moments, none for the scoring."
+    ),
+    tags=("events", "stats", "anomaly"),
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("event_type").agg(
+        F.sum(x * x).cast("double").alias("sx2"),
+        F.sum(x).cast("double").alias("sx"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt((F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge/upsert classification
+# ---------------------------------------------------------------------------
+
+_MERGE_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "q_cdc_merge_upsert",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id, ts, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        ), delta AS (
+            SELECT user_id, ts, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+               CASE WHEN d.user_id IS NULL THEN 'keep'
+                    WHEN b.user_id IS NULL THEN 'insert'
+                    ELSE 'update' END AS action,
+               COALESCE(d.ts, b.ts) AS final_ts,
+               COALESCE(d.event_type, b.event_type) AS final_event_type,
+               COALESCE(d.value, b.value) AS final_value
+        FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    """,
+    doc=(
+        "CDC MERGE/upsert semantics without a table format: the serving "
+        "snapshot (latest state before the cutoff) merged with a "
+        "changelog delta (events after it) via full outer join — rows "
+        "classified insert/update/keep with last-writer-wins payloads. "
+        "This is the nightly-compaction shape Delta/Iceberg MERGE INTO "
+        "executes; both sides shuffle once on the merge key."
+    ),
+    tags=("events", "cdc", "merge"),
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "ts", "event_type", "value")
+        )
+
+    base = latest(e.filter(F.col("ts") < cutoff)).alias("b")
+    delta = latest(e.filter(F.col("ts") >= cutoff)).alias("d")
+    action = (
+        F.when(F.col("d.user_id").isNull(), "keep")
+        .when(F.col("b.user_id").isNull(), "insert")
+        .otherwise("update")
+    )
+    return base.join(delta, F.col("b.user_id") == F.col("d.user_id"), "full_outer").select(
+        F.coalesce(F.col("d.user_id"), F.col("b.user_id")).alias("user_id"),
+        action.alias("action"),
+        F.coalesce(F.col("d.ts"), F.col("b.ts")).alias("final_ts"),
+        F.coalesce(F.col("d.event_type"), F.col("b.event_type")).alias("final_event_type"),
+        F.coalesce(F.col("d.value"), F.col("b.value")).alias("final_value"),
+    )

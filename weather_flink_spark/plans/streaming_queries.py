@@ -20,6 +20,7 @@ between batches and drops the late straggler.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 import uuid
@@ -281,6 +282,44 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("dev", "t_a", "t_b")
     with _small_state(spark):
         return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "s_file_sink_roundtrip",
+    doc=(
+        "Streaming file sink (the A5 sink family's file analog): the "
+        "decoded JSON-framed stream appended to a checkpointed parquet "
+        "sink directory, then read back in batch and aggregated per "
+        "device. Exactly-once for the file sink comes from the sink "
+        "manifest (_spark_metadata) + checkpoint, the same contract the "
+        "Kafka sink approximates with foreachBatch."
+    ),
+    tags=("streaming", "sink"),
+)
+def s_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _configure(spark)
+    out = os.path.join(tempfile.gettempdir(), f"wfs_stream_fsink_{os.getpid()}")
+    ckpt = out + "_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    with _small_state(spark):
+        stream = _json_stream(spark).select("deviceId", "event_time", "temperature")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 120
+        while q.isActive and time.time() < deadline:
+            q.awaitTermination(1)
+    back = spark.read.parquet(out)  # batch read honors the sink manifest
+    return back.groupBy("deviceId").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("temperature").cast("decimal(18,6)")).cast("double").alias("sum_temp"),
+    )
 
 
 @register(
