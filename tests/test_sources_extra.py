@@ -98,3 +98,30 @@ def test_cdc_merge_actions_partition_users(spark, sf_dir):
 def test_file_sink_roundtrip_counts(spark, sf_dir):
     rows = SPECS["s_file_sink_roundtrip"].fn(spark, sf_dir).collect()
     assert rows and all(r["n_events"] > 0 for r in rows)
+
+
+def test_kafka_payload_is_valid_json_with_key(spark, sf_dir):
+    import json
+
+    rows = SPECS["q_sink_kafka_payload"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:20]:
+        payload = json.loads(r["value"])
+        assert str(payload["event_id"]).isdigit() or isinstance(payload["event_id"], int)
+        assert payload["timestamp"] == r["record_ts"], "A4: payload carries the record ts"
+        assert r["key"] is not None
+
+
+def test_collect_bounded_arrays_sorted_capped(spark, sf_dir):
+    rows = SPECS["q_agg_collect_bounded"].fn(spark, sf_dir).collect()
+    for r in rows:
+        vals = r["smallest_values"]
+        assert 1 <= len(vals) <= 5
+        assert vals == sorted(vals)
+        assert r["n_events"] >= len(vals)
+
+
+def test_union_schema_evolution_nulls_only_for_old_writer(spark, sf_dir):
+    rows = {r["writer"]: r for r in SPECS["q_union_schema_evolution"].fn(spark, sf_dir).collect()}
+    assert rows["v1"]["n_with_priority"] == 0, "old writer lacks the field → all null"
+    assert rows["v2"]["n_with_priority"] == rows["v2"]["n_rows"], "new writer always has it"

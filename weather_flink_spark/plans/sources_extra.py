@@ -178,21 +178,76 @@ def q_sink_kafka_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Bounded ordered collection per group: the 5 smallest values per "
-        "event type as an array. The deliberate contrast with unbounded "
-        "collect_list: at 100 TB a per-group array must be bounded "
-        "(top-k slice) or the executor OOMs — the engine's rule is "
-        "collect only after an explicit bound."
+        "event type as an array. collect_list only ever sees rows that "
+        "survived a row_number() ≤ k rank filter, so per-group state is "
+        "bounded at k everywhere — never collect-then-slice, which "
+        "materializes the whole group and OOMs at 100 TB."
     ),
     tags=("agg", "collect"),
 )
 def q_agg_collect_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load(spark, sf_dir, "events")
-    # sort by (value, event_id) for a deterministic tie order, then
-    # project the value component — mirrors the oracle's ORDER BY
-    return e.groupBy("event_type").agg(
-        F.expr(
-            "transform(slice(array_sort(collect_list(struct(value, event_id))), 1, 5),"
-            " p -> p.value)"
-        ).alias("smallest_values"),
-        F.count("*").alias("n_events"),
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    top = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(value, event_id))), p -> p.value)"
+            ).alias("smallest_values")
+        )
+    )
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return top.join(counts, "event_type").select(
+        "event_type", "smallest_values", "n_events"
+    )
+
+
+@register(
+    "q_union_schema_evolution",
+    oracle="""
+        WITH evolved AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS writer
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS writer
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT writer, COUNT(*) AS n_rows,
+               COUNT(o_orderpriority) AS n_with_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM evolved GROUP BY writer
+    """,
+    doc=(
+        "Schema evolution in batch — the A2 resolving-decoder semantics "
+        "(writer→reader field matching by name, nulls for fields the "
+        "writer lacks; WeatherKafkaAvroDeserializerSchema.java:53) as "
+        "unionByName(allowMissingColumns=True) over an old-writer "
+        "projection and a new-writer projection of the same table. The "
+        "aggregate proves the missing column surfaced as null exactly "
+        "for old-writer rows."
+    ),
+    tags=("source", "schema-evolution"),
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    v1 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("writer", F.lit("v1"))
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("writer", F.lit("v2"))
+    )
+    evolved = v1.unionByName(v2, allowMissingColumns=True)
+    return evolved.groupBy("writer").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        dsum("o_totalprice", "sum_price"),
     )
