@@ -61,6 +61,21 @@ def test_retention_day_zero_covers_cohort(spark, sf_dir):
     assert day0 == n_users
 
 
+def test_time_range_window_brackets_counts(spark, sf_dir):
+    rows = SPECS["q_win_time_range"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_last_hour"] >= 1, "frame always includes the current row"
+
+
+def test_boolean_aggregates_consistent(spark, sf_dir):
+    rows = SPECS["q_agg_boolean"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["n_large"] <= r["n_events"]
+        if r["any_huge"]:
+            assert r["n_large"] > 0, "a >500 value is also >100"
+
+
 def test_latest_snapshot_one_row_per_user_at_max_ts(spark, sf_dir):
     snap = SPECS["q_latest_snapshot"].fn(spark, sf_dir)
     e = load(spark, sf_dir, "events")

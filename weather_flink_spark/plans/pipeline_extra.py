@@ -666,3 +666,73 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("d.event_type"), F.col("b.event_type")).alias("final_event_type"),
         F.coalesce(F.col("d.value"), F.col("b.value")).alias("final_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE window (moving 1-hour aggregate per key)
+# ---------------------------------------------------------------------------
+
+_TIME_RANGE_BODY = """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM {events}
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "q_win_time_range",
+    oracle=_TIME_RANGE_BODY.format(
+        events="(SELECT *, epoch(ts) AS epoch_s FROM events)"
+    ),
+    doc=(
+        "Time-interval RANGE frame: per-user trailing 1-hour event count "
+        "and decimal-exact value sum at every event. The frame bound is "
+        "value-based (epoch seconds), not row-based — the moving-window "
+        "shape rows-frames cannot express when event spacing is "
+        "irregular. One shuffle on the key; frame evaluation is a "
+        "single sorted pass per partition."
+    ),
+    tags=("window", "range", "events"),
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    e.createOrReplaceTempView("events_timerange_v")
+    return spark.sql(_TIME_RANGE_BODY.format(events="events_timerange_v"))
+
+
+# ---------------------------------------------------------------------------
+# Boolean / conditional aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_boolean",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE value > 100) AS n_large,
+               bool_and(value > 0) AS all_positive,
+               bool_or(value > 500) AS any_huge,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Boolean/conditional aggregate family: count_if, universal "
+        "(bool_and/every) and existential (bool_or/any) quantifiers per "
+        "group — all partial-aggregable, so the shuffle carries three "
+        "booleans and two longs per group regardless of input size."
+    ),
+    tags=("agg", "boolean"),
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_large"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 500).alias("any_huge"),
+        F.count("*").alias("n_events"),
+    )
