@@ -121,6 +121,20 @@ def test_collect_bounded_arrays_sorted_capped(spark, sf_dir):
         assert r["n_events"] >= len(vals)
 
 
+def test_badrecords_exact_split(spark, sf_dir):
+    row = SPECS["q_source_badrecords_tolerant"].fn(spark, sf_dir).first()
+    assert row["n_good"] == load(spark, sf_dir, "orders").count()
+    assert row["n_bad"] == 3
+
+
+def test_bigram_lm_probabilities_normalize(spark, sf_dir):
+    rows = SPECS["q_text_bigram_lm"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["cond_prob"] <= 1.0
+        assert r["c_bigram"] <= r["c_prefix"]
+
+
 def test_union_schema_evolution_nulls_only_for_old_writer(spark, sf_dir):
     rows = {r["writer"]: r for r in SPECS["q_union_schema_evolution"].fn(spark, sf_dir).collect()}
     assert rows["v1"]["n_with_priority"] == 0, "old writer lacks the field → all null"

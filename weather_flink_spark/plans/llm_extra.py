@@ -1072,9 +1072,9 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         " as bigint) % 100"
     )
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    from weather_flink_spark.plans.llm_pipeline import _shingle_table
+    from weather_flink_spark.plans.llm_pipeline import shingle_table
 
-    sh = _shingle_table(d)  # (doc_id, shingle_h28) — reused signature table
+    sh = shingle_table(spark, sf_dir)  # (doc_id, shingle_h28) — shared signature table
     assigned = (
         d.select("doc_id", split.alias("split"))
         .join(sh.select("doc_id", F.array_min("shingle_h28").alias("fp")), "doc_id")

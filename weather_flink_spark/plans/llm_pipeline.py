@@ -241,6 +241,37 @@ N_MINHASH = 8  # 4 bands × 2 rows
 N_BANDS = 4
 
 
+# Session-scoped signature-table cache: "write the signature table
+# once" made literal. Four registry entries (near-minhash, clusters,
+# leakage check, minhash accuracy) share the same persisted shingle and
+# band tables instead of each rebuilding them; keyed by applicationId
+# so a fresh SparkContext never sees another context's DataFrames.
+_SIG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIG_CACHE:
+        _SIG_CACHE[key] = build()
+    return _SIG_CACHE[key]
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, shingle_h28) signature table for ``sf_dir``."""
+    from weather_flink_spark.io import load as _load
+
+    return _cached(
+        "shingles", spark, sf_dir, lambda: _shingle_table(_load(spark, sf_dir, "documents"))
+    )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached exploded (doc_id, band_id, band_key) LSH band table."""
+    return _cached(
+        "bands", spark, sf_dir, lambda: _minhash_bands(shingle_table(spark, sf_dir))
+    )
+
+
 def _shingle_table(d: DataFrame) -> DataFrame:
     """(doc_id, shingle_h28): 28-bit shingle-hash sets, materialized once.
 
@@ -427,9 +458,8 @@ NEAR_DUP_PAIRS_SQL = f"""
     tags=("dedup", "lsh"),
 )
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    sh = _shingle_table(d)
-    bands = _minhash_bands(sh)
+    sh = shingle_table(spark, sf_dir)
+    bands = minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

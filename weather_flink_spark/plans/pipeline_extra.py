@@ -496,13 +496,12 @@ def _minhash_accuracy_sql() -> str:
 def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.llm_pipeline import (
         N_MINHASH,
-        _minhash_bands,
         _perm_value,
-        _shingle_table,
+        minhash_bands,
+        shingle_table,
     )
 
-    d = load(spark, sf_dir, "documents")
-    sh = _shingle_table(d)
+    sh = shingle_table(spark, sf_dir)
 
     def perm_min(i: int) -> F.Column:
         return F.array_min(
@@ -512,7 +511,7 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.select(
         "doc_id", *[perm_min(i).alias(f"mh{i}") for i in range(N_MINHASH)]
     ).persist()
-    bands = _minhash_bands(sh)
+    bands = minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

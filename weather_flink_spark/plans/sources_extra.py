@@ -251,3 +251,119 @@ def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         dsum("o_totalprice", "sum_price"),
     )
+
+
+N_BAD_RECORDS = 3
+
+
+@register(
+    "q_source_badrecords_tolerant",
+    oracle=f"""
+        SELECT COUNT(*) AS n_good, CAST({N_BAD_RECORDS} AS BIGINT) AS n_bad
+        FROM orders
+    """,
+    doc=(
+        "Poison-pill tolerance for batch sources — the A2 drop-on-error "
+        "semantics (WeatherKafkaAvroDeserializerSchema.java:65-67) on "
+        "the file path: orders as JSONL plus 3 injected garbage lines, "
+        "read in PERMISSIVE mode with a _corrupt_record capture column. "
+        "The scan must recover every good row exactly and quarantine "
+        "exactly the 3 bad ones — the stream-never-dies contract, "
+        "with accounting instead of silence."
+    ),
+    tags=("source", "json", "error-tolerance"),
+)
+def q_source_badrecords_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    src = load(spark, sf_dir, "orders")
+    out = _fmt_dir("badrec", sf_dir)
+    src.write.mode("overwrite").json(out)
+    bad_lines = ["not json at all {{{", '{"o_orderkey": "truncated', "\x00garbage\x01"]
+    with open(os.path.join(out, "part-bad.json"), "w") as f:
+        f.write("\n".join(bad_lines[:N_BAD_RECORDS]) + "\n")
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    # Spark forbids plans referencing ONLY the corrupt column
+    # (SQLSTATE 0A000); counting a data column alongside satisfies it —
+    # corrupt rows parse every data column as null, so count(o_orderkey)
+    # is exactly the good-row count
+    return back.agg(
+        F.count("o_orderkey").alias("n_good"),
+        F.count("_corrupt_record").alias("n_bad"),
+    )
+
+
+@register(
+    "q_text_bigram_lm",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tok
+            FROM documents
+        ),
+        big AS (
+            SELECT UNNEST(list_transform(range(1, len(tok)),
+                          i -> tok[i] || ' ' || tok[i + 1])) AS bigram
+            FROM tok
+        ),
+        bc AS (
+            SELECT bigram, COUNT(*) AS c_bigram FROM big GROUP BY bigram
+        ),
+        pc AS (
+            SELECT string_split(bigram, ' ')[1] AS prefix,
+                   SUM(c_bigram) AS c_prefix
+            FROM bc GROUP BY 1
+        )
+        SELECT bc.bigram, bc.c_bigram,
+               CAST(pc.c_prefix AS BIGINT) AS c_prefix,
+               CAST(bc.c_bigram AS DOUBLE) / pc.c_prefix AS cond_prob
+        FROM bc JOIN pc ON string_split(bc.bigram, ' ')[1] = pc.prefix
+        WHERE bc.c_bigram >= 20
+    """,
+    doc=(
+        "Bigram language-model table: corpus-wide bigram counts and the "
+        "conditional probability P(w2|w1) = c(w1 w2) / c(w1 ·), kept to "
+        "bigrams seen ≥ 20 times. Two partial-aggregated shuffles "
+        "(bigram, then prefix) and a broadcast-sized join back — the "
+        "n-gram statistics pass every LM data pipeline runs at corpus "
+        "scale."
+    ),
+    tags=("text", "ngram", "lm"),
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = F.expr("filter(split(text, ' '), t -> t <> '')")
+    bigrams = F.expr(
+        "IF(size(tok) >= 2,"
+        " transform(sequence(0, size(tok) - 2), i -> concat(tok[i], ' ', tok[i + 1])),"
+        " array())"
+    )
+    bc = (
+        d.select(tok.alias("tok"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_bigram"))
+        .persist()
+    )
+    prefix = F.split(F.col("bigram"), " ")[0]
+    pc = bc.groupBy(prefix.alias("prefix")).agg(
+        F.sum("c_bigram").cast("bigint").alias("c_prefix")
+    )
+    return (
+        bc.filter(F.col("c_bigram") >= 20)
+        .join(F.broadcast(pc), prefix == F.col("prefix"))
+        .select(
+            "bigram",
+            "c_bigram",
+            "c_prefix",
+            (F.col("c_bigram").cast("double") / F.col("c_prefix")).alias("cond_prob"),
+        )
+    )
