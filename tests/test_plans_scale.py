@@ -95,6 +95,33 @@ def test_no_row_python_udf_in_registered_plans(spark):
     assert not bad, f"row-Python UDF in: {bad}"
 
 
+def test_cross_join_broadcasts_no_shuffle(spark):
+    """dim × dim cartesian must broadcast the small side, never shuffle."""
+    plan = plan_of(spark, "q_join_cross")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_anomaly_stats_broadcast_back(spark):
+    """The tiny per-group moment table re-joins the fact via broadcast —
+    scoring must not shuffle the fact table."""
+    plan = plan_of(spark, "q_events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_prefix_join_broadcasts(spark):
+    plan = plan_of(spark, "q_text_bigram_lm")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sql_q3_pushes_segment_filter(spark):
+    """spark.sql text gets the same pushdown the DataFrame API gets."""
+    plan = plan_of(spark, "q_sql_tpch_q3")
+    assert "PushedFilters" in plan and "c_mktsegment" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_join_hints_are_respected(spark):
     """The engine's escape hatches work: explicit join-strategy hints
     override Catalyst's size-based choice (needed when statistics lie,
