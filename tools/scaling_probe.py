@@ -134,6 +134,31 @@ def main() -> None:
         "xN": timed(lambda: topk(scaled(emb, ["vec_id"], K, STRIDE))),
     }
 
+    def cdc_merge(e):
+        from pyspark.sql import Window
+
+        cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+        def latest(df):
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "ts", "event_type", "value")
+            )
+
+        base = latest(e.filter(F.col("ts") < cutoff)).alias("b")
+        delta = latest(e.filter(F.col("ts") >= cutoff)).alias("d")
+        return base.join(
+            delta, F.col("b.user_id") == F.col("d.user_id"), "full_outer"
+        ).count()
+
+    events = load(spark, args.sf, "events")
+    results["cdc_merge_upsert"] = {
+        "x1": timed(lambda: cdc_merge(events)),
+        "xN": timed(lambda: cdc_merge(scaled(events, ["user_id", "event_id"], K, STRIDE))),
+    }
+
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
     print(json.dumps({"copies": K, "sf": args.sf, "results": results}, indent=2))
