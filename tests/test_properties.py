@@ -139,3 +139,42 @@ def test_shingles_and_quality_on_edge_documents(spark):
         assert 0 <= r["n_sh"] <= max(r["n_tok"] - 2, 0)
     assert by_id[2]["n_sh"] == 0  # single token → no 3-shingles
     assert by_id[3]["n_sh"] == 1  # all-identical tokens → one distinct shingle
+
+
+def test_repetition_and_bigram_builders_total_on_edge_documents(spark):
+    """The q_text_repetition trigram builder and q_text_bigram_lm bigram
+    builder must be TOTAL: no out-of-bounds access on 0/1/2-token docs
+    (the exact trap hypothesis caught in the round-1 shingle builder)."""
+    from pyspark.sql import functions as F
+
+    docs = ["", " ", "one", "two words", "now three words", "a a", "a a a a"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    tok = F.expr("filter(split(text, ' '), t -> t <> '')")
+    tri_dups = F.expr(
+        "IF(size(tok) >= 3, size(tok) - 2 - size(array_distinct(transform("
+        " sequence(0, size(tok) - 3),"
+        " i -> concat(tok[i], ' ', tok[i + 1], ' ', tok[i + 2])))), 0)"
+    )
+    bigrams = F.expr(
+        "IF(size(tok) >= 2,"
+        " transform(sequence(0, size(tok) - 2), i -> concat(tok[i], ' ', tok[i + 1])),"
+        " array())"
+    )
+    out = (
+        df.select("doc_id", tok.alias("tok"))
+        .select(
+            "doc_id",
+            F.size("tok").alias("n"),
+            tri_dups.alias("n_dup_tri"),
+            F.size(bigrams).alias("n_big"),
+        )
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in out}
+    for r in out:
+        assert r["n_dup_tri"] >= 0
+        assert r["n_big"] == max(r["n"] - 1, 0)
+    assert by_id[5]["n_big"] == 1  # "a a" → one bigram
+    assert by_id[6]["n_dup_tri"] == 1  # "a a a a" → 2 identical trigrams → 1 dup
