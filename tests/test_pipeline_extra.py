@@ -76,6 +76,25 @@ def test_boolean_aggregates_consistent(spark, sf_dir):
             assert r["n_large"] > 0, "a >500 value is also >100"
 
 
+def test_string_agg_sorted_and_complete(spark, sf_dir):
+    rows = SPECS["q_agg_string"].fn(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "nation").count()
+    assert sum(r["n_nations"] for r in rows) == n_total
+    for r in rows:
+        parts = r["nations"].split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == r["n_nations"]
+
+
+def test_regex_extract_all_masks_consistently(spark, sf_dir):
+    rows = SPECS["q_string_regex_extract_all"].fn(spark, sf_dir).collect()
+    for r in rows[:50]:
+        total_digits = sum(len(run) for run in r["digit_runs"])
+        assert not any(ch.isdigit() for ch in r["masked"]), "every digit masked"
+        # '#' count = replaced digits + literal '#'s already in the name
+        assert r["masked"].count("#") >= total_digits
+
+
 def test_latest_snapshot_one_row_per_user_at_max_ts(spark, sf_dir):
     snap = SPECS["q_latest_snapshot"].fn(spark, sf_dir)
     e = load(spark, sf_dir, "events")

@@ -735,3 +735,66 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 500).alias("any_huge"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# String aggregation (LISTAGG) and regex-array extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_string",
+    oracle="""
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    doc=(
+        "LISTAGG/string_agg: nations per region as a deterministic "
+        "comma-joined sorted list. Safe only because the group is a "
+        "bounded dimension — the same ordered-concat over an unbounded "
+        "fact would be banned by the bounded-collect rule."
+    ),
+    tags=("agg", "string"),
+)
+def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "q_string_regex_extract_all",
+    oracle="""
+        SELECT c_custkey,
+               regexp_extract_all(c_name, '[0-9]+') AS digit_runs,
+               CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_runs,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+        FROM customer
+    """,
+    doc=(
+        "Array-returning regex family: every digit run extracted per "
+        "row (regexp_extract_all) plus global-replace masking — the "
+        "PII-scrub primitive pair. Pure map-side codegen expressions; "
+        "the oracle pins Java-vs-RE2 dialect agreement on the character "
+        "classes the engine permits."
+    ),
+    tags=("string", "regex"),
+)
+def q_string_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("regexp_extract_all(c_name, '[0-9]+', 0)").alias("digit_runs"),
+        F.size(F.expr("regexp_extract_all(c_name, '[0-9]+', 0)")).alias("n_runs"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+    )
