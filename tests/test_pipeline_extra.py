@@ -95,6 +95,12 @@ def test_regex_extract_all_masks_consistently(spark, sf_dir):
         assert r["masked"].count("#") >= total_digits
 
 
+def test_recursive_spine_covers_every_day(spark, sf_dir):
+    rows = SPECS["q_sql_recursive_cte"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30, "one row per spine day, including zero-event days"
+    assert sum(r["n_events"] for r in rows) == load(spark, sf_dir, "events").count()
+
+
 def test_latest_snapshot_one_row_per_user_at_max_ts(spark, sf_dir):
     snap = SPECS["q_latest_snapshot"].fn(spark, sf_dir)
     e = load(spark, sf_dir, "events")

@@ -798,3 +798,40 @@ def q_string_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("regexp_extract_all(c_name, '[0-9]+', 0)")).alias("n_runs"),
         F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# identical text runs on Spark 4.1 and DuckDB: a recursive calendar
+# spine left-joined against the fact so zero-event days still surface
+_RECURSIVE_BODY = """
+    WITH RECURSIVE days(d) AS (
+        SELECT DATE '2024-01-01'
+        UNION ALL
+        SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+        WHERE d < DATE '2024-01-30'
+    )
+    SELECT days.d AS day, COUNT(e.event_id) AS n_events
+    FROM days LEFT JOIN {events} e ON CAST(e.ts AS DATE) = days.d
+    GROUP BY days.d
+"""
+
+
+@register(
+    "q_sql_recursive_cte",
+    oracle=_RECURSIVE_BODY.format(events="events"),
+    doc=(
+        "Recursive CTE (WITH RECURSIVE, Spark 4): a 30-day calendar "
+        "spine generated recursively, left-joined to events so "
+        "zero-activity days appear with count 0 — the dense date "
+        "dimension pattern without any stored calendar table. The "
+        "recursion is driver-cheap (30 rows); the join/agg stay "
+        "distributed."
+    ),
+    tags=("sql", "recursive", "events"),
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_rec_v")
+    return spark.sql(_RECURSIVE_BODY.format(events="events_rec_v"))
