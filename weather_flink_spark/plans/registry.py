@@ -65,6 +65,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline_extra,
         sources_extra,
         events_queries,
+        timeseries_stats,
         streaming_queries,
     )
 
