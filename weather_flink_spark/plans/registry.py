@@ -62,6 +62,7 @@ def all_specs() -> dict[str, QuerySpec]:
         setops,
         llm_pipeline,
         llm_extra,
+        similarity_extra,
         pipeline_extra,
         sources_extra,
         events_queries,

@@ -326,3 +326,53 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("near_price_sum"),
         F.expr(f"count(*) {frame}").alias("near_price_n"),
     )
+
+
+@register(
+    "q_skyline_pareto",
+    oracle="""
+        WITH per_price AS (
+            SELECT p_retailprice, MAX(p_size) AS pmax
+            FROM part GROUP BY p_retailprice
+        ),
+        fronts AS (
+            SELECT p_retailprice, pmax,
+                   MAX(pmax) OVER (
+                       ORDER BY p_retailprice ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS max_size_cheaper
+            FROM per_price
+        )
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p JOIN fronts f ON p.p_retailprice = f.p_retailprice
+        WHERE NOT (COALESCE(f.max_size_cheaper >= p.p_size, FALSE)
+                   OR f.pmax > p.p_size)
+    """,
+    doc=(
+        "2-D Pareto skyline (minimize price, maximize size): a part is "
+        "on the frontier iff no part is both <= in price and >= in size "
+        "with one strict. Instead of the naive quadratic dominance "
+        "self-join, the plan reduces to per-price maxima + one running "
+        "max over the price-sorted fronts (O(n log n), a single window "
+        "pass over the distinct-price table) — a dominance test point i "
+        "only needs max(size) over strictly-cheaper prices and the max "
+        "at its own price. Survives scale-up: the per-price table is "
+        "the only shuffled state."
+    ),
+    tags=("analytics", "skyline"),
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("pmax"))
+    w = Window.orderBy(F.col("p_retailprice").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fronts = per_price.withColumn("max_size_cheaper", F.max("pmax").over(w))
+    dominated = F.coalesce(
+        F.col("max_size_cheaper") >= F.col("p_size"), F.lit(False)
+    ) | (F.col("pmax") > F.col("p_size"))
+    return (
+        p.join(fronts, "p_retailprice")
+        .filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

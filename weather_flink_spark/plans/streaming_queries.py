@@ -369,3 +369,92 @@ def s_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("rate", bool(saw_windows), bool(rows_counted))],
         "source string, saw_multiple_windows boolean, counted_rows boolean",
     )
+
+
+@register(
+    "s_foreachbatch_rollup",
+    doc=(
+        "Incremental rollup maintenance via foreachBatch: the JSON-"
+        "framed stream's per-device (count, decimal sum) aggregate in "
+        "update mode feeds a keyed parquet rollup table; each micro-"
+        "batch upserts only the devices it touched (update-mode rows "
+        "carry the full new aggregate per key, so merge = keyed "
+        "overwrite + untouched-row carry-over, swapped in atomically). "
+        "maxFilesPerTrigger=1 over two fixture files forces >=2 micro-"
+        "batches, so the maintenance is provably incremental. The "
+        "result re-derives the truth from a batch read of the same "
+        "fixture and flags per-device equality — the continuous-"
+        "aggregate contract (reference: windowed rollup sinks) without "
+        "recomputing history each batch."
+    ),
+    tags=("streaming", "sink", "incremental"),
+)
+def s_foreachbatch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _configure(spark)
+    fixture = _fixture_dir(spark, "json")
+    base = os.path.join(tempfile.gettempdir(), f"wfs_stream_rollup_{os.getpid()}")
+    rollup_dir = os.path.join(base, "rollup")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        updates = batch_df.persist()
+        if os.path.exists(rollup_dir):
+            current = sess.read.parquet(rollup_dir)
+            keep = current.join(updates.select("deviceId"), "deviceId", "left_anti")
+            merged = keep.unionByName(updates)
+        else:
+            merged = updates
+        tmp = rollup_dir + f".b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        updates.unpersist()
+        shutil.rmtree(rollup_dir, ignore_errors=True)
+        os.replace(tmp, rollup_dir)
+
+    with _small_state(spark):
+        raw = fx.read_value_stream(spark, fixture)
+        decoded = with_event_time(decode_framed_json(raw, known_magics=(0, 1)))
+        agg = decoded.groupBy("deviceId").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("temperature").cast("decimal(18,6)")).cast("double").alias("sum_temp"),
+        )
+        q = (
+            agg.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 120
+        while q.isActive and time.time() < deadline:
+            q.awaitTermination(1)
+
+    from pyspark.sql import types as T
+
+    batch_raw = spark.read.schema(
+        T.StructType([T.StructField("value", T.BinaryType())])
+    ).parquet(fixture)
+    truth = (
+        with_event_time(decode_framed_json(batch_raw, known_magics=(0, 1)))
+        .groupBy("deviceId")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.col("temperature").cast("decimal(18,6)")).cast("double").alias("sum_true"),
+        )
+    )
+    rolled = spark.read.parquet(rollup_dir)
+    return (
+        rolled.join(truth, "deviceId", "full")
+        .select(
+            "deviceId",
+            "n_events",
+            "sum_temp",
+            (
+                (F.col("n_events") == F.col("n_true"))
+                & (F.col("sum_temp") == F.col("sum_true"))
+            ).alias("matches_batch"),
+        )
+        .orderBy("deviceId")
+    )
