@@ -1,0 +1,78 @@
+"""Largest-Triangle-Three-Buckets (LTTB) series downsampling.
+
+LTTB (Steinarsson 2013, "Downsampling Time Series for Visual
+Representation") keeps the first and last point of a series and, for
+each of ``n_out - 2`` interior buckets, the point forming the largest
+triangle with the previously selected point and the average of the
+next bucket — the standard shape-preserving downsampler.
+
+Selection is sequential (each pick anchors the next triangle), so the
+kernel is per-series pandas inside ``applyInPandas``: Spark partitions
+by series key, Arrow moves each group once, and the O(n) scan runs in
+numpy. The distribution contract is "one series fits one executor" —
+the same contract every per-series stateful operator here uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+LTTB_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, sel_rank int"
+)
+
+
+def _lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> list[int]:
+    n = len(x)
+    if n_out >= n:
+        return list(range(n))
+    if n_out < 3:
+        return [0, n - 1]
+    # bucket boundaries over the interior points [1, n-1)
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    selected = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nxt_lo, nxt_hi = bounds[i + 1], (bounds[i + 2] if i + 2 < len(bounds) else n)
+        if nxt_hi <= nxt_lo:
+            nxt_lo, nxt_hi = n - 1, n
+        avg_x = float(x[nxt_lo:nxt_hi].mean())
+        avg_y = float(y[nxt_lo:nxt_hi].mean())
+        ax, ay = float(x[a]), float(y[a])
+        # twice the triangle area; ties resolved to the earliest point
+        areas = np.abs(
+            (ax - avg_x) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (avg_y - ay)
+        )
+        a = lo + int(np.argmax(areas))
+        selected.append(a)
+    selected.append(n - 1)
+    return selected
+
+
+def lttb(
+    events: DataFrame,
+    n_out: int = 12,
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Downsample each series to ``n_out`` shape-preserving points."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
+        x = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf[val_col].to_numpy(dtype=np.float64)
+        idx = _lttb_indices(x, y, n_out)
+        out = pdf.iloc[idx][[series_col, id_col, ts_col, val_col]].copy()
+        out["sel_rank"] = np.arange(len(idx), dtype=np.int32)
+        return out
+
+    return (
+        events.select(series_col, id_col, ts_col, val_col)
+        .groupBy(series_col)
+        .applyInPandas(kernel, schema=LTTB_SCHEMA)
+    )

@@ -1,0 +1,208 @@
+"""Wave-C analytics operators: full TPC-H Q5 through the SQL entry
+point, and fixed-point PageRank as the iterative-algorithm exemplar.
+
+PageRank's float summation is partition-order dependent, so the ranks
+here are 10^12-scale fixed-point BIGINTs: every operation (integer
+floor division by out-degree, damping as ``(85*s) div 100``, teleport
+as ``SCALE*0.15 div N``) is exact integer arithmetic that Spark and
+DuckDB compute identically, and the final double rank is a single
+division by 10^12 (both operands < 2^53 ⇒ one correctly-rounded IEEE
+divide). The Spark side unrolls the iterations into one declarative
+plan — Catalyst sees a 3-deep join/agg chain, not a driver loop over
+collected data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+
+_Q5_BODY = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM {customer} c
+    JOIN {orders} o   ON c.c_custkey = o.o_custkey
+    JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+    JOIN {nation} n   ON s.s_nationkey = n.n_nationkey
+    JOIN {region} r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+"""
+
+_Q5_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+
+
+@register(
+    "q_sql_tpch_q5",
+    oracle=_Q5_BODY.format(**{t: t for t in _Q5_TABLES}),
+    doc=(
+        "TPC-H Q5 (local supplier volume) through the SQL entry point: "
+        "a 6-way join with two selective dimension predicates, the "
+        "join-reordering stress test — Catalyst must route the "
+        "fact-fact join through the pruned dims. The co-nation "
+        "predicate (c_nationkey = s_nationkey) makes it a genuine "
+        "cyclic join graph, not a star. Decimal-exact revenue."
+    ),
+    tags=("sql", "join", "agg"),
+)
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = {}
+    for t in _Q5_TABLES:
+        v = f"{t}_q5_v"
+        load(spark, sf_dir, t).createOrReplaceTempView(v)
+        views[t] = v
+    return spark.sql(_Q5_BODY.format(**views))
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank (customer -> supplier purchase graph)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000_000  # 10^12 fixed-point rank units
+PR_ITERS = 3
+PR_SUPPLIER_OFFSET = 1_000_000  # custkey/suppkey id spaces overlap
+
+
+def _pagerank_oracle() -> str:
+    lines = [
+        f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS src,
+                   l.l_suppkey + {PR_SUPPLIER_OFFSET} AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        params AS (
+            SELECT COUNT(*) AS n,
+                   CAST({PR_SCALE} AS BIGINT) // COUNT(*) AS r_init,
+                   CAST({PR_SCALE} AS BIGINT) * 15 // 100 // COUNT(*) AS teleport
+            FROM nodes
+        ),
+        it0 AS (
+            SELECT node, (SELECT r_init FROM params) AS r FROM nodes
+        )"""
+    ]
+    for k in range(1, PR_ITERS + 1):
+        lines.append(
+            f""",
+        it{k} AS (
+            SELECT nd.node,
+                   (SELECT teleport FROM params)
+                   + (85 * COALESCE(s.s, 0)) // 100 AS r
+            FROM nodes nd
+            LEFT JOIN (
+                SELECT e.dst AS node, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS s
+                FROM edges e
+                JOIN it{k - 1} p ON p.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            ) s ON s.node = nd.node
+        )"""
+        )
+    lines.append(
+        f"""
+        SELECT node,
+               node >= {PR_SUPPLIER_OFFSET} AS is_supplier,
+               r AS rank_fp,
+               CAST(r AS DOUBLE) / {PR_SCALE} AS rank
+        FROM it{PR_ITERS}"""
+    )
+    return "".join(lines)
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        f"PageRank ({PR_ITERS} damped iterations, d=0.85) over the "
+        "customer->supplier purchase graph (distinct orders x lineitem "
+        "pairs; supplier ids offset to disjoint the node space). "
+        "Fixed-point 10^12 BIGINT arithmetic makes every iteration "
+        "engine-exact (see module doc); dangling suppliers leak their "
+        "mass, the standard simplification. The Spark plan is the "
+        "unrolled iteration chain: each step is one shuffle on dst "
+        "plus a broadcast-joined degree table — the same shape a "
+        "1000-executor Pregel-style job would run, with edges "
+        "partitioned by src."
+    ),
+    tags=("graph", "iterative"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + PR_SUPPLIER_OFFSET).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = nodes.count()
+    r_init = PR_SCALE // n
+    teleport = PR_SCALE * 15 // 100 // n
+
+    ranks = nodes.select("node", F.lit(r_init).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(F.broadcast(deg), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr("85 * coalesce(s, 0L) div 100")
+            ).alias("r"),
+        )
+    return ranks.select(
+        "node",
+        (F.col("node") >= PR_SUPPLIER_OFFSET).alias("is_supplier"),
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / PR_SCALE).alias("rank"),
+    )
+
+
+@register(
+    "q_events_lttb",
+    doc=(
+        "Largest-Triangle-Three-Buckets downsampling of each user's "
+        "gauge series to 12 points (operators/downsample.py): the "
+        "standard visual-fidelity downsampler. Selection is inherently "
+        "sequential per series (each pick anchors the next triangle), "
+        "so it runs as applyInPandas per user — series are the "
+        "partition unit, the same contract a 100 TB run would use "
+        "(one series' points fit one executor). Rows-only: the "
+        "sequential selection is not ANSI-SQL-expressible; semantics "
+        "are pinned by tests/test_downsample.py against a hand-"
+        "computed fixture."
+    ),
+    tags=("timeseries", "downsample", "pandas-udf"),
+)
+def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.downsample import lttb
+
+    return lttb(load(spark, sf_dir, "events"), n_out=12)

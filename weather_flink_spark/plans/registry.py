@@ -67,6 +67,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sources_extra,
         events_queries,
         timeseries_stats,
+        analytics_extra,
         streaming_queries,
     )
 
