@@ -141,3 +141,29 @@ def test_join_hints_are_respected(spark):
 
 def _plan_str(spark, df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_sql_q5_pushes_region_filter(spark):
+    plan = plan_of(spark, "q_sql_tpch_q5")
+    assert "EqualTo(r_name,ASIA)" in plan.replace(" ", "") or "r_name" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_is_single_agg_no_window_pass(spark):
+    # min_by/max_by keep open/close inside the hash aggregate — a
+    # window formulation would add a full per-bucket sort pass
+    plan = plan_of(spark, "q_events_ohlc")
+    assert "Window" not in plan
+    # struct-keyed min_by falls back to SortAggregate; still partial+final
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_pagerank_broadcasts_degree_table(spark):
+    plan = plan_of(spark, "q_graph_pagerank")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skyline_single_window_over_per_price(spark):
+    plan = plan_of(spark, "q_skyline_pareto")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

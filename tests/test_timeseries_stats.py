@@ -106,3 +106,32 @@ def test_timezones_dst_awareness(spark):
         F.hour(F.from_utc_timestamp("ts", "America/New_York")).alias("h")
     ).collect()
     assert [r.h for r in got] == [7, 8]
+
+
+def test_ewma_matches_pandas_recursion(spark):
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 20.0, 15.0, 30.0, 5.0, 25.0]
+    rows = [(1, i, base + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    with tempfile.TemporaryDirectory() as d:
+        df.select(
+            "event_id",
+            (F.unix_micros("ts") * 1000).alias("ts"),
+            "user_id",
+            F.lit("x").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        got = [
+            r.ewma10
+            for r in _by_name("q_win_ewma")(spark, d).orderBy("event_id").collect()
+        ]
+    # frame is 10 rows; the 6-point series fits, so this equals the full
+    # recursive EWMA: pandas ewm(alpha=0.3, adjust=False)
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().tolist()
+    assert got == pytest.approx(want, rel=1e-12)

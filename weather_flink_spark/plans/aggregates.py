@@ -290,3 +290,42 @@ def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event"), "n")
     )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+        SELECT event_type,
+               bit_and(k) AS k_and,
+               bit_or(k)  AS k_or,
+               bit_xor(k) AS k_xor,
+               COUNT(k) AS n
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        WHERE k IS NOT NULL
+        GROUP BY event_type
+    """,
+    doc=(
+        "Bitwise AND/OR/XOR aggregates over the JSON 'k' property per "
+        "event type — integer-exact on both engines, map-side "
+        "combinable (all three are commutative/associative)."
+    ),
+    tags=("aggregate", "bitwise"),
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.bit_and("k").alias("k_and"),
+            F.bit_or("k").alias("k_or"),
+            F.bit_xor("k").alias("k_xor"),
+            F.count("k").alias("n"),
+        )
+    )

@@ -174,3 +174,50 @@ def q_sim_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k_rank", F.row_number().over(w_rank))
         .filter(F.col("k_rank") <= IVF_TOP_K)
     )
+
+
+SEARCH_TERMS = ("scan", "merge")
+
+
+@register(
+    "q_text_search_boolean",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(len(list_filter(tok, x -> x = '{SEARCH_TERMS[0]}')) AS BIGINT)
+                   AS tf_{SEARCH_TERMS[0]},
+               CAST(len(list_filter(tok, x -> x = '{SEARCH_TERMS[1]}')) AS BIGINT)
+                   AS tf_{SEARCH_TERMS[1]}
+        FROM t
+        WHERE len(list_filter(tok, x -> x = '{SEARCH_TERMS[0]}')) > 0
+          AND len(list_filter(tok, x -> x = '{SEARCH_TERMS[1]}')) > 0
+    """,
+    doc=(
+        "Boolean AND keyword search through an inverted index: tokens "
+        "explode to (term, doc_id) postings, the query terms' posting "
+        "lists aggregate per doc with conditional term-frequency "
+        "counts, and the AND filters to docs matching every term. At "
+        "scale the postings table is the reusable index (partitioned "
+        "by term, term-selective scans); the oracle states the same "
+        "result as per-doc list filters."
+    ),
+    tags=("text", "search"),
+)
+def q_text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*SEARCH_TERMS))
+    hits = (
+        postings.groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{t}")
+                for t in SEARCH_TERMS
+            ]
+        )
+        .filter((F.col(f"tf_{SEARCH_TERMS[0]}") > 0) & (F.col(f"tf_{SEARCH_TERMS[1]}") > 0))
+    )
+    return hits

@@ -343,3 +343,117 @@ def q_time_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(ny).alias("ny_hour"),
         (F.hour(ny) != est).alias("ny_is_dst"),
     )
+
+
+@register(
+    "q_win_ewma",
+    oracle="""
+        WITH framed AS (
+            SELECT user_id, event_id, ts, value,
+                   LIST(value) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                   ) AS els
+            FROM events
+        )
+        SELECT user_id, event_id, ts, value,
+               list_reduce(els, (acc, v) -> 0.3 * v + 0.7 * acc) AS ewma10
+        FROM framed
+    """,
+    doc=(
+        "Exponentially-weighted moving average (alpha=0.3) over the "
+        "last 10 observations per user. EWMA is recursive, which SQL "
+        "windows can't express directly — both engines fold the frame-"
+        "collected list sequentially (Spark aggregate() seeded with the "
+        "first element == DuckDB list_reduce), so the recursion runs as "
+        "a bounded higher-order expression, JVM-side, bit-identical "
+        "float order on both engines."
+    ),
+    tags=("window", "timeseries"),
+)
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w10 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    els = F.collect_list("value").over(w10)
+    ewma = F.aggregate(
+        F.slice(els, 2, F.size(els) - 1),
+        F.element_at(els, 1),
+        lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
+    )
+    return e.select("user_id", "event_id", "ts", "value", ewma.alias("ewma10"))
+
+
+@register(
+    "q_win_rolling_corr",
+    oracle="""
+        WITH base AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        moments AS (
+            SELECT user_id, event_id, ts, value, k,
+                   COUNT(*) OVER w AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+                   CAST(SUM(k) OVER w AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(k AS DECIMAL(18,0)))
+                        OVER w AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                        OVER w AS DOUBLE) AS sxx,
+                   CAST(SUM(k * k) OVER w AS DOUBLE) AS syy
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id, ts, n,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN (n * sxy - sx * sy)
+                         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+               END AS roll_corr20
+        FROM moments
+    """,
+    doc=(
+        "Rolling Pearson correlation (value vs the JSON 'k' prop, last "
+        "20 rows per user). Naive windowed corr() drifts between "
+        "engines (different accumulation orders); here the five moment "
+        "sums are decimal-exact over the frame, and the correlation is "
+        "one deterministic double expression over those exact sums — "
+        "degenerate frames (zero variance) return NULL on both sides. "
+        "The raw decimal ints stay under 2^53 so every decimal->double "
+        "cast single-rounds."
+    ),
+    tags=("window", "timeseries", "stats"),
+)
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    base = e.select("user_id", "event_id", "ts", "value", k.alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-19, 0)
+    )
+    vdec = F.col("value").cast("decimal(18,2)")
+    kdec = F.col("k").cast("decimal(18,0)")
+    n = F.count("*").over(w)
+    sx = F.sum(vdec).over(w).cast("double")
+    sy = F.sum("k").over(w).cast("double")
+    sxy = F.sum(vdec * kdec).over(w).cast("double")
+    sxx = F.sum(vdec * vdec).over(w).cast("double")
+    syy = F.sum(F.col("k") * F.col("k")).over(w).cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        (n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
+    )
+    return base.select(
+        "user_id", "event_id", "ts", n.alias("n"), corr.alias("roll_corr20")
+    )

@@ -192,3 +192,58 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_in_nation"),
         F.last("c_custkey").over(w_full).alias("poorest_in_nation"),
     )
+
+
+@register(
+    "q_win_ignore_nulls",
+    oracle="""
+        WITH sparse AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        )
+        SELECT user_id, event_id, ts, v,
+               LAG(v IGNORE NULLS) OVER w AS last_observed,
+               LEAD(v IGNORE NULLS) OVER w AS next_observed,
+               nth_value(v, 2 IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_observed
+        FROM sparse
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc=(
+        "IGNORE NULLS navigation over a sparsified gauge (every third "
+        "observation nulled): lag/lead skip the gaps (the LOCF / "
+        "next-observation-carried-backward primitives) and nth_value "
+        "picks the second real observation of the series. Same window "
+        "sort as any lag/lead — null-skipping is frame-local state."
+    ),
+    tags=("window", "nulls"),
+)
+def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sparse = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return sparse.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "v",
+        # PySpark's lag/lead helpers lack the ignoreNulls arg; SQL has it
+        F.expr(
+            "lag(v) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"
+        ).alias("last_observed"),
+        F.expr(
+            "lead(v) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"
+        ).alias("next_observed"),
+        F.nth_value("v", 2, ignoreNulls=True).over(w_full).alias("second_observed"),
+    )
