@@ -206,3 +206,81 @@ def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.operators.downsample import lttb
 
     return lttb(load(spark, sf_dir, "events"), n_out=12)
+
+
+# ---------------------------------------------------------------------------
+# geo: station distance matrix + nearest station (haversine)
+# ---------------------------------------------------------------------------
+
+_HAV_DUCK = """6371.0 * 2 * asin(sqrt(
+    sin(radians({lat2} - {lat1})/2) * sin(radians({lat2} - {lat1})/2)
+    + cos(radians({lat1})) * cos(radians({lat2}))
+      * (sin(radians({lon2} - {lon1})/2) * sin(radians({lon2} - {lon1})/2))))"""
+
+_STATION_DUCK = """
+    SELECT n_nationkey AS station_id,
+           (n_nationkey * 7 % 140) - 70 + 0.5   AS lat,
+           (n_nationkey * 37 % 360) - 180 + 0.25 AS lon
+    FROM nation
+"""
+
+
+@register(
+    "q_geo_station_distance",
+    oracle=f"""
+        WITH station AS ({_STATION_DUCK}),
+        pairs AS (
+            SELECT a.station_id AS station_a, b.station_id AS station_b,
+                   ROUND({_HAV_DUCK.format(lat1='a.lat', lon1='a.lon',
+                                           lat2='b.lat', lon2='b.lon')}, 6)
+                       AS dist_km
+            FROM station a JOIN station b ON a.station_id <> b.station_id
+        )
+        SELECT station_a, station_b, dist_km,
+               (ROW_NUMBER() OVER (
+                   PARTITION BY station_a
+                   ORDER BY dist_km ASC, station_b ASC) = 1) AS is_nearest
+        FROM pairs
+    """,
+    doc=(
+        "Weather-station geo analytics: pairwise haversine distance "
+        "matrix over synthetic station coordinates (derived "
+        "deterministically from nation keys) plus nearest-station "
+        "flags. Pure trig expressions, codegen-friendly (functions/"
+        "udf_surface.haversine_km is the reusable column builder); "
+        "the asin-form haversine avoids atan2/pow, whose last-ulp "
+        "behavior differs between JVM and libm — distances are rounded "
+        "to 6 dp (mm-scale) for cross-engine comparison. At scale this "
+        "is dim x dim; a point-to-station assignment would broadcast "
+        "the station table."
+    ),
+    tags=("geo", "analytics"),
+)
+def q_geo_station_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    station = n.select(
+        F.col("n_nationkey").alias("station_id"),
+        ((F.col("n_nationkey") * 7 % 140) - 70 + 0.5).alias("lat"),
+        ((F.col("n_nationkey") * 37 % 360) - 180 + 0.25).alias("lon"),
+    )
+    a = station.alias("a")
+    b = station.alias("b")
+    s_dlat = F.sin(F.radians(F.col("b.lat") - F.col("a.lat")) / 2)
+    s_dlon = F.sin(F.radians(F.col("b.lon") - F.col("a.lon")) / 2)
+    h = s_dlat * s_dlat + F.cos(F.radians(F.col("a.lat"))) * F.cos(
+        F.radians(F.col("b.lat"))
+    ) * (s_dlon * s_dlon)
+    dist = F.round(F.lit(6371.0) * 2 * F.asin(F.sqrt(h)), 6)
+    pairs = a.join(
+        F.broadcast(b), F.col("a.station_id") != F.col("b.station_id")
+    ).select(
+        F.col("a.station_id").alias("station_a"),
+        F.col("b.station_id").alias("station_b"),
+        dist.alias("dist_km"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("station_a").orderBy(F.col("dist_km").asc(), F.col("station_b").asc())
+    return pairs.select(
+        "station_a", "station_b", "dist_km", (F.row_number().over(w) == 1).alias("is_nearest")
+    )

@@ -457,3 +457,56 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "user_id", "event_id", "ts", n.alias("n"), corr.alias("roll_corr20")
     )
+
+
+@register(
+    "q_events_seasonality",
+    oracle="""
+        WITH profile AS (
+            SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value) AS expected,
+                   COUNT(*) AS n_in_cell
+            FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(EXTRACT(hour FROM e.ts) AS INT) AS hod,
+               e.value, p.expected, p.n_in_cell,
+               e.value - p.expected AS residual
+        FROM events e
+        JOIN profile p
+          ON p.event_type = e.event_type
+         AND p.hod = CAST(EXTRACT(hour FROM e.ts) AS INT)
+    """,
+    doc=(
+        "Diurnal seasonality decomposition: the (event_type, hour-of-"
+        "day) mean profile (decimal-exact), joined back to score every "
+        "observation's residual against its seasonal expectation — the "
+        "de-seasonalized anomaly input. The profile is a tiny "
+        "broadcastable aggregate (types x 24 cells) regardless of fact "
+        "size, so the join adds no shuffle at any scale."
+    ),
+    tags=("timeseries", "stats"),
+)
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hod = F.hour("ts").alias("hod")
+    profile = e.groupBy("event_type", hod).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value")).alias(
+            "expected"
+        ),
+        F.count("*").alias("n_in_cell"),
+    )
+    return (
+        e.select("event_id", "event_type", hod, "value")
+        .join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            "expected",
+            "n_in_cell",
+            (F.col("value") - F.col("expected")).alias("residual"),
+        )
+    )
