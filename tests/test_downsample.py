@@ -62,3 +62,41 @@ def test_pagerank_mass_and_floor(spark, sf_dir):
     # customers have no in-edges: their rank is exactly the teleport floor
     cust = [r for r in rows if not r.is_supplier]
     assert cust and all(r.rank_fp == teleport for r in cust)
+
+
+def test_holt_matches_hand_recursion(spark):
+    import datetime as dt
+
+    import pytest
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 13.0, 15.0, 14.0]
+    rows = [(1, i, base + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    from weather_flink_spark.operators.downsample import holt_forecast
+
+    out = holt_forecast(df).collect()
+    assert len(out) == 1
+    a, b_ = 0.5, 0.3
+    s, b = vals[0], vals[1] - vals[0]
+    for x in vals[1:]:
+        sp = s
+        s = a * x + (1 - a) * (s + b)
+        b = b_ * (s - sp) + (1 - b_) * b
+    r = out[0]
+    assert r.n_obs == 5
+    assert r.level == pytest.approx(s, rel=1e-12)
+    assert r.trend == pytest.approx(b, rel=1e-12)
+    assert r.forecast_next == pytest.approx(s + b, rel=1e-12)
+
+
+def test_holt_drops_singleton_series(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(9, 1, dt.datetime(2024, 1, 1), 5.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    from weather_flink_spark.operators.downsample import holt_forecast
+
+    assert holt_forecast(df).count() == 0

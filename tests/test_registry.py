@@ -24,13 +24,15 @@ def test_oracle_coverage():
     # (bounds asserted in unit tests); q_sim_cosine_topk_arrow: BLAS
     # float order differs from the oracle's sequential fold — its
     # equivalence is pinned by tests/test_vector_search.py instead;
-    # q_events_lttb: sequential per-series selection is not ANSI-SQL-
-    # expressible — pinned by tests/test_downsample.py
+    # q_events_lttb / q_events_holt_forecast: sequential per-series
+    # recursions are not ANSI-SQL-expressible — pinned by
+    # tests/test_downsample.py
     assert no_oracle <= {
         "q_agg_approx",
         "q_agg_approx_quantile",
         "q_sim_cosine_topk_arrow",
         "q_events_lttb",
+        "q_events_holt_forecast",
     }, f"unexpected oracle-less queries: {no_oracle}"
 
 

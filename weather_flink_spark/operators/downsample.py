@@ -76,3 +76,52 @@ def lttb(
         .groupBy(series_col)
         .applyInPandas(kernel, schema=LTTB_SCHEMA)
     )
+
+
+HOLT_SCHEMA = "user_id long, n_obs long, level double, trend double, forecast_next double"
+
+
+def holt_forecast(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per series.
+
+    The recursion (s_t, b_t depend on s_{t-1}, b_{t-1}) is sequential,
+    so like :func:`lttb` it runs per-series in ``applyInPandas``.
+    Series with fewer than 2 points are dropped (no trend defined).
+    Returns the final state and the one-step-ahead forecast.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
+        y = pdf[val_col].to_numpy(dtype=np.float64)
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "n_obs", "level", "trend", "forecast_next"]
+            )
+        s, b = y[0], y[1] - y[0]
+        for x in y[1:]:
+            s_prev = s
+            s = alpha * x + (1 - alpha) * (s + b)
+            b = beta * (s - s_prev) + (1 - beta) * b
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf[series_col].iloc[0])],
+                "n_obs": [len(y)],
+                "level": [s],
+                "trend": [b],
+                "forecast_next": [s + b],
+            }
+        )
+
+    return (
+        events.select(series_col, id_col, ts_col, val_col)
+        .groupBy(series_col)
+        .applyInPandas(kernel, schema=HOLT_SCHEMA)
+    )

@@ -284,3 +284,118 @@ def q_geo_station_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "station_a", "station_b", "dist_km", (F.row_number().over(w) == 1).alias("is_nearest")
     )
+
+
+_POINT_DUCK = """
+    SELECT user_id AS point_id,
+           (user_id * 13 % 160) - 80 + 0.5   AS lat,
+           (user_id * 101 % 360) - 180 + 0.25 AS lon
+    FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+GRID_DEG = 30  # cell size; the search radius the operator guarantees
+
+
+@register(
+    "q_geo_grid_join",
+    oracle=f"""
+        WITH station AS ({_STATION_DUCK}),
+        point AS ({_POINT_DUCK}),
+        st_cells AS (
+            SELECT station_id, lat AS s_lat, lon AS s_lon,
+                   CAST(FLOOR(lat / {GRID_DEG}) AS BIGINT) AS cy,
+                   CAST(FLOOR(lon / {GRID_DEG}) AS BIGINT) AS cx
+            FROM station
+        ),
+        cand AS (
+            SELECT p.point_id, p.lat, p.lon, s.station_id,
+                   ROUND({_HAV_DUCK.format(lat1='p.lat', lon1='p.lon',
+                                           lat2='s.s_lat', lon2='s.s_lon')}, 6)
+                       AS dist_km
+            FROM point p
+            JOIN st_cells s
+              ON s.cy BETWEEN CAST(FLOOR(p.lat / {GRID_DEG}) AS BIGINT) - 1
+                          AND CAST(FLOOR(p.lat / {GRID_DEG}) AS BIGINT) + 1
+             AND s.cx BETWEEN CAST(FLOOR(p.lon / {GRID_DEG}) AS BIGINT) - 1
+                          AND CAST(FLOOR(p.lon / {GRID_DEG}) AS BIGINT) + 1
+        )
+        SELECT point_id, lat, lon, station_id, dist_km
+        FROM cand
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY point_id ORDER BY dist_km ASC, station_id ASC) = 1
+    """,
+    doc=(
+        "Grid-blocked spatial nearest-station join: points and stations "
+        "bucket into 30-degree cells; each point only compares against "
+        "stations in its 3x3 cell neighborhood, then takes the nearest "
+        "by haversine. This is the scalable alternative to the all-"
+        "pairs distance matrix: candidate count is bounded by local "
+        "station density, not total station count, and the join is an "
+        "equi-join on cell ids (expanded to the 9 neighbors), so it "
+        "shuffles on cell — no cross product at any scale. Contract: "
+        "nearest within the neighborhood (cell size >= search radius); "
+        "points with no station within the neighborhood drop out."
+    ),
+    tags=("geo", "join", "blocking"),
+)
+def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    n = load(spark, sf_dir, "nation")
+    station = n.select(
+        F.col("n_nationkey").alias("station_id"),
+        ((F.col("n_nationkey") * 7 % 140) - 70 + 0.5).alias("s_lat"),
+        ((F.col("n_nationkey") * 37 % 360) - 180 + 0.25).alias("s_lon"),
+    )
+    point = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("point_id"),
+            ((F.col("user_id") * 13 % 160) - 80 + 0.5).alias("lat"),
+            ((F.col("user_id") * 101 % 360) - 180 + 0.25).alias("lon"),
+        )
+    )
+    # stations replicate into their cell + expansion happens point-side:
+    # the join key is the station's exact cell vs the point's 3x3 range
+    st_cells = station.select(
+        "station_id",
+        "s_lat",
+        "s_lon",
+        F.floor(F.col("s_lat") / GRID_DEG).alias("cy"),
+        F.floor(F.col("s_lon") / GRID_DEG).alias("cx"),
+    )
+    p_cy = F.floor(F.col("lat") / GRID_DEG)
+    p_cx = F.floor(F.col("lon") / GRID_DEG)
+    s_dlat = F.sin(F.radians(F.col("s_lat") - F.col("lat")) / 2)
+    s_dlon = F.sin(F.radians(F.col("s_lon") - F.col("lon")) / 2)
+    h = s_dlat * s_dlat + F.cos(F.radians(F.col("lat"))) * F.cos(
+        F.radians(F.col("s_lat"))
+    ) * (s_dlon * s_dlon)
+    dist = F.round(F.lit(6371.0) * 2 * F.asin(F.sqrt(h)), 6)
+    cand = point.join(
+        F.broadcast(st_cells),
+        (F.col("cy").between(p_cy - 1, p_cy + 1))
+        & (F.col("cx").between(p_cx - 1, p_cx + 1)),
+    ).select("point_id", "lat", "lon", "station_id", dist.alias("dist_km"))
+    w = W.partitionBy("point_id").orderBy(F.col("dist_km").asc(), F.col("station_id").asc())
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "q_events_holt_forecast",
+    doc=(
+        "Holt double-exponential smoothing (alpha=0.5, beta=0.3) per "
+        "user series with a one-step-ahead forecast "
+        "(operators/downsample.holt_forecast). Sequential recursion "
+        "over each series -> applyInPandas per user, the same "
+        "distribution contract as q_events_lttb. Rows-only: pinned by "
+        "tests/test_downsample.py against a hand-computed recursion."
+    ),
+    tags=("timeseries", "forecast", "pandas-udf"),
+)
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.downsample import holt_forecast
+
+    return holt_forecast(load(spark, sf_dir, "events"))

@@ -63,6 +63,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_pipeline,
         llm_extra,
         similarity_extra,
+        corpus_extra,
         pipeline_extra,
         sources_extra,
         events_queries,
