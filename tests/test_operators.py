@@ -167,3 +167,16 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     ).first()
     # default HLL rsd is 5%; allow 2 sigma
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.10
+
+
+def test_hll_mergeable_rollup_error_bound(spark, sf_dir):
+    from weather_flink_spark.plans.registry import all_specs
+
+    rows = all_specs()["q_agg_hll_mergeable"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.within_5pct for r in rows)
+    # deterministic: the sketch estimate is a pure function of the data
+    rows2 = all_specs()["q_agg_hll_mergeable"].fn(spark, sf_dir).collect()
+    assert sorted((r.event_type, r.est_users) for r in rows) == sorted(
+        (r.event_type, r.est_users) for r in rows2
+    )

@@ -33,6 +33,7 @@ def test_oracle_coverage():
         "q_sim_cosine_topk_arrow",
         "q_events_lttb",
         "q_events_holt_forecast",
+        "q_agg_hll_mergeable",
     }, f"unexpected oracle-less queries: {no_oracle}"
 
 

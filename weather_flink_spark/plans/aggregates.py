@@ -329,3 +329,52 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n"),
         )
     )
+
+
+@register(
+    "q_agg_hll_mergeable",
+    doc=(
+        "Mergeable HyperLogLog rollup — the continuous-aggregate scale "
+        "pattern: per-(event_type, day) HLL sketches of the user set "
+        "(the only state a daily rollup job persists), merged upward "
+        "with hll_union_agg for the per-type total, next to the exact "
+        "countDistinct for error accounting. The sketch table is "
+        "O(groups x sketch_size) and re-mergeable to any coarser "
+        "grain without touching raw data — countDistinct is not. "
+        "Rows-only: sketch estimates have no DuckDB twin; the "
+        "within_5pct invariant and re-merge determinism are asserted "
+        "in tests/test_operators.py."
+    ),
+    tags=("aggregate", "sketch", "rollup"),
+)
+def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count("*").alias("n_days"),
+        )
+        .join(
+            e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users")),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "est_users",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+            ).alias("rel_err"),
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+    )

@@ -323,3 +323,122 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(o, c, "o_custkey", "c_custkey", "orders->customer"))
         .unionByName(orphans(c, F.broadcast(n), "c_nationkey", "n_nationkey", "customer->nation"))
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+        SELECT
+            e.event_id,
+            e.user_id,
+            e.ts,
+            o.o_orderkey AS next_order_key,
+            o.o_orderdate AS next_order_date,
+            o.o_totalprice AS next_order_price
+        FROM events e
+        LEFT JOIN LATERAL (
+            SELECT od.o_orderkey, od.o_orderdate, od.o_totalprice
+            FROM orders od
+            WHERE od.o_custkey % 15 = e.user_id AND od.o_orderdate >= e.ts
+            ORDER BY od.o_orderdate ASC, od.o_orderkey ASC
+            LIMIT 1
+        ) o ON TRUE
+    """,
+    doc=(
+        "Forward as-of join: earliest order at-or-after each event, per "
+        "user — the symmetric twin of q_join_asof, same union + "
+        "partition-window shape but with a following frame and "
+        "first(ignore nulls). Probe rows sort before build rows on "
+        "timestamp ties so an order at exactly the event time is "
+        "matched (at-or-after inclusive). One shuffle + one sort."
+    ),
+    tags=("join", "asof"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn("user_id", F.col("o_custkey") % 15)
+    e = load(spark, sf_dir, "events")
+
+    probe = e.select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(0).alias("_side"),  # probe first on ties -> inclusive match
+        F.lit(None).cast("long").alias("_o_key"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("_o_date"),
+        F.lit(None).cast("double").alias("_o_price"),
+    )
+    build = o.select(
+        "user_id",
+        F.col("o_orderdate").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.col("o_orderkey").alias("_o_key"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_orderdate").alias("_o_date"),
+        F.col("o_totalprice").alias("_o_price"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_o_key").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    joined = (
+        probe.unionByName(build)
+        .withColumn("next_order_key", F.first("_o_key", ignorenulls=True).over(w))
+        .withColumn("next_order_date", F.first("_o_date", ignorenulls=True).over(w))
+        .withColumn("next_order_price", F.first("_o_price", ignorenulls=True).over(w))
+    )
+    return joined.filter(F.col("_side") == 0).select(
+        "event_id", "user_id", "ts", "next_order_key", "next_order_date", "next_order_price"
+    )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+        WITH a AS (
+            SELECT n_nationkey, n_name,
+                   CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS k
+            FROM nation
+        ),
+        b AS (
+            SELECT r_regionkey, r_name,
+                   CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END AS k
+            FROM region
+        )
+        SELECT a.n_nationkey, a.n_name, b.r_name,
+               (a.k IS NULL) AS matched_on_null
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc=(
+        "Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+        "keys match each other instead of vanishing — the semantics a "
+        "changelog join needs when the key itself can be legitimately "
+        "absent. Both sides null out region 0 to prove the NULL=NULL "
+        "match path alongside ordinary matches."
+    ),
+    tags=("join", "nulls"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    a = n.select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_regionkey") == 0, None).otherwise(F.col("n_regionkey")).alias("k"),
+    )
+    b = r.select(
+        "r_regionkey",
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, None).otherwise(F.col("r_regionkey")).alias("k"),
+    )
+    return (
+        a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"]))
+        .select(
+            "n_nationkey",
+            "n_name",
+            "r_name",
+            a["k"].isNull().alias("matched_on_null"),
+        )
+    )
