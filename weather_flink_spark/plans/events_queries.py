@@ -269,3 +269,34 @@ def q_events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_filled"),
     )
+
+
+@register(
+    "q_json_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_high,
+               json_extract_string(props, '$.missing') AS absent
+        FROM events
+    """,
+    doc=(
+        "Spark 4 VARIANT ingestion: parse_json once into a variant "
+        "value, then typed variant_get extractions — the "
+        "semi-structured path that keeps the parsed tree in a binary "
+        "columnar encoding instead of re-parsing JSON text per field "
+        "(the at-scale advantage over get_json_object on wide "
+        "extraction lists). Missing paths yield NULL."
+    ),
+    tags=("json", "variant"),
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        (k > 50).alias("k_high"),
+        F.variant_get(v, "$.missing", "string").alias("absent"),
+    )

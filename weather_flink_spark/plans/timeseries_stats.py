@@ -510,3 +510,60 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.col("expected")).alias("residual"),
         )
     )
+
+
+@register(
+    "q_events_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS absdev
+            FROM events e JOIN med m ON m.event_type = e.event_type
+        ),
+        mad AS (
+            SELECT event_type, median(absdev) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+               (abs(d.value - d.med) > 3 * 1.4826 * m.mad) AS is_outlier
+        FROM dev d JOIN mad m ON m.event_type = d.event_type
+    """,
+    doc=(
+        "Robust outlier detection via median absolute deviation: per-"
+        "type median, then the median of absolute deviations, flagging "
+        "|x - med| > 3 * 1.4826 * MAD — immune to the outliers that "
+        "inflate the z-score variant's own stddev "
+        "(q_events_anomaly_zscore). Two grouped exact-median passes "
+        "(both engines interpolate identically), stats broadcast back; "
+        "per-row double arithmetic is deterministic."
+    ),
+    tags=("timeseries", "stats", "anomaly"),
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("absdev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            (F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")).alias(
+                "is_outlier"
+            ),
+        )
+    )
