@@ -247,3 +247,45 @@ def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("next_observed"),
         F.nth_value("v", 2, ignoreNulls=True).over(w_full).alias("second_observed"),
     )
+
+
+@register(
+    "q_win_ratio_to_report",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               o_totalprice
+               / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                      OVER (PARTITION BY o_custkey) AS DOUBLE)
+                   AS share_of_customer,
+               o_totalprice
+               / CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders)
+                      AS DOUBLE) AS share_of_total
+        FROM orders
+    """,
+    doc=(
+        "Ratio-to-report: each order's share of its customer's spend "
+        "(frameless partition window) and of global spend (scalar "
+        "aggregate broadcast). Denominators are decimal-exact sums "
+        "surfaced as double, so the per-row division is deterministic "
+        "on both engines. The global share costs one tiny scalar "
+        "subquery, not a partitionless window over the fact table."
+    ),
+    tags=("window", "ratio"),
+)
+def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    w_cust = Window.partitionBy("o_custkey")
+    total = o.agg(F.sum(dec).cast("double").alias("grand_total"))
+    return (
+        o.join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice") / F.sum(dec).over(w_cust).cast("double")).alias(
+                "share_of_customer"
+            ),
+            (F.col("o_totalprice") / F.col("grand_total")).alias("share_of_total"),
+        )
+    )
