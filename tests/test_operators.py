@@ -180,3 +180,19 @@ def test_hll_mergeable_rollup_error_bound(spark, sf_dir):
     assert sorted((r.event_type, r.est_users) for r in rows) == sorted(
         (r.event_type, r.est_users) for r in rows2
     )
+
+
+def test_geohash8_known_values(spark):
+    from weather_flink_spark.functions.geo import geohash8
+
+    pts = [
+        (57.64911, 10.40744, "u4pruydq"),  # geohash.org reference point
+        (-25.382708, -49.265506, "6gkzwgjz"),
+        (0.0, 0.0, "s0000000"),
+        (90.0, 180.0, "zzzzzzzz"),  # clamp at the top corner
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _ in pts], "lat double, lon double"
+    )
+    got = [r["gh"] for r in df.select(geohash8(F.col("lat"), F.col("lon")).alias("gh")).collect()]
+    assert got == [gh for _, _, gh in pts]

@@ -399,3 +399,83 @@ def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.operators.downsample import holt_forecast
 
     return holt_forecast(load(spark, sf_dir, "events"))
+
+
+from weather_flink_spark.functions.geo import geohash8, geohash8_select_sql  # noqa: E402
+
+_P_ENC_DUCK = geohash8_select_sql(
+    "SELECT point_id, lat, lon FROM point", "point_id", "lat", "lon"
+)
+_S_ENC_DUCK = geohash8_select_sql(
+    "SELECT station_id, lat, lon FROM station", "station_id", "lat", "lon"
+)
+
+
+@register(
+    "q_geo_geohash_bucket",
+    oracle=f"""
+        WITH station AS ({_STATION_DUCK}),
+        point AS ({_POINT_DUCK}),
+        p_enc AS ({_P_ENC_DUCK}),
+        s_enc AS ({_S_ENC_DUCK}),
+        p_cells AS (
+            SELECT substr(gh8, 1, 3) AS cell,
+                   COUNT(*) AS n_points,
+                   MIN(gh8) AS sample_hash
+            FROM p_enc GROUP BY 1
+        ),
+        s_cells AS (
+            SELECT substr(gh8, 1, 3) AS cell, COUNT(*) AS n_stations
+            FROM s_enc GROUP BY 1
+        )
+        SELECT p.cell, p.n_points,
+               COALESCE(s.n_stations, 0) AS n_stations, p.sample_hash
+        FROM p_cells p LEFT JOIN s_cells s USING (cell)
+    """,
+    doc=(
+        "Geohash bucketing: points and stations encode to 8-char "
+        "geohashes (functions/geo.geohash8 — a pure 40-term bit-"
+        "interleave expression, no UDF, identical integer math on both "
+        "engines), then aggregate into precision-3 (~156 km) prefix "
+        "cells with a point-count / station-count join on the cell "
+        "string. This is the string-prefix sibling of q_geo_grid_join: "
+        "the bucket key makes spatial co-location an equi-join that "
+        "shuffles on cell id, and coarser grains are substr() calls, "
+        "not re-encodes. Station side is dim-sized -> broadcast."
+    ),
+    tags=("geo", "blocking", "sketch-free"),
+)
+def q_geo_geohash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    station = n.select(
+        F.col("n_nationkey").alias("station_id"),
+        ((F.col("n_nationkey") * 7 % 140) - 70 + 0.5).alias("lat"),
+        ((F.col("n_nationkey") * 37 % 360) - 180 + 0.25).alias("lon"),
+    )
+    point = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("point_id"),
+            ((F.col("user_id") * 13 % 160) - 80 + 0.5).alias("lat"),
+            ((F.col("user_id") * 101 % 360) - 180 + 0.25).alias("lon"),
+        )
+    )
+    gh = geohash8(F.col("lat"), F.col("lon")).alias("gh8")
+    p_cells = (
+        point.select("point_id", gh)
+        .groupBy(F.substring("gh8", 1, 3).alias("cell"))
+        .agg(F.count("*").alias("n_points"), F.min("gh8").alias("sample_hash"))
+    )
+    s_cells = (
+        station.select("station_id", gh)
+        .groupBy(F.substring("gh8", 1, 3).alias("cell"))
+        .agg(F.count("*").alias("n_stations"))
+    )
+    return p_cells.join(F.broadcast(s_cells), "cell", "left").select(
+        "cell",
+        "n_points",
+        F.coalesce("n_stations", F.lit(0)).alias("n_stations"),
+        "sample_hash",
+    )
