@@ -378,3 +378,54 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@register(
+    "q_agg_tdigest_mergeable",
+    doc=(
+        "Mergeable t-digest quantile rollup (operators/tdigest, k1 "
+        "scale function, delta=200) — the quantile sibling of "
+        "q_agg_hll_mergeable: per-(event_type, day) partial digests of "
+        "the value column are the only persisted state, re-merged per "
+        "event_type and interrogated for p50/p90/p99, next to the "
+        "exact F.percentile and the achieved rank (fraction of values "
+        "<= estimate, via a broadcast semi-self-join) for error "
+        "accounting. Rows-only: the sketch has no DuckDB twin; "
+        "determinism, mergeability, and the <=2% rank-error bound are "
+        "pinned in tests/test_tdigest.py."
+    ),
+    tags=("aggregate", "sketch", "rollup", "pandas-udf"),
+)
+def q_agg_tdigest_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.tdigest import tdigest_quantiles
+
+    e = load(spark, sf_dir, "events")
+    qs = (0.5, 0.9, 0.99)
+    est = tdigest_quantiles(
+        e, "event_type", F.to_date("ts"), "value", qs=qs
+    ).withColumnRenamed("group", "event_type")
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(list(qs))).alias("ex"))
+        .select(
+            "event_type",
+            F.explode(F.arrays_zip(F.lit(list(qs)).alias("q"), F.col("ex").alias("exact_v"))).alias("z"),
+        )
+        .select("event_type", F.col("z.q").alias("q"), F.col("z.exact_v").alias("exact_v"))
+    )
+    joined = est.join(exact, ["event_type", "q"])
+    achieved = (
+        e.join(F.broadcast(joined), "event_type")
+        .groupBy("event_type", "q", "n_subs", "n_centroids", "est", "exact_v")
+        .agg(F.avg((F.col("value") <= F.col("est")).cast("double")).alias("achieved_q"))
+    )
+    return achieved.select(
+        "event_type",
+        "n_subs",
+        "n_centroids",
+        "q",
+        "est",
+        "exact_v",
+        "achieved_q",
+        (F.abs(F.col("achieved_q") - F.col("q")) <= 0.02).alias("within_2pct_rank"),
+    )
