@@ -26,7 +26,9 @@ def test_oracle_coverage():
     # equivalence is pinned by tests/test_vector_search.py instead;
     # q_events_lttb / q_events_holt_forecast: sequential per-series
     # recursions are not ANSI-SQL-expressible — pinned by
-    # tests/test_downsample.py
+    # tests/test_downsample.py; q_agg_hll_mergeable /
+    # q_agg_tdigest_mergeable: sketch state has no DuckDB twin —
+    # determinism + error bounds pinned by tests/test_tdigest.py
     assert no_oracle <= {
         "q_agg_approx",
         "q_agg_approx_quantile",
@@ -34,6 +36,7 @@ def test_oracle_coverage():
         "q_events_lttb",
         "q_events_holt_forecast",
         "q_agg_hll_mergeable",
+        "q_agg_tdigest_mergeable",
     }, f"unexpected oracle-less queries: {no_oracle}"
 
 

@@ -69,6 +69,7 @@ def all_specs() -> dict[str, QuerySpec]:
         events_queries,
         timeseries_stats,
         analytics_extra,
+        analytics_wave3,
         streaming_queries,
     )
 
