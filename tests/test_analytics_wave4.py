@@ -1,0 +1,121 @@
+"""Wave-4 analytics: semantic invariants beyond the oracle hash gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entropy_bounds_and_numpy_parity(spark):
+    rows = all_specs()["q_agg_entropy"].fn(spark, SF).collect()
+    assert rows
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"""SELECT event_type, epoch_us(ts)//3600000000 % 24 AS hr, COUNT(*) c
+            FROM '{SF}/events.parquet' GROUP BY 1,2"""
+    ).df()
+    for r in rows:
+        # entropy of a 24-bucket histogram lives in [0, log2 24]
+        assert 0.0 <= r["entropy_bits"] <= math.log2(24) + 1e-9
+        grp = pdf[pdf.event_type == r["event_type"]]
+        p = grp.c.to_numpy() / grp.c.sum()
+        h = float(-(p * np.log2(p)).sum())
+        assert abs(r["entropy_bits"] - h) < 1e-5, (r, h)
+        assert r["n_hours"] == len(grp)
+
+
+def test_abc_classes_partition_customers(spark):
+    rows = {r["abc_class"]: r for r in all_specs()["q_orders_abc_pareto"].fn(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    share = sum(r["revenue_share"] for r in rows.values())
+    assert abs(share - 1.0) < 1e-5
+    # Pareto shape: A holds at most 80%+one customer's worth, and A's
+    # per-customer revenue dominates C's
+    a, c = rows["A"], rows["C"]
+    assert a["class_revenue"] / a["n_customers"] > c["class_revenue"] / c["n_customers"]
+
+
+def test_chisq_matches_scipy_free_formula(spark):
+    r = all_specs()["q_stats_chisq"].fn(spark, SF).collect()[0]
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"""SELECT event_type,
+                   CASE WHEN (epoch_us(ts)//86400000000 + 4) % 7 IN (0,6) THEN 1 ELSE 0 END wknd,
+                   COUNT(*) c
+            FROM '{SF}/events.parquet' GROUP BY 1,2"""
+    ).df()
+    tab = pdf.pivot_table(index="event_type", columns="wknd", values="c", fill_value=0)
+    obs = tab.to_numpy().astype(float)
+    rtot = obs.sum(axis=1, keepdims=True)
+    ctot = obs.sum(axis=0, keepdims=True)
+    exp = rtot * ctot / obs.sum()
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    assert abs(r["chi2"] - chi2) < 1e-4
+    assert r["dof"] == obs.shape[0] - 1  # (R-1)*(C-1) with C=2
+    assert r["n"] == int(obs.sum())
+
+
+def test_attribution_counts_consistent(spark):
+    r = all_specs()["q_events_attribution"].fn(spark, SF).collect()[0]
+    n_purch = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet' WHERE event_type='purchase'"
+    ).fetchone()[0]
+    assert r["n_purchases"] == n_purch
+    assert 0 <= r["n_attributed"] <= r["n_purchases"]
+    if r["n_attributed"]:
+        assert 0.0 <= r["avg_lag_s"] <= 86400.0
+
+
+def test_triangles_match_bruteforce(spark):
+    r = all_specs()["q_graph_triangles"].fn(spark, SF).collect()[0]
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'),
+            pairs AS (SELECT a.l_partkey p1, b.l_partkey p2 FROM items a JOIN items b
+                      ON a.l_orderkey=b.l_orderkey AND a.l_partkey<b.l_partkey)
+            SELECT p1, p2 FROM pairs GROUP BY 1,2 HAVING COUNT(*) >= 2"""
+    ).fetchall()
+    es = set(map(tuple, edges))
+    nodes = {p for e in es for p in e}
+    tri = sum(
+        1
+        for (a, b) in es
+        for c in nodes
+        if b < c and (b, c) in es and (a, c) in es
+    )
+    assert r["n_edges"] == len(es)
+    assert r["n_nodes"] == len(nodes)
+    assert r["n_triangles"] == tri
+
+
+def test_weighted_median_is_weighted_midpoint(spark):
+    rows = all_specs()["q_agg_weighted_median"].fn(spark, SF).collect()
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT l_returnflag, l_extendedprice, l_quantity FROM '{SF}/lineitem.parquet'"
+    ).df()
+    for r in rows:
+        grp = pdf[pdf.l_returnflag == r["l_returnflag"]].sort_values("l_extendedprice")
+        cum = grp.l_quantity.cumsum()
+        tot = grp.l_quantity.sum()
+        expected = float(grp.l_extendedprice[cum >= tot / 2].iloc[0])
+        assert r["weighted_median"] == expected
+        assert abs(r["total_weight"] - float(tot)) < 1e-6
+
+
+def test_tpch_q10_topk_ordered(spark):
+    rows = all_specs()["q_sql_tpch_q10"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["revenue"] > 0 for r in rows)

@@ -50,22 +50,29 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Projection/filters push into the scan.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as a nanos long
-    (``nanosAsLong``) and truncate to microsecond TimestampType — the
-    same truncation DuckDB applies, so oracle comparisons line up.
+    ``events.ts`` has shipped in two physical forms across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects — read as nanos long via ``nanosAsLong`` and truncate
+    to microseconds, DuckDB's truncation) and plain TIMESTAMP(MICROS)
+    without timezone (reads as TIMESTAMP_NTZ — cast to TimestampType
+    under the pinned UTC session zone, the same instants DuckDB sees).
+    Both normalize to microsecond TimestampType named ``ts``.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_confs(spark)
     if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql import functions as F
-
-        # integer div: ns→µs must not round-trip through double (2^63 ns
-        # epoch values exceed double's 53-bit mantissa)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer div: ns→µs must not round-trip through double
+            # (2^63 ns epoch values exceed double's 53-bit mantissa)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,0 +1,533 @@
+"""Wave-4 analytics operators: information-theoretic profiling, Pareto
+cumulative-share classification, independence testing, marketing
+attribution, graph motif counting, weighted order statistics, and a
+second SQL-entry TPC-H query.
+
+All declarative DataFrame plans (no UDFs, no driver loops).  Float
+parity with the DuckDB oracle follows the repo-wide discipline:
+integer/DECIMAL-exact partials surfaced as DOUBLE with one rounding,
+identical scalar expression shapes on both sides, and any multi-term
+double summation done as a fixed-order fold (Spark ``aggregate()`` ==
+DuckDB ``list_reduce``) so partition order can never reorder float
+adds.
+
+Scale notes (100 TB):
+- entropy / chi-square reduce to one small-cardinality groupBy each
+  (|event_type| x 24 or x 2 cells); partial aggregation does the heavy
+  lifting map-side and the cell tables are broadcast-sized.
+- the ABC cumulative share replaces the classic single-partition global
+  window with a two-pass range-partitioned prefix sum: per-partition
+  window + broadcast per-partition offsets — the global-order prefix
+  without a global-order bottleneck.
+- attribution shuffles once on user_id and runs as a running-frame MAX
+  inside that sort (the backward as-of pattern).
+- triangle counting bounds the candidate space by basket size (pairs
+  per order ~ |basket|^2, not |table|^2) and a support>=2 filter before
+  the cubic step; the surviving edge list is broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+
+LN2 = 0.6931471805599453  # same literal in both engines; never ln(2) at runtime
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the hour-of-day profile per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_entropy",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 3600000000 % 24 AS INTEGER) AS hr,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        folded AS (
+            SELECT event_type,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   COUNT(*) AS n_hours,
+                   LIST(CAST(c AS DOUBLE) ORDER BY hr ASC) AS cs
+            FROM cells GROUP BY event_type
+        )
+        SELECT event_type, n, n_hours,
+               ROUND((LN(CAST(n AS DOUBLE))
+                      - list_reduce(list_prepend(0.0, cs),
+                                    (acc, x) -> acc + x * LN(x)) / CAST(n AS DOUBLE))
+                     / {LN2!r}, 6) AS entropy_bits
+        FROM folded
+    """,
+    doc=(
+        "Shannon entropy (bits) of each event type's hour-of-day "
+        "histogram — the diurnal-concentration signal (uniform = "
+        "log2(24) ~ 4.585 bits; bursty types score lower). H = (ln n - "
+        "(1/n) SUM c*ln c)/ln 2, so only counts are aggregated "
+        "(integer-exact, partial-aggregable); the 24 c*ln(c) terms are "
+        "folded in fixed hour order on both engines, and ln 2 is a "
+        "shared literal, never a runtime log. Hour-of-day comes from "
+        "integer epoch arithmetic (epoch_us div 3600e6 mod 24), not "
+        "engine EXTRACT, so timezone rules can't diverge."
+    ),
+    tags=("aggregate", "statistics", "text-analysis"),
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hr = F.expr("(unix_micros(ts) div 3600000000) % 24")
+    cells = e.groupBy("event_type", hr.cast("int").alias("hr")).agg(F.count("*").alias("c"))
+    folded = cells.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hr", "c"))), lambda x: x["c"].cast("double")
+        ).alias("cs"),
+    )
+    nd = F.col("n").cast("double")
+    s = F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x * F.log(x))
+    return folded.select(
+        "event_type",
+        "n",
+        "n_hours",
+        F.round((F.log(nd) - s / nd) / F.lit(LN2), 6).alias("entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification via two-pass distributed prefix sum
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT SUM(rev) FROM rev) AS tot
+        FROM rev
+    ),
+    classed AS (
+        SELECT o_custkey, rev,
+               CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class, COUNT(*) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST((SELECT SUM(rev) FROM rev) AS DOUBLE), 6) AS revenue_share
+    FROM classed GROUP BY abc_class
+"""
+
+
+@register(
+    "q_orders_abc_pareto",
+    oracle=_ABC_ORACLE,
+    doc=(
+        "ABC / Pareto classification of customers by revenue: class A "
+        "holds the first 80% of cumulative revenue (descending), B to "
+        "95%, C the tail. The textbook form is a single-partition "
+        "global cumulative window; here the prefix sum is two-pass and "
+        "stays distributed: repartitionByRange on (rev DESC, custkey) "
+        "keeps the total order across partitions, each partition "
+        "computes a local running sum, and the per-partition totals "
+        "(one tiny row each) broadcast back as offsets — prefix sums "
+        "are partition-boundary-invariant, so the result is identical "
+        "to the global window the DuckDB oracle runs. Revenue partials "
+        "are DECIMAL-exact; only the final share divides as DOUBLE."
+    ),
+    tags=("window", "aggregate", "scale"),
+)
+def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    # pass 1: range-partition in the total order, local prefix inside each part
+    parted = rev.repartitionByRange(8, F.col("rev").desc(), F.col("o_custkey").asc())
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("pid", F.spark_partition_id()).withColumn(
+        "loc_cum", F.sum("rev").over(wloc)
+    )
+    # pass 2: per-partition totals -> running offset (tiny: one row per partition)
+    wpid = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("rev").alias("part_tot"))
+        .withColumn("offset", F.sum("part_tot").over(wpid) - F.col("part_tot"))
+        .select("pid", "offset")
+    )
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    classed = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.col("loc_cum") + F.col("offset"))
+        .withColumn("share", F.col("cum").cast("double") / F.col("tot").cast("double"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("share") <= 0.8, "A").when(F.col("share") <= 0.95, "B").otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").alias("class_rev_dec"),
+            F.first(F.col("tot")).alias("tot"),
+        )
+        .select(
+            "abc_class",
+            "n_customers",
+            F.col("class_rev_dec").cast("double").alias("class_revenue"),
+            F.round(
+                F.col("class_rev_dec").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square test of independence: event_type x weekend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stats_chisq",
+    oracle="""
+        WITH tagged AS (
+            SELECT event_type,
+                   CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6)
+                        THEN 1 ELSE 0 END AS wknd
+            FROM events
+        ),
+        o AS (SELECT event_type, wknd, COUNT(*) AS obs FROM tagged GROUP BY 1, 2),
+        r AS (SELECT event_type, SUM(obs) AS rtot FROM o GROUP BY 1),
+        c AS (SELECT wknd, SUM(obs) AS ctot FROM o GROUP BY 1),
+        n AS (SELECT SUM(obs) AS ntot FROM o),
+        terms AS (
+            SELECT o.event_type, o.wknd,
+                   CAST(CAST(o.obs * n.ntot - r.rtot * c.ctot AS HUGEINT)
+                        * CAST(o.obs * n.ntot - r.rtot * c.ctot AS HUGEINT) AS DOUBLE)
+                   / CAST(n.ntot * r.rtot * c.ctot AS DOUBLE) AS term
+            FROM o JOIN r USING (event_type) JOIN c USING (wknd) CROSS JOIN n
+        )
+        SELECT (SELECT CAST(ntot AS BIGINT) FROM n) AS n,
+               (SELECT (COUNT(DISTINCT event_type) - 1) FROM o) AS dof,
+               ROUND(list_reduce(
+                   list_prepend(0.0, (SELECT LIST(term ORDER BY event_type ASC, wknd ASC)
+                                      FROM terms)),
+                   (acc, x) -> acc + x), 6) AS chi2
+    """,
+    doc=(
+        "Pearson chi-square test of independence between event_type and "
+        "weekend-ness. Weekend from pure integer epoch-day arithmetic "
+        "((day+4) % 7 in {0=Sun, 6=Sat}) — no engine dayofweek "
+        "convention involved. Each cell's statistic uses the "
+        "denominator-cleared form (obs*N - rtot*ctot)^2 / (N*rtot*ctot): "
+        "numerator and denominator are BIGINT-exact (|obs*N| <= ~1e8 "
+        "at sf0.01), each cast to DOUBLE with a single rounding, and "
+        "the ~10 cell terms fold in fixed (event_type, wknd) order. "
+        "One shuffle to the cell table; marginals join broadcast-sized."
+    ),
+    tags=("aggregate", "statistics"),
+)
+def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day_idx = F.expr("((unix_micros(ts) div 86400000000) + 4) % 7")
+    wknd = F.when(day_idx.isin(0, 6), 1).otherwise(0)
+    o = e.groupBy("event_type", wknd.alias("wknd")).agg(F.count("*").alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
+    c = o.groupBy("wknd").agg(F.sum("obs").alias("ctot"))
+    n = o.agg(F.sum("obs").alias("ntot"), F.countDistinct("event_type").alias("ntypes"))
+    num = (F.col("obs") * F.col("ntot") - F.col("rtot") * F.col("ctot")).cast("decimal(19,0)")
+    terms = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "wknd")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "wknd",
+            "ntot",
+            "ntypes",
+            ((num * num).cast("double")
+             / (F.col("ntot") * F.col("rtot") * F.col("ctot")).cast("double")).alias("term"),
+        )
+    )
+    folded = terms.groupBy("ntot", "ntypes").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_type", "wknd", "term"))),
+            lambda x: x["term"],
+        ).alias("ts_terms")
+    )
+    chi2 = F.aggregate(F.col("ts_terms"), F.lit(0.0), lambda acc, x: acc + x)
+    return folded.select(
+        F.col("ntot").alias("n"),
+        (F.col("ntypes") - 1).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution (purchase -> latest prior click within 24 h)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+        WITH touch AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kindr,
+                   CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        marked AS (
+            SELECT user_id, event_id, ts, event_type,
+                   MAX(click_us) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, kindr ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS last_click_us
+            FROM touch
+        ),
+        purch AS (
+            SELECT epoch_us(ts) - last_click_us AS lag_us
+            FROM marked WHERE event_type = 'purchase'
+        )
+        SELECT COUNT(*) AS n_purchases,
+               COUNT(*) FILTER (WHERE lag_us IS NOT NULL
+                                  AND lag_us <= 86400000000) AS n_attributed,
+               ROUND(CAST(SUM(CASE WHEN lag_us <= 86400000000 THEN lag_us END) AS DOUBLE)
+                     / CAST(COUNT(*) FILTER (WHERE lag_us IS NOT NULL
+                                               AND lag_us <= 86400000000) AS DOUBLE)
+                     / 1000000.0, 6) AS avg_lag_s
+        FROM purch
+    """,
+    doc=(
+        "Last-touch marketing attribution: each purchase is credited to "
+        "the same user's most recent click no more than 24 h earlier. "
+        "The backward as-of resolves as a running-frame MAX over "
+        "(ts, kind, event_id) order — clicks sort before a same-"
+        "timestamp purchase, so an instantaneous click still attributes "
+        "— one shuffle on user_id, no self-join. Lag sums are BIGINT "
+        "microseconds (exact); only the final mean divides as DOUBLE."
+    ),
+    tags=("window", "timeseries", "join"),
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    kindr = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), kindr.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.withColumn("last_click_us", F.max(click_us).over(w))
+    lag_us = F.unix_micros("ts") - F.col("last_click_us")
+    purch = marked.filter(F.col("event_type") == "purchase").select(lag_us.alias("lag_us"))
+    attributed = F.col("lag_us").isNotNull() & (F.col("lag_us") <= 86_400_000_000)
+    n_att = F.count(F.when(attributed, 1))
+    return purch.agg(
+        F.count("*").alias("n_purchases"),
+        n_att.alias("n_attributed"),
+        F.round(
+            F.sum(F.when(attributed, F.col("lag_us"))).cast("double")
+            / n_att.cast("double")
+            / 1_000_000.0,
+            6,
+        ).alias("avg_lag_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2, a.l_orderkey
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS (
+            SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2
+        ),
+        nodes AS (SELECT p1 AS p FROM edges UNION SELECT p2 FROM edges),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.p1 = e1.p2
+            JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        )
+        SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+               (SELECT COUNT(*) FROM edges) AS n_edges,
+               (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+    doc=(
+        "Triangle counting on the co-purchase graph: parts are linked "
+        "when they appear together in >= 2 orders. The candidate pair "
+        "space is bounded by basket size (|basket|^2 per order, never "
+        "|lineitem|^2), the support filter prunes the edge list to "
+        "broadcast size before the cubic step, and the p1<p2 "
+        "orientation makes each triangle count exactly once via the "
+        "canonical a<b<c wedge-closing join. At 100 TB the same plan "
+        "holds with a degree-ordered orientation (point high-degree "
+        "nodes at low-degree ones) to bound wedge fan-out."
+    ),
+    tags=("graph", "join"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    edges = pairs.groupBy("p1", "p2").agg(F.count("*").alias("s")).filter(F.col("s") >= 2)
+    edges = edges.select("p1", "p2").persist()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.p1") == F.col("e1.p2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("p1").alias("p"))
+        .union(edges.select(F.col("p2").alias("p")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return nodes.crossJoin(n_edges).crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# weighted median (quantity-weighted extended price per return flag)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+        WITH byprice AS (
+            SELECT l_returnflag, l_extendedprice AS price,
+                   SUM(CAST(l_quantity AS DECIMAL(14,2))) AS wgt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, price, wgt,
+                   SUM(wgt) OVER (PARTITION BY l_returnflag ORDER BY price ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cumw,
+                   SUM(wgt) OVER (PARTITION BY l_returnflag) AS totw
+            FROM byprice
+        )
+        SELECT l_returnflag,
+               MIN(CASE WHEN 2 * cumw >= totw THEN price END) AS weighted_median,
+               CAST(MIN(totw) AS DOUBLE) AS total_weight
+        FROM cum GROUP BY l_returnflag
+    """,
+    doc=(
+        "Quantity-weighted median of extended price per return flag "
+        "(lower weighted median: smallest price whose cumulative weight "
+        "reaches half the total). Prices pre-aggregate per (flag, "
+        "price) so the window runs over the distinct-value table, not "
+        "the fact table; weights accumulate as exact DECIMAL and the "
+        "half-total test is the division-free 2*cum >= tot comparison, "
+        "so no float enters the selection. One shuffle on the flag."
+    ),
+    tags=("aggregate", "window", "statistics"),
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    byprice = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("wgt"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("price").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = byprice.withColumn("cumw", F.sum("wgt").over(wcum)).withColumn(
+        "totw", F.sum("wgt").over(wall)
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price"))).alias(
+            "weighted_median"
+        ),
+        F.min("totw").cast("double").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 (returned-item reporting) through the SQL entry point
+# ---------------------------------------------------------------------------
+
+_Q10_TABLES = ("customer", "orders", "lineitem", "nation")
+_Q10_BODY = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,6)))) AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+           n.n_name
+    FROM {customer} c
+    JOIN {orders} o ON c.c_custkey = o.o_custkey
+    JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+"""
+
+
+@register(
+    "q_sql_tpch_q10",
+    oracle=_Q10_BODY.format(**{t: t for t in _Q10_TABLES}),
+    doc=(
+        "TPC-H Q10 (returned-item reporting) through the SQL entry "
+        "point: identical SQL text runs on Spark temp views and on the "
+        "DuckDB oracle. A quarter-selective fact predicate plus the "
+        "returnflag filter reach the scans as pushed filters; nation "
+        "broadcasts; revenue is DECIMAL-exact with one cast to DOUBLE; "
+        "the top-20 is deterministic via the custkey tie-break and "
+        "plans as TakeOrderedAndProject (no global sort materialized)."
+    ),
+    tags=("sql", "join", "agg", "topk"),
+)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = {}
+    for t in _Q10_TABLES:
+        v = f"{t}_q10_v"
+        load(spark, sf_dir, t).createOrReplaceTempView(v)
+        views[t] = v
+    return spark.sql(_Q10_BODY.format(**views))

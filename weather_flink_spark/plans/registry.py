@@ -70,6 +70,7 @@ def all_specs() -> dict[str, QuerySpec]:
         timeseries_stats,
         analytics_extra,
         analytics_wave3,
+        analytics_wave4,
         streaming_queries,
     )
 
