@@ -119,3 +119,42 @@ def test_tpch_q10_topk_ordered(spark):
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r["revenue"] > 0 for r in rows)
+
+
+def test_containment_asymmetry_and_bounds(spark):
+    rows = all_specs()["q_dedup_containment"].fn(spark, SF).collect()
+    for r in rows:
+        assert 0.0 < r["cont_a_in_b"] <= 1.0
+        assert 0.0 < r["cont_b_in_a"] <= 1.0
+        assert max(r["cont_a_in_b"], r["cont_b_in_a"]) >= 0.5
+        assert r["n_shared"] >= 1
+
+
+def test_holt_winters_matches_python_recursion(spark):
+    out = {r["event_type"]: r for r in all_specs()["q_events_holt_winters"].fn(spark, SF).collect()}
+    assert out
+    # rebuild the dense hourly count series independently and re-run the
+    # textbook triple recursion
+    pdf = duckdb.sql(
+        f"""SELECT event_type, epoch_us(ts)//3600000000 AS h FROM '{SF}/events.parquet'"""
+    ).df()
+    hmin, hmax = int(pdf.h.min()), int(pdf.h.max())
+    m, alpha, beta, gamma = 24, 0.5, 0.2, 0.3
+    for et, grp in pdf.groupby("event_type"):
+        counts = grp.groupby("h").size()
+        y = np.array([float(counts.get(h, 0)) for h in range(hmin, hmax + 1)])
+        assert len(y) >= 2 * m
+        s = y[:m].mean()
+        b = (y[m : 2 * m].mean() - y[:m].mean()) / m
+        seas = y[:m] - y[:m].mean()
+        for t in range(m, len(y)):
+            ci = t % m
+            s_prev = s
+            s = alpha * (y[t] - seas[ci]) + (1 - alpha) * (s + b)
+            b = beta * (s - s_prev) + (1 - beta) * b
+            seas[ci] = gamma * (y[t] - s) + (1 - gamma) * seas[ci]
+        r = out[et]
+        assert r["n_obs"] == len(y)
+        assert abs(r["level"] - s) < 1e-9
+        assert abs(r["trend"] - b) < 1e-9
+        assert abs(r["forecast_next"] - (s + b + seas[len(y) % m])) < 1e-9

@@ -125,3 +125,74 @@ def holt_forecast(
         .groupBy(series_col)
         .applyInPandas(kernel, schema=HOLT_SCHEMA)
     )
+
+
+HW_SCHEMA = (
+    "event_type string, n_obs long, level double, trend double,"
+    " season_amplitude double, forecast_next double"
+)
+
+
+def holt_winters_forecast(
+    hourly: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.2,
+    gamma: float = 0.3,
+    period: int = 24,
+    series_col: str = "event_type",
+    idx_col: str = "hour_idx",
+    val_col: str = "hourly_avg",
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + seasonal) per series.
+
+    Classic initialization: level = mean of the first season, trend =
+    (mean of season 2 - mean of season 1) / period, seasonal components
+    = first-season deviations from its mean; the triple recursion then
+    folds the remaining observations. Like :func:`holt_forecast` the
+    recursion is order-sequential, so each series runs as one pandas
+    group in ``applyInPandas`` (one Arrow transfer per series; the
+    pre-aggregated hourly series is period-bounded, not event-bounded,
+    so group size is fixed regardless of raw-data scale). Series
+    shorter than two full seasons are dropped (no seasonal estimate).
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
+        y = pdf[val_col].to_numpy(dtype=np.float64)
+        m = period
+        if len(y) < 2 * m:
+            return pd.DataFrame(
+                columns=[
+                    "event_type",
+                    "n_obs",
+                    "level",
+                    "trend",
+                    "season_amplitude",
+                    "forecast_next",
+                ]
+            )
+        s = float(y[:m].mean())
+        b = float((y[m : 2 * m].mean() - y[:m].mean()) / m)
+        seas = (y[:m] - y[:m].mean()).astype(np.float64)
+        for t in range(m, len(y)):
+            c_idx = t % m
+            s_prev = s
+            s = alpha * (y[t] - seas[c_idx]) + (1 - alpha) * (s + b)
+            b = beta * (s - s_prev) + (1 - beta) * b
+            seas[c_idx] = gamma * (y[t] - s) + (1 - gamma) * seas[c_idx]
+        return pd.DataFrame(
+            {
+                "event_type": [str(pdf[series_col].iloc[0])],
+                "n_obs": [len(y)],
+                "level": [s],
+                "trend": [b],
+                "season_amplitude": [float(seas.max() - seas.min())],
+                "forecast_next": [s + b + seas[len(y) % m]],
+            }
+        )
+
+    return (
+        hourly.select(series_col, idx_col, val_col)
+        .groupBy(series_col)
+        .applyInPandas(kernel, schema=HW_SCHEMA)
+    )

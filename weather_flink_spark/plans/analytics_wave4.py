@@ -531,3 +531,145 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, t).createOrReplaceTempView(v)
         views[t] = v
     return spark.sql(_Q10_BODY.format(**views))
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (sub-document / quotation detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "q_dedup_containment",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(tok), 1)),
+                       i -> CAST('0x' || md5(tok[i] || ' ' || tok[i+1])[1:7] AS BIGINT)))
+                       AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+        ),
+        blocked AS (
+            SELECT doc_id, grams, list_min(grams) AS block_key FROM g
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM blocked a JOIN blocked b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_shared,
+                   CAST(len(x.grams) AS BIGINT) AS n_a,
+                   CAST(len(y.grams) AS BIGINT) AS n_b
+            FROM cand c
+            JOIN g x ON x.doc_id = c.doc_a
+            JOIN g y ON y.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, n_shared,
+               CAST(n_shared AS DOUBLE) / n_a AS cont_a_in_b,
+               CAST(n_shared AS DOUBLE) / n_b AS cont_b_in_a
+        FROM scored
+        WHERE CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) >= 0.5
+    """,
+    doc=(
+        "N-gram containment scoring for sub-document detection: "
+        "containment C(A in B) = |A∩B| / |A| is the asymmetric "
+        "complement of q_dedup_ngram_jaccard — a short quotation "
+        "inside a long document scores near 1.0 on containment while "
+        "its Jaccard stays tiny. Same hashed-bigram sets and min-gram "
+        "1-perm blocking as the Jaccard pass (the shared persisted "
+        "bigram table is the reusable index at scale); the emitted "
+        "pair keeps both directions plus the exact shared-gram count "
+        "(integer), thresholded on max-containment >= 0.5."
+    ),
+    tags=("dedup", "ngram", "containment"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_extra import _bigram_table
+
+    g = _bigram_table(load(spark, sf_dir, "documents"))
+    blocked = g.select("doc_id", F.array_min("grams").alias("block_key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x, y = g.alias("x"), g.alias("y")
+    n_shared = F.size(F.array_intersect(F.col("x.grams"), F.col("y.grams"))).cast("long")
+    n_a = F.size(F.col("x.grams")).cast("long")
+    n_b = F.size(F.col("y.grams")).cast("long")
+    scored = (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_shared.alias("n_shared"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+        )
+    )
+    return scored.filter(
+        F.col("n_shared").cast("double") / F.least("n_a", "n_b") >= CONTAINMENT_THRESHOLD
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_a")).alias("cont_a_in_b"),
+        (F.col("n_shared").cast("double") / F.col("n_b")).alias("cont_b_in_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters seasonal forecast over the dense hourly activity series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_holt_winters",
+    oracle=None,  # sequential triple recursion — pinned by tests/test_analytics_wave4.py
+    doc=(
+        "Additive Holt-Winters (level + trend + 24-hour seasonality) "
+        "over each event type's hourly activity series "
+        "(operators/downsample.holt_winters_forecast). The series is "
+        "built dense first — global hour grid from integer epoch "
+        "arithmetic, zero-filled left join, the resample-gapfill "
+        "pattern — because the seasonal recursion indexes hours "
+        "positionally. The expensive part (per-hour counts) is one "
+        "partial-aggregable groupBy over the fact table; the recursion "
+        "then runs per series on the period-bounded hourly rollup "
+        "(720 points at 30 days), so Arrow moves a fixed-size series "
+        "per type regardless of raw event volume. Rows-only: pinned "
+        "against a pure-python recursion in tests."
+    ),
+    tags=("timeseries", "forecast", "pandas-udf"),
+)
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.downsample import holt_winters_forecast
+
+    e = load(spark, sf_dir, "events")
+    hidx = F.expr("unix_micros(ts) div 3600000000")
+    counts = e.groupBy("event_type", hidx.alias("hour_idx")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = e.agg(
+        F.min(hidx).alias("hmin"), F.max(hidx).alias("hmax")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("hmin", "hmax")).alias("hour_idx")
+    )
+    types = e.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    dense = grid.join(counts, ["event_type", "hour_idx"], "left").select(
+        "event_type",
+        "hour_idx",
+        F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("hourly_avg"),
+    )
+    return holt_winters_forecast(dense)
