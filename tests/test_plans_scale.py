@@ -167,3 +167,38 @@ def test_skyline_single_window_over_per_price(spark):
     plan = plan_of(spark, "q_skyline_pareto")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_uses_take_ordered_and_pushes_filters(spark):
+    plan = plan_of(spark, "q_sql_tpch_q10")
+    assert "TakeOrderedAndProject" in plan
+    # the returnflag filter must reach the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_triangles_wedge_joins_broadcast(spark):
+    plan = plan_of(spark, "q_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # pruned edge list broadcasts
+
+
+def test_abc_pareto_windows_stay_partitioned(spark):
+    """The customer-level prefix sum must run per range-partition; the only
+    partitionless window is over the tiny per-partition offset rows."""
+    plan = plan_of(spark, "q_orders_abc_pareto")
+    # local prefix window is keyed by pid
+    assert "partitionBy=[pid" in plan.replace(" ", "") or "pid#" in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_attribution_single_user_shuffle(spark):
+    """Backward as-of = one window pass keyed on user_id, no self-join."""
+    plan = plan_of(spark, "q_events_attribution")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_chisq_marginals_broadcast(spark):
+    plan = plan_of(spark, "q_stats_chisq")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
