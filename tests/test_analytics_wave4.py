@@ -158,3 +158,43 @@ def test_holt_winters_matches_python_recursion(spark):
         assert abs(r["level"] - s) < 1e-9
         assert abs(r["trend"] - b) < 1e-9
         assert abs(r["forecast_next"] - (s + b + seas[len(y) % m])) < 1e-9
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunks at stride 12 / size 16 must tile each doc: first chunk
+    starts at token 1, consecutive chunks overlap by 4, and the union
+    covers all n tokens exactly."""
+    rows = all_specs()["q_text_chunk_overlap"].fn(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    pdf = duckdb.sql(
+        f"SELECT doc_id, len(string_split(text,' ')) n FROM '{SF}/documents.parquet'"
+    ).df()
+    n_by_doc = dict(zip(pdf.doc_id, pdf.n))
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = int(n_by_doc[doc_id])
+        assert len(chunks) == chunks[0]["n_chunks"]
+        covered_end = 0
+        for r in chunks:
+            start = r["chunk_id"] * 12  # 0-based
+            assert start <= covered_end  # no gap
+            covered_end = max(covered_end, start + r["chunk_len"])
+            assert r["chunk_len"] <= 16
+        assert covered_end == n  # full coverage
+
+
+def test_tpch_q6_revenue_positive_and_selective(spark):
+    r = all_specs()["q_sql_tpch_q6"].fn(spark, SF).collect()[0]
+    total = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+    assert 0 < r["n_rows"] < total * 0.2  # the predicates are selective
+    assert r["revenue"] > 0
+
+
+def test_tpch_q18_all_orders_exceed_threshold(spark):
+    rows = all_specs()["q_sql_tpch_q18"].fn(spark, SF).collect()
+    assert rows
+    assert all(r["sum_qty"] > 150 for r in rows)
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)

@@ -673,3 +673,171 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("hourly_avg"),
     )
     return holt_winters_forecast(dense)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 (forecasting revenue change) through the SQL entry point
+# ---------------------------------------------------------------------------
+
+_Q6_BODY = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(l_discount AS DECIMAL(12,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM {lineitem}
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register(
+    "q_sql_tpch_q6",
+    oracle=_Q6_BODY.format(lineitem="lineitem"),
+    doc=(
+        "TPC-H Q6 (forecasting revenue change) through the SQL entry "
+        "point: the purest pushdown probe — every predicate "
+        "(shipdate range, discount band, quantity cap) reaches the "
+        "parquet scan as a pushed filter, the scan reads only 3 "
+        "columns, and the whole query is one partial-aggregable "
+        "scan+agg with no shuffle beyond the single-row final combine. "
+        "Revenue is DECIMAL-exact with one DOUBLE cast."
+    ),
+    tags=("sql", "agg", "pushdown"),
+)
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q6_v")
+    return spark.sql(_Q6_BODY.format(lineitem="lineitem_q6_v"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 (large-volume customers) through the SQL entry point
+# ---------------------------------------------------------------------------
+
+_Q18_TABLES = ("customer", "orders", "lineitem")
+_Q18_BODY = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+    FROM {customer} c
+    JOIN {orders} o ON c.c_custkey = o.o_custkey
+    JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM {lineitem}
+        GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+"""
+
+
+@register(
+    "q_sql_tpch_q18",
+    oracle=_Q18_BODY.format(**{t: t for t in _Q18_TABLES}),
+    doc=(
+        "TPC-H Q18 (large-volume customers) through the SQL entry "
+        "point: the IN-subquery over a grouped HAVING is the classic "
+        "semi-join decorrelation test — Catalyst rewrites it to an "
+        "aggregate + semi join, never a per-row subquery. Quantity "
+        "sums are DECIMAL-exact on both engines; the top-100 is "
+        "deterministic via the orderkey tie-break."
+    ),
+    tags=("sql", "join", "agg", "subquery"),
+)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = {}
+    for t in _Q18_TABLES:
+        v = f"{t}_q18_v"
+        load(spark, sf_dir, t).createOrReplaceTempView(v)
+        views[t] = v
+    return spark.sql(_Q18_BODY.format(**views))
+
+
+# ---------------------------------------------------------------------------
+# overlapping-window document chunking (LM preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 16  # tokens per chunk
+CHUNK_STRIDE = 12  # overlap = 4 tokens
+
+
+@register(
+    "q_text_chunk_overlap",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tok,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, tok, n,
+                   1 + (GREATEST(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)
+                       // {CHUNK_STRIDE} AS n_chunks
+            FROM t
+        ),
+        chunks AS (
+            SELECT doc_id, n_chunks,
+                   UNNEST(range(0, n_chunks)) AS chunk_id,
+                   tok, n
+            FROM k
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(n_chunks AS INTEGER) AS n_chunks,
+               CAST(len(list_slice(tok, chunk_id * {CHUNK_STRIDE} + 1,
+                        LEAST(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}, n))) AS INTEGER)
+                   AS chunk_len,
+               md5(list_aggregate(list_slice(tok, chunk_id * {CHUNK_STRIDE} + 1,
+                        LEAST(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)), 'string_agg', ' '))
+                   AS chunk_fp
+        FROM chunks
+    """,
+    doc=(
+        "Overlapping-window document chunking for LM training: fixed "
+        "16-token windows at stride 12 (4-token overlap), the standard "
+        "context-window preprocessing complement to q_pack_concat_"
+        "chunks' concat-and-chunk. Chunk counts come from closed-form "
+        "integer arithmetic (no loops), the fan-out is a lateral "
+        "explode of a per-doc index sequence, and each chunk carries "
+        "its md5 fingerprint so downstream chunk-level dedup can join "
+        "on it. Everything is expression-level: slice/explode/md5 in "
+        "whole-stage codegen, shuffle-free (fan-out is a narrow map)."
+    ),
+    tags=("text-analysis", "llm-pipeline", "chunking"),
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    n = F.size(tok)
+    base = d.select(
+        "doc_id",
+        tok.alias("tok"),
+        n.alias("n"),
+        F.expr(
+            f"1 + (greatest(size(split(text, ' ')) - {CHUNK_SIZE}, 0)"
+            f" + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}"
+        ).cast("int").alias("n_chunks"),
+    )
+    exploded = base.select(
+        "doc_id",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        "tok",
+        "n",
+    )
+    chunk = F.slice(
+        F.col("tok"),
+        F.col("chunk_id") * CHUNK_STRIDE + 1,
+        F.least(
+            F.col("chunk_id") * CHUNK_STRIDE + CHUNK_SIZE, F.col("n")
+        )
+        - F.col("chunk_id") * CHUNK_STRIDE,
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "n_chunks",
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
