@@ -198,3 +198,26 @@ def test_tpch_q18_all_orders_exceed_threshold(spark):
     assert all(r["sum_qty"] > 150 for r in rows)
     prices = [r["o_totalprice"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    rows = {r["cid"]: r for r in all_specs()["q_emb_kmeans_lloyd"].fn(spark, SF).collect()}
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    cent = X[:8].copy()
+    for _ in range(2):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties break to lowest cid, matching the query
+        cent = np.stack([X[assign == k].mean(axis=0) for k in range(8)])
+    d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    for k in range(8):
+        n_k = int((assign == k).sum())
+        r = rows[k]
+        assert r["n_points"] == n_k
+        assert abs(r["inertia"] - d[assign == k, k].sum()) < 1e-3
+        assert abs(r["c_first"] - cent[k, 0]) < 1e-6
+        assert abs(r["c_norm2"] - (cent[k] ** 2).sum()) < 1e-6
+    assert sum(r["n_points"] for r in rows.values()) == len(X)

@@ -841,3 +841,165 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("chunk_len"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means over embeddings (2 unrolled iterations, k=8)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_EMB_DIM = 64
+
+
+def _kmeans_dist_duck(emb: str, cent: str) -> str:
+    d = f"(CAST({emb}[i] AS DOUBLE) - {cent}[i])"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_EMB_DIM + 1}),"
+        f" i -> {d} * {d})), (acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_oracle() -> str:
+    assign_tpl = """
+        a{k} AS (
+            SELECT vec_id, embedding, cid, d2 FROM (
+                SELECT e.vec_id, e.embedding, c.cid, {dist} AS d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent{k} c
+            ) WHERE rn = 1
+        )"""
+    recompute_tpl = """
+        cent{k1} AS (
+            SELECT cid, LIST(m ORDER BY pos ASC) AS c FROM (
+                SELECT cid, pos,
+                       CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS m
+                FROM (
+                    SELECT cid, UNNEST(range(1, len(embedding) + 1)) - 1 AS pos,
+                           UNNEST(embedding) AS comp
+                    FROM a{k}
+                )
+                GROUP BY cid, pos
+            ) GROUP BY cid
+        )"""
+    parts = [
+        f"""
+        cent0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings WHERE vec_id < {KMEANS_K}
+        )"""
+    ]
+    for k in range(KMEANS_ITERS):
+        parts.append(assign_tpl.format(k=k, dist=_kmeans_dist_duck("e.embedding", "c.c")))
+        parts.append(recompute_tpl.format(k=k, k1=k + 1))
+    parts.append(
+        assign_tpl.format(
+            k=KMEANS_ITERS, dist=_kmeans_dist_duck("e.embedding", "c.c")
+        )
+    )
+    norm = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_EMB_DIM + 1}),"
+        f" i -> c.c[i] * c.c[i])), (acc, x) -> acc + x)"
+    )
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT a.cid,
+               COUNT(*) AS n_points,
+               ROUND(CAST(SUM(CAST(a.d2 AS DECIMAL(25,12))) AS DOUBLE), 6) AS inertia,
+               ROUND(MIN(c.c[1]), 9) AS c_first,
+               ROUND(MIN(c.c[{_EMB_DIM}]), 9) AS c_last,
+               ROUND(MIN({norm}), 9) AS c_norm2
+        FROM a{KMEANS_ITERS} a JOIN cent{KMEANS_ITERS} c ON c.cid = a.cid
+        GROUP BY a.cid
+    """
+    )
+
+
+def _kmeans_dist_col(emb_col: str, cent_col: str):
+    def step(acc, i):
+        d = F.element_at(F.col(emb_col), i.cast("int")).cast("double") - F.element_at(
+            F.col(cent_col), i.cast("int")
+        )
+        return acc + d * d
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(_EMB_DIM)), F.lit(0.0), step)
+
+
+@register(
+    "q_emb_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    doc=(
+        "Lloyd's k-means over the embedding corpus (k=8, 2 unrolled "
+        "iterations, seeds = the first 8 vectors) — the training step "
+        "that produces real IVF centroids for q_sim_ann_ivf's search "
+        "side. Each iteration is assign (8-row broadcast centroid "
+        "join, fixed-order squared-distance fold, deterministic "
+        "cid tie-break) + recompute (posexplode to (cid, dim), "
+        "DECIMAL-exact component sums, one hash aggregate; 8*64 rows "
+        "out regardless of corpus size). Inertia sums per-point "
+        "distances through DECIMAL so partition order cannot reorder "
+        "float adds; the oracle replays the identical chained-CTE "
+        "recursion. Per-iteration cost is one broadcast join + one "
+        "partial-aggregable shuffle — the 100 TB shape (PageRank-style "
+        "unrolled loop, no driver-side state)."
+    ),
+    tags=("similarity", "ml", "iterative", "scale"),
+)
+def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        d2 = _kmeans_dist_col("embedding", "c")
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        return (
+            points.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        comp = assigned.select("cid", F.posexplode("embedding").alias("pos", "comp"))
+        means = comp.groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("comp").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
+        return means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("c")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        cent = recompute(assign(e, cent))
+    final = assign(e, cent)
+    norm2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_EMB_DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("c"), i.cast("int")) * F.element_at(F.col("c"), i.cast("int")),
+    )
+    return (
+        final.join(cent, "cid")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(25,12)")).cast("double"), 6
+            ).alias("inertia"),
+            F.round(F.min(F.element_at(F.col("c"), 1)), 9).alias("c_first"),
+            F.round(F.min(F.element_at(F.col("c"), _EMB_DIM)), 9).alias("c_last"),
+            F.round(F.min(norm2), 9).alias("c_norm2"),
+        )
+    )
