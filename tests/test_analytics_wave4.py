@@ -221,3 +221,20 @@ def test_kmeans_matches_numpy_lloyd(spark):
         assert abs(r["c_first"] - cent[k, 0]) < 1e-6
         assert abs(r["c_norm2"] - (cent[k] ** 2).sum()) < 1e-6
     assert sum(r["n_points"] for r in rows.values()) == len(X)
+
+
+def test_target_mix_rebalances_toward_equal_shares(spark):
+    rows = all_specs()["q_sample_target_mix"].fn(spark, SF).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_sampled = sum(r["n_sampled"] for r in rows)
+    assert 0 < total_sampled <= total_docs
+    for r in rows:
+        assert 0.0 < r["sample_rate"] <= 1.0
+        assert r["n_sampled"] <= r["n_docs"]
+    # the sampled mix must be flatter than the raw mix: the max share
+    # can only shrink (hash noise aside) vs the raw language share
+    raw_max = max(r["n_docs"] / total_docs for r in rows)
+    sampled_max = max(r["achieved_share"] for r in rows)
+    assert sampled_max <= raw_max + 0.05
+    assert abs(sum(r["achieved_share"] for r in rows) - 1.0) < 1e-5

@@ -1003,3 +1003,104 @@ def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(norm2), 9).alias("c_norm2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain re-balancing: sample toward an equal language mix
+# ---------------------------------------------------------------------------
+
+_MIX_HASH_SPACE = 268_435_456  # 2^28 — md5 prefix of 7 hex digits
+
+
+@register(
+    "q_sample_target_mix",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+        ),
+        totals AS (
+            SELECT CAST(SUM(n_l) AS BIGINT) // 2 // COUNT(*) AS t_per_lang
+            FROM counts
+        ),
+        rates AS (
+            SELECT c.lang, c.n_l,
+                   LEAST(1.0, CAST(t.t_per_lang AS DOUBLE) / CAST(c.n_l AS DOUBLE))
+                       AS rate,
+                   CAST(FLOOR(LEAST(1.0, CAST(t.t_per_lang AS DOUBLE)
+                                         / CAST(c.n_l AS DOUBLE))
+                              * {_MIX_HASH_SPACE}) AS BIGINT) AS thr
+            FROM counts c CROSS JOIN totals t
+        ),
+        sampled AS (
+            SELECT d.lang, r.n_l, r.rate,
+                   CASE WHEN CAST('0x' || md5('mix:' || CAST(d.doc_id AS VARCHAR))[1:7]
+                             AS BIGINT) < r.thr THEN 1 ELSE 0 END AS keep
+            FROM documents d JOIN rates r ON d.lang = r.lang
+        ),
+        per_lang AS (
+            SELECT lang, MIN(n_l) AS n_docs, ROUND(MIN(rate), 9) AS sample_rate,
+                   CAST(SUM(keep) AS BIGINT) AS n_sampled
+            FROM sampled GROUP BY lang
+        )
+        SELECT lang, n_docs, sample_rate, n_sampled,
+               ROUND(CAST(n_sampled AS DOUBLE)
+                     / CAST(SUM(n_sampled) OVER () AS DOUBLE), 6) AS achieved_share
+        FROM per_lang
+    """,
+    doc=(
+        "Domain re-balancing toward a target mix — the LM-corpus "
+        "operator that q_sample_stratified's fixed rates can't express: "
+        "acceptance rates are DERIVED from the data (equal share per "
+        "language within a half-corpus token budget, capped at 1.0 for "
+        "under-represented languages). Selection is the same seeded-md5 "
+        "deterministic hash (never rand(): reproducible across runs, "
+        "engines, partitionings), compared against an integer "
+        "threshold in the 2^28 hash space so no float comparison sits "
+        "on a boundary. One groupBy for counts, broadcast rates back, "
+        "one partial-aggregable rollup; the only window runs over the "
+        "per-language result (|langs| rows)."
+    ),
+    tags=("sampling", "corpus", "llm-pipeline"),
+)
+def q_sample_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    totals = counts.agg(
+        F.expr("(cast(sum(n_l) as bigint) div 2) div count(*)").alias("t_per_lang")
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("t_per_lang").cast("double") / F.col("n_l").cast("double")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_l",
+        rate.alias("rate"),
+        F.floor(rate * _MIX_HASH_SPACE).cast("bigint").alias("thr"),
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 7),"
+        " 16, 10) as bigint)"
+    )
+    sampled = d.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "n_l",
+        "rate",
+        F.when(bucket < F.col("thr"), 1).otherwise(0).alias("keep"),
+    )
+    per_lang = sampled.groupBy("lang").agg(
+        F.min("n_l").alias("n_docs"),
+        F.round(F.min("rate"), 9).alias("sample_rate"),
+        F.sum("keep").cast("bigint").alias("n_sampled"),
+    )
+    w_all = Window.partitionBy()
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "sample_rate",
+        "n_sampled",
+        F.round(
+            F.col("n_sampled").cast("double")
+            / F.sum("n_sampled").over(w_all).cast("double"),
+            6,
+        ).alias("achieved_share"),
+    )
