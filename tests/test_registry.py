@@ -28,13 +28,16 @@ def test_oracle_coverage():
     # recursions are not ANSI-SQL-expressible — pinned by
     # tests/test_downsample.py; q_agg_hll_mergeable /
     # q_agg_tdigest_mergeable: sketch state has no DuckDB twin —
-    # determinism + error bounds pinned by tests/test_tdigest.py
+    # determinism + error bounds pinned by tests/test_tdigest.py;
+    # q_events_holt_winters: sequential triple recursion — pinned by
+    # tests/test_analytics_wave4.py
     assert no_oracle <= {
         "q_agg_approx",
         "q_agg_approx_quantile",
         "q_sim_cosine_topk_arrow",
         "q_events_lttb",
         "q_events_holt_forecast",
+        "q_events_holt_winters",
         "q_agg_hll_mergeable",
         "q_agg_tdigest_mergeable",
     }, f"unexpected oracle-less queries: {no_oracle}"
