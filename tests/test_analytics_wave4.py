@@ -238,3 +238,18 @@ def test_target_mix_rebalances_toward_equal_shares(spark):
     sampled_max = max(r["achieved_share"] for r in rows)
     assert sampled_max <= raw_max + 0.05
     assert abs(sum(r["achieved_share"] for r in rows) - 1.0) < 1e-5
+
+
+def test_pct_of_parent_shares_sum_to_one(spark):
+    rows = all_specs()["q_agg_pct_of_parent"].fn(spark, SF).collect()
+    assert rows
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    region_pcts = {}
+    for region, nations in by_region.items():
+        assert abs(sum(n["pct_of_region"] for n in nations) - 1.0) < 1e-4
+        pcts = {n["region_pct_of_total"] for n in nations}
+        assert len(pcts) == 1  # constant within a region
+        region_pcts[region] = pcts.pop()
+    assert abs(sum(region_pcts.values()) - 1.0) < 1e-4

@@ -1104,3 +1104,77 @@ def q_sample_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("achieved_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hierarchical percent-of-parent rollup (nation -> region -> total)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_pct_of_parent",
+    oracle="""
+        WITH nat AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name, n.n_name
+        ),
+        reg AS (
+            SELECT region, SUM(rev) AS region_rev FROM nat GROUP BY region
+        ),
+        tot AS (SELECT SUM(rev) AS total_rev FROM nat)
+        SELECT nat.region, nat.nation,
+               CAST(nat.rev AS DOUBLE) AS nation_revenue,
+               ROUND(CAST(nat.rev AS DOUBLE) / CAST(reg.region_rev AS DOUBLE), 6)
+                   AS pct_of_region,
+               ROUND(CAST(reg.region_rev AS DOUBLE) / CAST(tot.total_rev AS DOUBLE), 6)
+                   AS region_pct_of_total
+        FROM nat JOIN reg USING (region) CROSS JOIN tot
+    """,
+    doc=(
+        "Hierarchical percent-of-parent reporting: each nation's share "
+        "of its region's revenue and each region's share of the grand "
+        "total — the drill-down ratio surface that complements "
+        "q_agg_rollup_cube's subtotals and q_win_ratio_to_report's "
+        "flat shares. Implemented as re-aggregation + broadcast joins "
+        "(child rollup → parent rollup → scalar total), NOT windows: "
+        "each level is partial-aggregable and the parent tables are "
+        "dimension-sized broadcasts, so no level ever funnels fact "
+        "rows through one partition. All revenue partials are "
+        "DECIMAL-exact; ratios divide as DOUBLE once, rounded."
+    ),
+    tags=("aggregate", "join", "reporting"),
+)
+def q_agg_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    reg = nat.groupBy("region").agg(F.sum("rev").alias("region_rev"))
+    tot = nat.agg(F.sum("rev").alias("total_rev"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("nation_revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("region_rev").cast("double"), 6
+            ).alias("pct_of_region"),
+            F.round(
+                F.col("region_rev").cast("double") / F.col("total_rev").cast("double"), 6
+            ).alias("region_pct_of_total"),
+        )
+    )
