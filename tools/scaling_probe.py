@@ -159,6 +159,67 @@ def main() -> None:
         "xN": timed(lambda: cdc_merge(scaled(events, ["user_id", "event_id"], K, STRIDE))),
     }
 
+    def triangles(l):
+        items = l.select("l_orderkey", "l_partkey").dropDuplicates()
+        a, b = items.alias("a"), items.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        edges = (
+            pairs.groupBy("p1", "p2").agg(F.count("*").alias("s")).filter(F.col("s") >= 2)
+        ).select("p1", "p2").persist()
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        n = (
+            e1.join(F.broadcast(e2), F.col("e2.p1") == F.col("e1.p2"))
+            .join(
+                F.broadcast(e3),
+                (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+            )
+            .count()
+        )
+        edges.unpersist()
+        return n
+
+    # scale orders only (keys shift) — baskets keep their size, so the
+    # pair space grows linearly with orders, not quadratically
+    results["triangle_count"] = {
+        "x1": timed(lambda: triangles(li)),
+        "xN": timed(lambda: triangles(scaled(li, ["l_orderkey"], K, STRIDE))),
+    }
+
+    def kmeans_iter(e):
+        from weather_flink_spark.plans.analytics_wave4 import (
+            KMEANS_K,
+            _kmeans_dist_col,
+        )
+        from pyspark.sql import Window
+
+        cent = e.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+        d2 = _kmeans_dist_col("embedding", "c")
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        return (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "comp"))
+            .groupBy("cid", "pos")
+            .agg(F.sum(F.col("comp").cast("double").cast("decimal(18,9)")))
+            .count()
+        )
+
+    results["kmeans_one_iteration"] = {
+        "x1": timed(lambda: kmeans_iter(emb)),
+        "xN": timed(lambda: kmeans_iter(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
     print(json.dumps({"copies": K, "sf": args.sf, "results": results}, indent=2))
