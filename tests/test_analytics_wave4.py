@@ -253,3 +253,44 @@ def test_pct_of_parent_shares_sum_to_one(spark):
         assert len(pcts) == 1  # constant within a region
         region_pcts[region] = pcts.pop()
     assert abs(sum(region_pcts.values()) - 1.0) < 1e-4
+
+
+def test_salted_join_equals_plain_join(spark):
+    out = all_specs()["q_join_skew_salted"].fn(spark, SF)
+    got = out.count()
+    expected = duckdb.sql(
+        f"""SELECT COUNT(*) FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size >= 40"""
+    ).fetchone()[0]
+    assert got == expected
+    assert "__salt" not in out.columns  # the salt never leaks
+
+
+def test_product_aggregate_matches_numpy(spark):
+    rows = {r["user_id"]: r for r in all_specs()["q_agg_product"].fn(spark, SF).collect()}
+    pdf = duckdb.sql(
+        f"""SELECT user_id, ts, event_id, 1.0 + value/1000.0 AS f
+            FROM '{SF}/events.parquet' WHERE event_type='purchase'
+            ORDER BY user_id, ts, event_id"""
+    ).df()
+    for uid, grp in pdf.groupby("user_id"):
+        acc = 1.0
+        for f in grp.f:  # same sequential order as both engines
+            acc *= float(f)
+        r = rows[uid]
+        assert r["n_factors"] == len(grp)
+        assert abs(r["compound_factor"] - acc) < 1e-6
+
+
+def test_funnel_windowed_monotone_stages(spark):
+    r = all_specs()["q_events_funnel_windowed"].fn(spark, SF).collect()[0]
+    assert r["n_users_view"] >= r["n_users_qualified_click"] >= r["n_users_converted"]
+    assert r["n_users_view"] > 0
+    # the windowed funnel can never beat the order-only funnel
+    loose = all_specs()["q_events_funnel"].fn(spark, SF).collect()
+    loose_converted = sum(
+        row["n_users"] for row in loose if row.asDict().get("stage") == "purchase"
+    ) if loose and "stage" in loose[0].asDict() else None
+    if loose_converted is not None:
+        assert r["n_users_converted"] <= loose_converted

@@ -1178,3 +1178,201 @@ def q_agg_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_pct_of_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# salted skew join as a registry-verified query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+               p.p_brand, p.p_retailprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size >= 40
+    """,
+    doc=(
+        "The explicit-salting skew join (operators/skew.salted_join) "
+        "surfaced as a driver-verified query: the fact side gets a "
+        "deterministic hash-mod salt in [0,8), the filtered part "
+        "dimension replicates once per salt, and the join runs on "
+        "(key, salt) — a pathologically hot part key spreads across 8 "
+        "partitions instead of one straggler task. The oracle is the "
+        "plain unsalted join: salting must be result-invariant, which "
+        "is exactly what the hash gate proves. No rand() anywhere, so "
+        "task retries replay identically."
+    ),
+    tags=("join", "skew", "scale"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_retailprice")
+    )
+    return salted_join(li, p, on="l_partkey", n_salts=8, spread_col="l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# PRODUCT aggregate via fixed-order fold (compound growth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_product",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_id, ts,
+                   1.0 + CAST(value AS DOUBLE) / 1000.0 AS factor
+            FROM events WHERE event_type = 'purchase'
+        ),
+        folded AS (
+            SELECT user_id,
+                   COUNT(*) AS n_factors,
+                   LIST(factor ORDER BY ts ASC, event_id ASC) AS fs
+            FROM r GROUP BY user_id
+        )
+        SELECT user_id, n_factors,
+               ROUND(list_reduce(list_prepend(1.0, fs), (acc, x) -> acc * x), 9)
+                   AS compound_factor
+        FROM folded
+    """,
+    doc=(
+        "PRODUCT aggregate — compound growth per user from per-purchase "
+        "factors (1 + value/1000). SQL has no PRODUCT; the textbook "
+        "EXP(SUM(LN(x))) detour loses exactness and diverges between "
+        "libm implementations, so both engines instead multiply the "
+        "factors in the same explicit (ts, event_id) order: Spark "
+        "aggregate() over the frame-collected list == DuckDB "
+        "list_reduce, bit-identical float order. Group sizes are "
+        "per-user purchase counts (bounded); one shuffle on user_id."
+    ),
+    tags=("aggregate", "statistics"),
+)
+def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    factor = (F.lit(1.0) + F.col("value").cast("double") / 1000.0).alias("factor")
+    folded = (
+        e.select("user_id", "event_id", "ts", factor)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_factors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "factor"))),
+                lambda x: x["factor"],
+            ).alias("fs"),
+        )
+    )
+    prod = F.aggregate(F.col("fs"), F.lit(1.0), lambda acc, x: acc * x)
+    return folded.select(
+        "user_id", "n_factors", F.round(prod, 9).alias("compound_factor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-constrained funnel (view -> click <=1h -> purchase <=1h)
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "q_events_funnel_windowed",
+    oracle=f"""
+        WITH staged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END
+                       AS kindr,
+                   epoch_us(ts) AS t_us
+            FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        with_view AS (
+            SELECT *,
+                   MAX(CASE WHEN event_type = 'view' THEN t_us END) OVER w AS view_run
+            FROM staged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, kindr ASC, event_id ASC
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        with_qclick AS (
+            SELECT *,
+                   MAX(CASE WHEN event_type = 'click'
+                             AND view_run >= t_us - {FUNNEL_WINDOW_US}
+                            THEN t_us END) OVER w AS qclick_run
+            FROM with_view
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, kindr ASC, event_id ASC
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+                   AS n_users_view,
+               COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                    AND view_run >= t_us - {FUNNEL_WINDOW_US}
+                                   THEN user_id END) AS n_users_qualified_click,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    AND qclick_run >= t_us - {FUNNEL_WINDOW_US}
+                                   THEN user_id END) AS n_users_converted
+        FROM with_qclick
+    """,
+    doc=(
+        "Time-constrained funnel: a conversion is a purchase within 1 h "
+        "of a click that itself followed a view within 1 h — the "
+        "windowed complement of q_events_funnel's order-only "
+        "conversion. Chained running-frame MAXes (view timestamps, "
+        "then qualified-click timestamps) resolve both hops in two "
+        "window passes over the SAME user_id sort — one shuffle, no "
+        "self-joins, no per-stage subqueries; same-timestamp events "
+        "order view < click < purchase so instantaneous hops count."
+    ),
+    tags=("window", "timeseries", "funnel"),
+)
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    kindr = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+    )
+    t_us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), kindr.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = e.select("user_id", "event_id", "ts", "event_type", t_us.alias("t_us"))
+    view_run = F.max(
+        F.when(F.col("event_type") == "view", F.col("t_us"))
+    ).over(w)
+    with_view = staged.withColumn("view_run", view_run)
+    qclick = F.when(
+        (F.col("event_type") == "click")
+        & (F.col("view_run") >= F.col("t_us") - FUNNEL_WINDOW_US),
+        F.col("t_us"),
+    )
+    with_qclick = with_view.withColumn("qclick_run", F.max(qclick).over(w))
+    return with_qclick.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_users_view"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("view_run") >= F.col("t_us") - FUNNEL_WINDOW_US),
+                F.col("user_id"),
+            )
+        ).alias("n_users_qualified_click"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("qclick_run") >= F.col("t_us") - FUNNEL_WINDOW_US),
+                F.col("user_id"),
+            )
+        ).alias("n_users_converted"),
+    )
