@@ -458,6 +458,22 @@ NEAR_DUP_PAIRS_SQL = f"""
     tags=("dedup", "lsh"),
 )
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(spark, sf_dir)
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached verified near-dup pair table (doc_a, doc_b, jaccard).
+
+    Cached (and persisted) like the signature tables: the pair list is
+    the other artifact a dedup pipeline materializes exactly once —
+    q_dedup_near_minhash emits it, q_dedup_clusters consumes it as its
+    edge set, so the band self-join + Jaccard verification should not
+    re-execute per consumer.
+    """
+    return _cached("pairs", spark, sf_dir, lambda: _near_dup_pairs(spark, sf_dir))
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(spark, sf_dir)
     bands = minhash_bands(spark, sf_dir)
     a = bands.alias("a")
@@ -482,6 +498,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, cand.doc_b == F.col("y.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
+        .persist()
     )
 
 
