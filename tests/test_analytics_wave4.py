@@ -294,3 +294,19 @@ def test_funnel_windowed_monotone_stages(spark):
     ) if loose and "stage" in loose[0].asDict() else None
     if loose_converted is not None:
         assert r["n_users_converted"] <= loose_converted
+
+
+def test_ivf_learned_neighbors_share_cell_and_rank_by_distance(spark):
+    rows = all_specs()["q_sim_ann_ivf_learned"].fn(spark, SF).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, neigh in by_q.items():
+        neigh.sort(key=lambda r: r["k_rank"])
+        assert len(neigh) <= 5
+        assert all(r["vec_id"] != qid for r in neigh)
+        cells = {r["cell"] for r in neigh}
+        assert len(cells) == 1  # nprobe=1: all hits from the query's cell
+        d2s = [r["d2q"] for r in neigh]
+        assert d2s == sorted(d2s)

@@ -860,7 +860,10 @@ def _kmeans_dist_duck(emb: str, cent: str) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_cte_parts() -> list[str]:
+    """The shared CTE chain cent0 → a0 → cent1 → … → a{ITERS} (final
+    assignment over the learned centroids) — reused by the training
+    query's oracle and the learned-IVF search oracle."""
     assign_tpl = """
         a{k} AS (
             SELECT vec_id, embedding, cid, d2 FROM (
@@ -901,6 +904,11 @@ def _kmeans_oracle() -> str:
             k=KMEANS_ITERS, dist=_kmeans_dist_duck("e.embedding", "c.c")
         )
     )
+    return parts
+
+
+def _kmeans_oracle() -> str:
+    parts = _kmeans_cte_parts()
     norm = (
         f"list_reduce(list_prepend(0.0, list_transform(range(1, {_EMB_DIM + 1}),"
         f" i -> c.c[i] * c.c[i])), (acc, x) -> acc + x)"
@@ -929,61 +937,80 @@ def _kmeans_dist_col(emb_col: str, cent_col: str):
     return F.aggregate(F.sequence(F.lit(1), F.lit(_EMB_DIM)), F.lit(0.0), step)
 
 
+def _kmeans_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    d2 = _kmeans_dist_col("embedding", "c")
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        points.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
+    comp = assigned.select("cid", F.posexplode("embedding").alias("pos", "comp"))
+    means = comp.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("comp").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("c")
+    )
+
+
+def kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(learned centroids, final assignment) after KMEANS_ITERS rounds.
+
+    Both cached and persisted per (session, sf_dir) like the dedup
+    signature tables: the trained model and the cell index are the
+    artifacts an ANN pipeline materializes once — the training query
+    and the learned-IVF search both read them.
+    """
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build():
+        e = load(spark, sf_dir, "embeddings")
+        cent = e.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+        for _ in range(KMEANS_ITERS):
+            cent = _kmeans_recompute(_kmeans_assign(e, cent))
+        cent = cent.persist()
+        return cent, _kmeans_assign(e, cent).persist()
+
+    # _cached stores one value per key; keep the pair as a tuple
+    return _cached("kmeans_final", spark, sf_dir, build)
+
+
 @register(
     "q_emb_kmeans_lloyd",
     oracle=_kmeans_oracle(),
     doc=(
         "Lloyd's k-means over the embedding corpus (k=8, 2 unrolled "
         "iterations, seeds = the first 8 vectors) — the training step "
-        "that produces real IVF centroids for q_sim_ann_ivf's search "
-        "side. Each iteration is assign (8-row broadcast centroid "
-        "join, fixed-order squared-distance fold, deterministic "
-        "cid tie-break) + recompute (posexplode to (cid, dim), "
-        "DECIMAL-exact component sums, one hash aggregate; 8*64 rows "
-        "out regardless of corpus size). Inertia sums per-point "
-        "distances through DECIMAL so partition order cannot reorder "
-        "float adds; the oracle replays the identical chained-CTE "
-        "recursion. Per-iteration cost is one broadcast join + one "
-        "partial-aggregable shuffle — the 100 TB shape (PageRank-style "
-        "unrolled loop, no driver-side state)."
+        "that produces real IVF centroids for q_sim_ann_ivf_learned's "
+        "search side. Each iteration is assign (8-row broadcast "
+        "centroid join, fixed-order squared-distance fold, "
+        "deterministic cid tie-break) + recompute (posexplode to "
+        "(cid, dim), DECIMAL-exact component sums, one hash aggregate; "
+        "8*64 rows out regardless of corpus size). Inertia sums "
+        "per-point distances through DECIMAL so partition order cannot "
+        "reorder float adds; the oracle replays the identical "
+        "chained-CTE recursion. Per-iteration cost is one broadcast "
+        "join + one partial-aggregable shuffle — the 100 TB shape "
+        "(PageRank-style unrolled loop, no driver-side state)."
     ),
     tags=("similarity", "ml", "iterative", "scale"),
 )
 def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
-    )
-
-    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-        d2 = _kmeans_dist_col("embedding", "c")
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-        return (
-            points.crossJoin(F.broadcast(centroids))
-            .select("vec_id", "embedding", "cid", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    def recompute(assigned: DataFrame) -> DataFrame:
-        comp = assigned.select("cid", F.posexplode("embedding").alias("pos", "comp"))
-        means = comp.groupBy("cid", "pos").agg(
-            (
-                F.sum(F.col("comp").cast("double").cast("decimal(18,9)")).cast("double")
-                / F.count("*").cast("double")
-            ).alias("m")
-        )
-        return means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
-            ).alias("c")
-        )
-
-    for _ in range(KMEANS_ITERS):
-        cent = recompute(assign(e, cent))
-    final = assign(e, cent)
+    cent, final = kmeans_final_assignment(spark, sf_dir)
     norm2 = F.aggregate(
         F.sequence(F.lit(1), F.lit(_EMB_DIM)),
         F.lit(0.0),
@@ -1375,4 +1402,92 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("user_id"),
             )
         ).alias("n_users_converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF search over the LEARNED centroids (train -> index -> search)
+# ---------------------------------------------------------------------------
+
+IVF_LEARNED_TOP_K = 5
+IVF_LEARNED_N_QUERIES = 5
+
+
+def _ivf_learned_oracle() -> str:
+    n = KMEANS_ITERS
+    dist_qv = _kmeans_dist_duck("q.embedding", "v.embedding").replace(
+        "CAST(q.embedding[i] AS DOUBLE) - v.embedding[i]",
+        "CAST(q.embedding[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE)",
+    )
+    return (
+        "WITH "
+        + ",".join(_kmeans_cte_parts())
+        + f""",
+        q AS (
+            SELECT vec_id AS query_id, embedding, cid AS cell
+            FROM a{n} WHERE vec_id < {IVF_LEARNED_N_QUERIES}
+        )
+        SELECT query_id, vec_id, cell, d2q, k_rank FROM (
+            SELECT q.query_id, v.vec_id, v.cid AS cell,
+                   ROUND({dist_qv}, 9) AS d2q,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dist_qv} ASC, v.vec_id ASC
+                   ) AS k_rank
+            FROM q JOIN a{n} v
+              ON v.cid = q.cell AND v.vec_id <> q.query_id
+        ) WHERE k_rank <= {IVF_LEARNED_TOP_K}
+    """
+    )
+
+
+@register(
+    "q_sim_ann_ivf_learned",
+    oracle=_ivf_learned_oracle(),
+    doc=(
+        "The full train → index → search ANN pipeline: IVF retrieval "
+        "whose cells are the k-means centroids learned by "
+        "q_emb_kmeans_lloyd (shared session-cached model + assignment, "
+        "so training never re-runs per consumer). Each of the first 5 "
+        "vectors queries its own learned cell (nprobe=1) and returns "
+        "the 5 nearest neighbours by the same fixed-order "
+        "squared-distance fold used in training — metric-consistent "
+        "end to end. Search cost is |cell| per query, never the "
+        "corpus; the oracle replays training and search as one CTE "
+        "chain."
+    ),
+    tags=("similarity", "ann", "ivf", "ml"),
+)
+def q_sim_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final = kmeans_final_assignment(spark, sf_dir)
+    cells = final.select("vec_id", "embedding", F.col("cid").alias("cell"))
+    q = cells.filter(F.col("vec_id") < IVF_LEARNED_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+
+    def step(acc, i):
+        d = F.element_at(F.col("q_emb"), i.cast("int")).cast("double") - F.element_at(
+            F.col("embedding"), i.cast("int")
+        ).cast("double")
+        return acc + d * d
+
+    d2q = F.aggregate(F.sequence(F.lit(1), F.lit(_EMB_DIM)), F.lit(0.0), step)
+    w = Window.partitionBy("query_id").orderBy(F.col("d2q_raw").asc(), F.col("vec_id").asc())
+    return (
+        cells.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "cell", d2q.alias("d2q_raw"))
+        .withColumn("k_rank", F.row_number().over(w))
+        .filter(F.col("k_rank") <= IVF_LEARNED_TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.round(F.col("d2q_raw"), 9).alias("d2q"),
+            "k_rank",
+        )
     )
