@@ -209,3 +209,19 @@ def test_rocksdb_state_store_provider_works(spark):
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocks_result == default_result and len(rocks_result) > 0
+
+
+def test_dedup_within_watermark_state_expires(spark):
+    """Each device must emit once per burst: duplicates inside a burst
+    collapse, and burst-2 re-emits because burst-1's key state expired
+    with the watermark (plain dropDuplicates would suppress it)."""
+    from weather_flink_spark.plans.registry import all_specs
+
+    rows = all_specs()["s_dedup_within_watermark"].fn(spark, "/root/testdata/sf0.001").collect()
+    per_dev: dict[str, int] = {}
+    for r in rows:
+        per_dev[str(r["deviceId"])] = per_dev.get(str(r["deviceId"]), 0) + 1
+    for dev in ("dev-0", "dev-1", "dev-2"):
+        assert per_dev[dev] == 2, per_dev  # one per burst — state expired between
+    assert per_dev["dev-9"] == 1 and per_dev["dev-8"] == 1
+    assert len(rows) == 8

@@ -458,3 +458,62 @@ def s_foreachbatch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("deviceId")
     )
+
+
+@register(
+    "s_dedup_within_watermark",
+    doc=(
+        "dropDuplicatesWithinWatermark (Spark 3.5+): per-device dedup "
+        "whose state EXPIRES with the watermark — the bounded-state "
+        "streaming dedup (plain dropDuplicates keeps non-event-time "
+        "key state forever). Three ordered micro-batches: batch 1 "
+        "(burst 1, duplicated wholesale) collapses to one row per "
+        "device; batch 2 (a fresh device far in the future) advances "
+        "the watermark beyond burst 1's expiry; batch 3 (burst 2 for "
+        "the SAME devices, duplicated) emits again because the old "
+        "key state was evicted — the re-emission plain dropDuplicates "
+        "would suppress."
+    ),
+    tags=("streaming",),
+)
+def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.streaming.jobs import dedup_stream_within_watermark
+
+    _configure(spark)
+    with _small_state(spark):
+        d = os.path.join(tempfile.gettempdir(), f"wfs_stream_ddww_{os.getpid()}")
+        values = fx.json_framed_values()
+        # good records only; split by burst (timestamp offset < 30 s)
+        import json as _json
+
+        def ts_of(v: bytes) -> int:
+            return _json.loads(v[1:])["timestamp"]
+
+        good = [v for v in values if v[0:1] in (b"\x00", b"\x01")]
+        good = [v for v in good if b"timestamp" in v and b"deviceId" in v]
+        burst1 = [v for v in good if ts_of(v) < fx.BASE_MS + 30_000]
+        burst2 = [v for v in good if ts_of(v) >= fx.BASE_MS + 30_000]
+        fx.write_value_files(spark, d, burst1 * 2, n_files=1)
+        # two advancing batches: the watermark computed from batch 2 is
+        # APPLIED to state eviction one batch later (the same lag
+        # s_late_data documents), so batch 3 re-advances and batch 4's
+        # burst 2 sees burst-1 state already evicted (expiry base+6.5 s
+        # < applied watermark base+11.5 s) while staying on time
+        # (burst-2 times base+60 s > watermark)
+        future = [
+            fx.frame(1, b'{"deviceId": "dev-9", "timestamp": %d}' % (fx.BASE_MS + 15_000))
+        ]
+        future2 = [
+            fx.frame(1, b'{"deviceId": "dev-8", "timestamp": %d}' % (fx.BASE_MS + 16_000))
+        ]
+        now = time.time()
+        for i, batch in enumerate((future, future2, burst2 * 2), start=1):
+            p = fx.append_value_file(d, batch, f"ddww-batch-{i}.parquet")
+            os.utime(p, (now + 60 * i, now + 60 * i))
+        raw = fx.read_value_stream(spark, d)  # maxFilesPerTrigger=1 → ordered
+        return run_to_memory(
+            dedup_stream_within_watermark(
+                with_event_time(decode_framed_json(raw, known_magics=(0, 1)))
+            ),
+            output_mode="append",
+        )

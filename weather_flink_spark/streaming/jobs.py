@@ -325,3 +325,12 @@ def presence_transitions_tws(df: DataFrame, gap_ms: int = 30_000) -> DataFrame:
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+def dedup_stream_within_watermark(df: DataFrame) -> DataFrame:
+    """Spark 3.5+ ``dropDuplicatesWithinWatermark``: dedups per deviceId
+    when duplicates land within the watermark delay of each other, and
+    expires the dedup state by watermark — bounded state even when the
+    same key recurs forever, the contract dropDuplicates (state never
+    expires for keys without event-time columns) cannot give."""
+    return df.dropDuplicatesWithinWatermark(["deviceId"])
