@@ -310,3 +310,24 @@ def test_ivf_learned_neighbors_share_cell_and_rank_by_distance(spark):
         assert len(cells) == 1  # nprobe=1: all hits from the query's cell
         d2s = [r["d2q"] for r in neigh]
         assert d2s == sorted(d2s)
+
+
+def test_perplexity_scores_all_multiword_docs(spark):
+    rows = all_specs()["q_text_perplexity_bigram"].fn(spark, SF).collect()
+    n_docs = duckdb.sql(
+        f"""SELECT COUNT(*) FROM '{SF}/documents.parquet'
+            WHERE len(list_filter(string_split(text,' '), t -> t <> '')) >= 2"""
+    ).fetchone()[0]
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["avg_nll"] >= 0.0  # -mean(ln p), p <= 1
+        assert r["n_bigrams"] >= 1
+
+
+def test_paths_topk_counts_and_order(spark):
+    rows = all_specs()["q_events_paths_topk"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert len(r["path"].split(">")) == 3

@@ -1491,3 +1491,156 @@ def q_sim_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-document perplexity under the corpus bigram LM
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_perplexity_bigram",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tok
+            FROM documents
+        ),
+        doc_big AS (
+            SELECT doc_id,
+                   UNNEST(range(1, len(tok))) AS pos,
+                   UNNEST(list_transform(range(1, len(tok)),
+                          i -> tok[i] || ' ' || tok[i + 1])) AS bigram
+            FROM tok WHERE len(tok) >= 2
+        ),
+        bc AS (
+            SELECT bigram, COUNT(*) AS c_bigram FROM doc_big GROUP BY bigram
+        ),
+        pc AS (
+            SELECT string_split(bigram, ' ')[1] AS prefix, SUM(c_bigram) AS c_prefix
+            FROM bc GROUP BY 1
+        ),
+        model AS (
+            SELECT bc.bigram,
+                   CAST(bc.c_bigram AS DOUBLE) / CAST(pc.c_prefix AS DOUBLE) AS p
+            FROM bc JOIN pc ON string_split(bc.bigram, ' ')[1] = pc.prefix
+        ),
+        scored AS (
+            SELECT d.doc_id, d.pos, LN(m.p) AS lnp
+            FROM doc_big d JOIN model m ON m.bigram = d.bigram
+        ),
+        folded AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   LIST(lnp ORDER BY pos ASC) AS ls
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               ROUND(-list_reduce(list_prepend(0.0, ls), (acc, x) -> acc + x)
+                     / CAST(n_bigrams AS DOUBLE), 6) AS avg_nll
+        FROM folded
+    """,
+    doc=(
+        "Per-document average negative log-likelihood under the "
+        "corpus's own bigram LM — the perplexity-style quality signal "
+        "LM pipelines filter on (high avg_nll = the document's word "
+        "transitions are rare in the corpus). The model is the exact "
+        "conditional ratio c(w1 w2)/c(w1 ·) (integers → one DOUBLE "
+        "division); per-token LN terms fold in explicit position order "
+        "on both engines; avg_nll rather than exp(avg) keeps libm's "
+        "exp out of the comparison. Three partial-aggregated shuffles "
+        "(bigram counts, prefix counts, per-doc fold) + one model "
+        "join — at corpus scale the model is a table join, never a "
+        "driver-side dictionary."
+    ),
+    tags=("text-analysis", "lm", "llm-pipeline"),
+)
+def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = F.expr("filter(split(text, ' '), t -> t <> '')")
+    doc_big = (
+        d.select("doc_id", tok.alias("tok"))
+        .filter(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(tok) - 2),"
+                    " i -> concat(tok[i], ' ', tok[i + 1]))"
+                )
+            ).alias("pos0", "bigram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "bigram")
+    )
+    bc = doc_big.groupBy("bigram").agg(F.count("*").alias("c_bigram")).persist()
+    prefix = F.split(F.col("bigram"), " ")[0]
+    pc = bc.groupBy(prefix.alias("prefix")).agg(F.sum("c_bigram").alias("c_prefix"))
+    model = bc.join(F.broadcast(pc), prefix == F.col("prefix")).select(
+        "bigram",
+        (F.col("c_bigram").cast("double") / F.col("c_prefix").cast("double")).alias("p"),
+    )
+    scored = doc_big.join(model, "bigram").select(
+        "doc_id", "pos", F.log(F.col("p")).alias("lnp")
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lnp"))), lambda x: x["lnp"]
+        ).alias("ls"),
+    )
+    s = F.aggregate(F.col("ls"), F.lit(0.0), lambda acc, x: acc + x)
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-s / F.col("n_bigrams").cast("double"), 6).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k 3-event user paths (sequence mining)
+# ---------------------------------------------------------------------------
+
+PATHS_TOP_K = 10
+
+
+@register(
+    "q_events_paths_topk",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id,
+                   LAG(event_type, 2) OVER w AS t1,
+                   LAG(event_type, 1) OVER w AS t2,
+                   event_type AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+        FROM seq WHERE t1 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path ASC
+        LIMIT {PATHS_TOP_K}
+    """,
+    doc=(
+        "Top-10 three-event user paths (sequence mining): two LAGs "
+        "inside one user_id sort build each sliding event trigram, a "
+        "partial-aggregable groupBy counts paths (at most "
+        "|event_types|^3 keys — bounded whatever the event volume), "
+        "and the global top-10 plans as TakeOrderedAndProject with a "
+        "lexical tie-break. One fact shuffle total."
+    ),
+    tags=("window", "timeseries", "sequence"),
+)
+def q_events_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    path = F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    return (
+        seq.select(path)
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(PATHS_TOP_K)
+    )
