@@ -331,3 +331,26 @@ def test_paths_topk_counts_and_order(spark):
     assert ns == sorted(ns, reverse=True)
     for r in rows:
         assert len(r["path"].split(">")) == 3
+
+
+def test_nearest_dup_symmetric_and_unique(spark):
+    rows = all_specs()["q_dedup_nearest_per_doc"].fn(spark, SF).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert len(by_doc) == len(rows)  # one nearest per doc
+    for r in rows:
+        assert r["doc_id"] != r["nearest_dup"]
+        assert 0.5 <= r["jaccard"] <= 1.0  # pairs pass the verify threshold
+        # nearness is mutual membership: the partner also has a nearest
+        assert r["nearest_dup"] in by_doc
+
+
+def test_key_skew_ratios_consistent(spark):
+    rows = all_specs()["q_diag_key_skew"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    cs = [r["c"] for r in rows]
+    assert cs == sorted(cs, reverse=True)
+    n_keys = rows[0]["n_keys"]
+    total = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+    for r in rows:
+        expected_ratio = r["c"] / (total / n_keys)
+        assert abs(r["skew_ratio"] - expected_ratio) < 1e-4

@@ -1644,3 +1644,126 @@ def q_events_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(PATHS_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest near-duplicate per document (dedup triage view)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_dup_oracle() -> str:
+    from weather_flink_spark.plans.llm_pipeline import NEAR_DUP_PAIRS_SQL
+
+    return f"""
+        WITH pairs AS ({NEAR_DUP_PAIRS_SQL}),
+        sym AS (
+            SELECT doc_a AS doc_id, doc_b AS other_id, jaccard FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS other_id, jaccard FROM pairs
+        )
+        SELECT doc_id, other_id AS nearest_dup, jaccard FROM (
+            SELECT doc_id, other_id, jaccard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY jaccard DESC, other_id ASC
+                   ) AS rn
+            FROM sym
+        ) WHERE rn = 1
+    """
+
+
+@register(
+    "q_dedup_nearest_per_doc",
+    oracle=_nearest_dup_oracle(),
+    doc=(
+        "Dedup triage view: for every document with at least one "
+        "verified near-duplicate, its single closest match (highest "
+        "Jaccard, doc-id tie-break). Rides the session-cached verified "
+        "pair table — zero new pair generation — symmetrized and "
+        "ranked with one window over the pair list (|pairs| rows, a "
+        "sliver of the corpus), so the triage view is essentially free "
+        "once the dedup pass has run."
+    ),
+    tags=("dedup", "lsh", "reporting"),
+)
+def q_dedup_nearest_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import near_dup_pairs
+
+    pairs = near_dup_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other_id"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other_id"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("other_id").asc()
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("other_id").alias("nearest_dup"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 20
+
+
+@register(
+    "q_diag_key_skew",
+    oracle=f"""
+        WITH freq AS (
+            SELECT l_partkey AS key, COUNT(*) AS c FROM lineitem GROUP BY 1
+        ),
+        stats AS (
+            SELECT CAST(MAX(c) AS BIGINT) AS max_c,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_keys
+            FROM freq
+        )
+        SELECT f.key, CAST(f.c AS BIGINT) AS c,
+               ROUND(CAST(f.c AS DOUBLE)
+                     / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE)), 6)
+                   AS skew_ratio,
+               s.n_keys
+        FROM freq f CROSS JOIN stats s
+        ORDER BY f.c DESC, f.key ASC
+        LIMIT {SKEW_TOP_N}
+    """,
+    doc=(
+        "Join-key skew diagnostics — the profiling pass run before "
+        "choosing salting/AQE strategies on a 100 TB join: per-key "
+        "frequency of lineitem.l_partkey, each hot key's ratio to the "
+        "mean key frequency, and the top-20 hottest keys "
+        "(TakeOrderedAndProject, key tie-break). One partial-"
+        "aggregable groupBy + a single broadcast stats row; pairs with "
+        "operators/skew.salted_join, whose salt count this output "
+        "sizes."
+    ),
+    tags=("diagnostics", "aggregate", "scale"),
+)
+def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(F.count("*").alias("c"))
+    stats = freq.agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    mean_c = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "c",
+            F.round(F.col("c").cast("double") / mean_c, 6).alias("skew_ratio"),
+            "n_keys",
+        )
+        .orderBy(F.col("c").desc(), F.col("key").asc())
+        .limit(SKEW_TOP_N)
+    )
