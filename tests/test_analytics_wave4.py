@@ -354,3 +354,33 @@ def test_key_skew_ratios_consistent(spark):
     for r in rows:
         expected_ratio = r["c"] / (total / n_keys)
         assert abs(r["skew_ratio"] - expected_ratio) < 1e-4
+
+
+def test_ab_proportions_counts_and_z(spark):
+    r = all_specs()["q_stats_ab_proportions"].fn(spark, SF).collect()[0]
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert r["n0"] + r["n1"] == n_users
+    assert 0 <= r["c0"] <= r["n0"] and 0 <= r["c1"] <= r["n1"]
+    if r["z_score"] is not None:
+        # z must match the textbook pooled formula recomputed in python
+        import math
+        p0, p1 = r["c0"] / r["n0"], r["c1"] / r["n1"]
+        pool = (r["c0"] + r["c1"]) / (r["n0"] + r["n1"])
+        z = (p1 - p0) / math.sqrt(pool * (1 - pool) * (1 / r["n0"] + 1 / r["n1"]))
+        assert abs(r["z_score"] - z) < 1e-5
+
+
+def test_frame_sample_reconstructs_text_slices(spark):
+    rows = all_specs()["q_multimodal_frame_sample"].fn(spark, SF).collect()
+    assert rows
+    import hashlib
+    texts = dict(
+        duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    )
+    for r in rows[:50]:
+        sl = texts[r["doc_id"]].encode()[r["frame_idx"] * 32 : (r["frame_idx"] + 1) * 32]
+        assert r["frame_bytes"] == len(sl)
+        assert r["frame_md5"] == hashlib.md5(sl).hexdigest()
+        assert r["frame_idx"] % 4 == 0

@@ -1767,3 +1767,144 @@ def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), F.col("key").asc())
         .limit(SKEW_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal frame sampling (video-analog UDTF fan-out)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, strlen(text) // 32 AS n_frames FROM documents
+        ),
+        frames AS (
+            SELECT doc_id, UNNEST(range(0, n_frames, 4)) AS frame_idx, text
+            FROM t WHERE n_frames > 0
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(strlen(substr(text, frame_idx * 32 + 1, 32)) AS BIGINT)
+                   AS frame_bytes,
+               md5(substr(text, frame_idx * 32 + 1, 32)) AS frame_md5
+        FROM frames
+    """,
+    doc=(
+        "Multimodal frame sampling surfaced as a driver-verified query: "
+        "every 4th 32-byte frame of each opaque payload fans out inside "
+        "the Arrow batch (operators/multimodal.sample_frames — the "
+        "video keyframe-extraction shape: one row in, N frame rows "
+        "out, no shuffle, binary never exploded through an exchange). "
+        "Payloads are UTF-8 text bytes (pure-ASCII corpus: byte slices "
+        "== char slices), so the DuckDB oracle reproduces each frame "
+        "with substr and checks its md5 byte-exactly — the plumbing "
+        "proof that a real ffmpeg kernel would inherit."
+    ),
+    tags=("multimodal", "pandas-udf", "llm-pipeline"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.multimodal import attach_payload, sample_frames
+
+    d = load(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(d), frame_size=32, stride=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_bytes",
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z-test on conversion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stats_ab_proportions",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST('0x' || md5('ab:' || CAST(user_id AS VARCHAR))[1:7]
+                        AS BIGINT) % 2 AS variant,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 95 THEN 1
+                            ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT variant,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM per_user GROUP BY variant
+        ),
+        wide AS (
+            SELECT CAST(MIN(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n0,
+                   MIN(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+                   CAST(MIN(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n1,
+                   MIN(CASE WHEN variant = 1 THEN n_converted END) AS c1
+            FROM cells
+        )
+        SELECT n0, c0, n1, c1,
+               ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
+                   AS rate_diff,
+               CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+                    ELSE ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                         / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                                * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                                * (1.0 / n0 + 1.0 / n1)), 6) END AS z_score
+        FROM wide
+    """,
+    doc=(
+        "A/B experiment readout: deterministic 50/50 variant "
+        "assignment from a seeded md5 of the user id (the same "
+        "never-rand() discipline as the samplers — assignment is "
+        "reproducible across runs and engines), per-user conversion = "
+        "any purchase, and the pooled two-proportion z statistic. "
+        "Complements q_stats_welch_ttest (means) with the proportions "
+        "test every experimentation pipeline runs. All counts are "
+        "integer-exact; the only floats are the final ratios and the "
+        "IEEE-correctly-rounded SQRT, identical on both engines. Two "
+        "partial-aggregable groupBys (user rollup, then 2 cells)."
+    ),
+    tags=("aggregate", "statistics", "experimentation"),
+)
+def q_stats_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    variant = F.expr(
+        "cast(conv(substring(md5(concat('ab:', cast(user_id as string))), 1, 7),"
+        " 16, 10) as bigint) % 2"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.first(variant).alias("variant"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 95), 1).otherwise(0)
+        ).alias("converted"),
+    )
+    cells = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("converted").cast("bigint").alias("n_converted")
+    )
+    wide = cells.agg(
+        F.min(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.min(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.min(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.min(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    degenerate = ((F.col("c0") + F.col("c1")) == 0) | (
+        (F.col("c0") + F.col("c1")) == (F.col("n0") + F.col("n1"))
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p1 - p0, 6).alias("rate_diff"),
+        F.when(~degenerate, F.round(z, 6)).alias("z_score"),
+    )
