@@ -384,3 +384,25 @@ def test_frame_sample_reconstructs_text_slices(spark):
         assert r["frame_bytes"] == len(sl)
         assert r["frame_md5"] == hashlib.md5(sl).hexdigest()
         assert r["frame_idx"] % 4 == 0
+
+
+def test_inter_arrival_gap_accounting(spark):
+    rows = all_specs()["q_events_inter_arrival"].fn(spark, SF).collect()
+    pdf = duckdb.sql(
+        f"SELECT event_type, COUNT(*) n, epoch_us(MAX(ts)) - epoch_us(MIN(ts)) span "
+        f"FROM '{SF}/events.parquet' GROUP BY 1"
+    ).df()
+    info = {r.event_type: r for r in pdf.itertuples()}
+    for r in rows:
+        i = info[r["event_type"]]
+        assert r["n_gaps"] == i.n - 1  # one gap fewer than events
+        assert r["total_us"] == i.span  # gaps telescope to the span
+        assert r["min_gap_us"] <= r["p50_gap_us"] <= r["max_gap_us"]
+
+
+def test_zipf_slope_negative_and_plausible(spark):
+    r = all_specs()["q_text_zipf_slope"].fn(spark, SF).collect()[0]
+    assert r["n"] <= 1000
+    # rank-frequency must fall: slope strictly negative, and not absurd
+    assert -5.0 < r["zipf_slope"] < 0.0
+    assert r["intercept"] > 0.0

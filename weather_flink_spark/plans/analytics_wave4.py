@@ -1908,3 +1908,147 @@ def q_stats_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 - p0, 6).alias("rate_diff"),
         F.when(~degenerate, F.round(z, 6)).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival time statistics per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_inter_arrival",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                   )) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(gap_us) AS n_gaps,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(SUM(gap_us) AS BIGINT) AS total_us,
+               ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0, 6)
+                   AS mean_gap_s,
+               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us) AS DOUBLE)
+                   AS p50_gap_us
+        FROM gaps GROUP BY event_type
+    """,
+    doc=(
+        "Arrival-process profile per event type: consecutive-event gaps "
+        "from one LAG inside the event_type sort, then integer-exact "
+        "min/max/sum (microseconds — no float accumulates) plus the "
+        "exact interpolated median gap. The mean divides once as "
+        "DOUBLE. One shuffle on event_type; the per-type gap count is "
+        "the fact volume, all partial-aggregable except the exact "
+        "percentile, whose per-group sort rides the shuffle already "
+        "paid."
+    ),
+    tags=("window", "timeseries", "statistics"),
+)
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = e.select("event_type", gap.alias("gap_us"))
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_us"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("gap_us") / 1_000_000.0, 6
+        ).alias("mean_gap_s"),
+        F.expr("CAST(percentile(gap_us, 0.5) AS DOUBLE)").alias("p50_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law slope over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 1000
+
+
+@register(
+    "q_text_zipf_slope",
+    oracle=f"""
+        WITH tf AS (
+            SELECT token, COUNT(*) AS c FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+            ) WHERE token <> '' GROUP BY token
+        ),
+        top AS (
+            SELECT token, c FROM tf ORDER BY c DESC, token ASC LIMIT {ZIPF_TOP_N}
+        ),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r FROM top
+        ),
+        pts AS (
+            SELECT CAST(LN(CAST(r AS DOUBLE)) AS DECIMAL(20,12)) AS x,
+                   CAST(LN(CAST(c AS DOUBLE)) AS DECIMAL(20,12)) AS y
+            FROM ranked
+        ),
+        m AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx
+            FROM pts
+        )
+        SELECT n,
+               ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+               ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n AS DOUBLE), 6) AS intercept
+        FROM m
+    """,
+    doc=(
+        "Zipf-law fit over the corpus vocabulary: OLS slope of "
+        "ln(count) ~ ln(rank) for the top-1000 tokens (natural text "
+        "sits near -1; synthetic or template-heavy corpora deviate — a "
+        "corpus-health signal). Scale shape: token counts are one "
+        "partial-aggregable groupBy, the top-1000 is "
+        "TakeOrderedAndProject, and ranking happens on the bounded "
+        "1000-row result. Float discipline: each transcendental LN "
+        "term is QUANTIZED to DECIMAL(20,12) — one deterministic "
+        "rounding per value — so the moment sums are exact decimal "
+        "arithmetic, order-independent without any fold; only the "
+        "closed-form slope divides as DOUBLE. The same trick lets any "
+        "log/exp-derived measure aggregate at scale without "
+        "collect_list."
+    ),
+    tags=("text-analysis", "statistics", "scale"),
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    top = tf.orderBy(F.col("c").desc(), F.col("token").asc()).limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    ranked = top.withColumn("r", F.row_number().over(w))
+    x = F.log(F.col("r").cast("double")).cast("decimal(20,12)")
+    y = F.log(F.col("c").cast("double")).cast("decimal(20,12)")
+    m = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
+    )
