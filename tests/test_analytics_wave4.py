@@ -406,3 +406,32 @@ def test_zipf_slope_negative_and_plausible(spark):
     # rank-frequency must fall: slope strictly negative, and not absurd
     assert -5.0 < r["zipf_slope"] < 0.0
     assert r["intercept"] > 0.0
+
+
+def test_anomaly_density_matches_numpy(spark):
+    rows = all_specs()["q_emb_anomaly_density"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["anomaly_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # recompute the top score with numpy end-to-end
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    vec_ids = emb.vec_id.to_numpy()
+    idx = np.arange(64)
+    planes = np.stack(
+        [((1103515245 * (64 * p + idx) + 12345) % 97) - 48 for p in range(4)]
+    ).astype(np.float64)
+    proj = X @ planes.T  # (n, 4)
+    score = np.zeros(len(X))
+    for p in range(4):
+        x = proj[:, p]
+        b = np.minimum(np.floor((x - x.min()) / (x.max() - x.min()) * 16).astype(int), 15)
+        counts = np.bincount(b, minlength=16)
+        score += -np.log(counts[b] / len(X))
+    score /= 4
+    top = rows[0]
+    i = int(np.where(vec_ids == top["vec_id"])[0][0])
+    assert abs(top["anomaly_score"] - score[i]) < 1e-4
+    assert score.max() - 1e-6 <= score[i]  # the reported top is the true max

@@ -2052,3 +2052,144 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# density-based embedding anomaly scoring (random-projection histograms)
+# ---------------------------------------------------------------------------
+
+ANOM_N_PLANES = 4
+ANOM_N_BINS = 16
+ANOM_TOP_N = 20
+
+
+def _anom_proj_spark(p: int) -> str:
+    from weather_flink_spark.plans.llm_extra import _PLANE_SPARK
+
+    return (
+        f"aggregate(sequence(1, {_EMB_DIM}), cast(0.0 as double), (acc, i) -> "
+        f"acc + cast(element_at(embedding, cast(i as int)) as double)"
+        f" * cast({_PLANE_SPARK.format(p=p)} as double))"
+    )
+
+
+def _anom_proj_duck(p: int) -> str:
+    from weather_flink_spark.plans.llm_extra import _PLANE_DUCK
+
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_EMB_DIM + 1}),"
+        f" i -> CAST(embedding[i] AS DOUBLE)"
+        f" * CAST({_PLANE_DUCK.format(p=p)} AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _anom_oracle() -> str:
+    projs = ", ".join(f"{_anom_proj_duck(p)} AS x{p}" for p in range(ANOM_N_PLANES))
+    bin_exprs = ", ".join(
+        f"LEAST(CAST(FLOOR((x{p} - min_x{p}) / (max_x{p} - min_x{p})"
+        f" * {ANOM_N_BINS}) AS BIGINT), {ANOM_N_BINS - 1}) AS b{p}"
+        for p in range(ANOM_N_PLANES)
+    )
+    stat_cols = ", ".join(
+        f"MIN(x{p}) AS min_x{p}, MAX(x{p}) AS max_x{p}" for p in range(ANOM_N_PLANES)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT vec_id, {p} AS plane, b{p} AS bin FROM binned"
+        for p in range(ANOM_N_PLANES)
+    )
+    return f"""
+        WITH proj AS (
+            SELECT vec_id, {projs} FROM embeddings
+        ),
+        stats AS (SELECT {stat_cols}, COUNT(*) AS n FROM proj),
+        binned AS (
+            SELECT p.vec_id, {bin_exprs}
+            FROM proj p CROSS JOIN stats
+        ),
+        melted AS ({melt}),
+        dens AS (
+            SELECT plane, bin, COUNT(*) AS c FROM melted GROUP BY plane, bin
+        ),
+        scored AS (
+            SELECT m.vec_id,
+                   CAST(LN(CAST(d.c AS DOUBLE)
+                           / (SELECT CAST(n AS DOUBLE) FROM stats))
+                        AS DECIMAL(20,12)) AS lnp
+            FROM melted m JOIN dens d ON d.plane = m.plane AND d.bin = m.bin
+        )
+        SELECT vec_id,
+               ROUND(CAST(-SUM(lnp) AS DOUBLE) / {ANOM_N_PLANES}, 6) AS anomaly_score
+        FROM scored GROUP BY vec_id
+        ORDER BY anomaly_score DESC, vec_id ASC
+        LIMIT {ANOM_TOP_N}
+    """
+
+
+@register(
+    "q_emb_anomaly_density",
+    oracle=_anom_oracle(),
+    doc=(
+        "Density-based embedding anomaly scoring — the isolation-"
+        "forest-flavored op expressed declaratively: each vector "
+        "projects onto 4 fixed integer hyperplanes (the deterministic "
+        "LCG planes shared with the sign-LSH dedup), each projection "
+        "buckets into 16 equal-width bins over the observed range, and "
+        "a vector's anomaly score is the mean negative log of its "
+        "bins' occupancy mass — points in sparse histogram cells "
+        "across several projections score high. LN terms quantize to "
+        "DECIMAL(20,12) (the Zipf trick) so per-vector sums are exact "
+        "and order-independent; the top-20 is deterministic. Cost: one "
+        "projection scan, a 4x melt, a 64-cell density table joined "
+        "back broadcast — fully partial-aggregable at corpus scale."
+    ),
+    tags=("similarity", "statistics", "anomaly", "llm-pipeline"),
+)
+def q_emb_anomaly_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "vec_id",
+        *[F.expr(_anom_proj_spark(p)).alias(f"x{p}") for p in range(ANOM_N_PLANES)],
+    )
+    stats = proj.agg(
+        F.count("*").alias("n"),
+        *[F.min(f"x{p}").alias(f"min_x{p}") for p in range(ANOM_N_PLANES)],
+        *[F.max(f"x{p}").alias(f"max_x{p}") for p in range(ANOM_N_PLANES)],
+    )
+    binned = proj.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "n",
+        *[
+            F.least(
+                F.floor(
+                    (F.col(f"x{p}") - F.col(f"min_x{p}"))
+                    / (F.col(f"max_x{p}") - F.col(f"min_x{p}"))
+                    * ANOM_N_BINS
+                ).cast("bigint"),
+                F.lit(ANOM_N_BINS - 1),
+            ).alias(f"b{p}")
+            for p in range(ANOM_N_PLANES)
+        ],
+    )
+    melted = None
+    for p in range(ANOM_N_PLANES):
+        part = binned.select(
+            "vec_id", "n", F.lit(p).alias("plane"), F.col(f"b{p}").alias("bin")
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    dens = melted.groupBy("plane", "bin").agg(F.count("*").alias("c"))
+    lnp = F.log(F.col("c").cast("double") / F.col("n").cast("double")).cast(
+        "decimal(20,12)"
+    )
+    scored = melted.join(F.broadcast(dens), ["plane", "bin"]).select(
+        "vec_id", lnp.alias("lnp")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.round(
+                (-F.sum("lnp")).cast("double") / ANOM_N_PLANES, 6
+            ).alias("anomaly_score")
+        )
+        .orderBy(F.col("anomaly_score").desc(), F.col("vec_id").asc())
+        .limit(ANOM_TOP_N)
+    )
