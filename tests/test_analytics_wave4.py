@@ -435,3 +435,22 @@ def test_anomaly_density_matches_numpy(spark):
     i = int(np.where(vec_ids == top["vec_id"])[0][0])
     assert abs(top["anomaly_score"] - score[i]) < 1e-4
     assert score.max() - 1e-6 <= score[i]  # the reported top is the true max
+
+
+def test_mix_shift_effects_telescope_to_delta(spark):
+    rows = all_specs()["q_orders_mix_shift"].fn(spark, SF).collect()
+    assert rows
+    avg0, avg1 = duckdb.sql(
+        f"""SELECT
+              SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_totalprice END)
+              / COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END),
+              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN o_totalprice END)
+              / COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 END)
+            FROM '{SF}/orders.parquet'
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'"""
+    ).fetchone()
+    total_effect = sum(r["rate_effect"] + r["mix_effect"] for r in rows)
+    assert abs(total_effect - (avg1 - avg0)) < 1e-3  # decomposition identity
+    assert abs(sum(r["w0"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["w1"] for r in rows) - 1.0) < 1e-4

@@ -2193,3 +2193,104 @@ def q_emb_anomaly_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("anomaly_score").desc(), F.col("vec_id").asc())
         .limit(ANOM_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# mix-shift decomposition of a metric change (rate vs composition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_mix_shift",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' THEN 1
+                        ELSE 0 END AS period,
+                   COUNT(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT period, CAST(SUM(n) AS BIGINT) AS big_n FROM cells GROUP BY period
+        ),
+        wide AS (
+            SELECT c.o_orderpriority,
+                   CAST(MIN(CASE WHEN c.period = 0 THEN c.n END) AS BIGINT) AS n0,
+                   CAST(MIN(CASE WHEN c.period = 1 THEN c.n END) AS BIGINT) AS n1,
+                   CAST(MIN(CASE WHEN c.period = 0 THEN c.s END) AS DOUBLE) AS s0,
+                   CAST(MIN(CASE WHEN c.period = 1 THEN c.s END) AS DOUBLE) AS s1,
+                   (SELECT CAST(big_n AS DOUBLE) FROM tot WHERE period = 0) AS t0,
+                   (SELECT CAST(big_n AS DOUBLE) FROM tot WHERE period = 1) AS t1
+            FROM cells c GROUP BY c.o_orderpriority
+        )
+        SELECT o_orderpriority,
+               ROUND(CAST(n0 AS DOUBLE) / t0, 6) AS w0,
+               ROUND(CAST(n1 AS DOUBLE) / t1, 6) AS w1,
+               ROUND(s0 / n0, 6) AS r0,
+               ROUND(s1 / n1, 6) AS r1,
+               ROUND((CAST(n1 AS DOUBLE) / t1) * (s1 / n1 - s0 / n0), 6)
+                   AS rate_effect,
+               ROUND((CAST(n1 AS DOUBLE) / t1 - CAST(n0 AS DOUBLE) / t0)
+                     * (s0 / n0), 6) AS mix_effect
+        FROM wide
+    """,
+    doc=(
+        "Mix-shift (Oaxaca-style) decomposition: how much of the "
+        "1996→1997 change in average order value came from each "
+        "priority class spending differently (rate effect, current-mix "
+        "weighted) versus the order mix shifting between classes (mix "
+        "effect, base-rate weighted). The identity sum(rate_effect) + "
+        "sum(mix_effect) = avg1 - avg0 is asserted in tests. All "
+        "inputs are integer counts and DECIMAL-exact sums; each "
+        "ratio/product rounds once. One partial-aggregable groupBy "
+        "over the date-pruned scan plus two broadcast-sized totals."
+    ),
+    tags=("aggregate", "statistics", "reporting"),
+)
+def q_orders_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    period = F.when(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"), 1
+    ).otherwise(0)
+    cells = o.groupBy("o_orderpriority", period.alias("period")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+    )
+    tot = cells.groupBy("period").agg(F.sum("n").cast("bigint").alias("big_n"))
+    t0 = tot.filter(F.col("period") == 0).select(
+        F.col("big_n").cast("double").alias("t0")
+    )
+    t1 = tot.filter(F.col("period") == 1).select(
+        F.col("big_n").cast("double").alias("t1")
+    )
+    wide = (
+        cells.groupBy("o_orderpriority")
+        .agg(
+            F.min(F.when(F.col("period") == 0, F.col("n"))).alias("n0"),
+            F.min(F.when(F.col("period") == 1, F.col("n"))).alias("n1"),
+            F.min(F.when(F.col("period") == 0, F.col("s"))).cast("double").alias("s0"),
+            F.min(F.when(F.col("period") == 1, F.col("s"))).cast("double").alias("s1"),
+        )
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    w0 = F.col("n0").cast("double") / F.col("t0")
+    w1 = F.col("n1").cast("double") / F.col("t1")
+    r0 = F.col("s0") / F.col("n0")
+    r1 = F.col("s1") / F.col("n1")
+    return wide.select(
+        "o_orderpriority",
+        F.round(w0, 6).alias("w0"),
+        F.round(w1, 6).alias("w1"),
+        F.round(r0, 6).alias("r0"),
+        F.round(r1, 6).alias("r1"),
+        F.round(w1 * (r1 - r0), 6).alias("rate_effect"),
+        F.round((w1 - w0) * r0, 6).alias("mix_effect"),
+    )
