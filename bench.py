@@ -43,22 +43,28 @@ def main() -> None:
             from weather_flink_spark.plans import llm_pipeline
 
             spark.catalog.clearCache()
-            for df in llm_pipeline._SIG_CACHE.values():
-                df.persist()  # re-mark shared signature tables (lazy)
+            for v in llm_pipeline._SIG_CACHE.values():
+                # cache values are DataFrames, except kmeans which stores a
+                # (centroids_df, assignment_df) tuple — flatten before persist
+                for df in v if isinstance(v, tuple) else (v,):
+                    if hasattr(df, "persist"):
+                        df.persist()  # re-mark shared signature tables (lazy)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "n_queries": len(timings),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "n_queries": len(timings),
+        }
     )
+    # Durable copy: the driver's stdout capture truncates to a tail, which
+    # cost round 1 its machine-readable total ("parsed": null in BENCH_r01).
+    Path(__file__).resolve().parent.joinpath("BENCH_SELF.json").write_text(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -78,7 +78,14 @@ def lttb(
     )
 
 
-HOLT_SCHEMA = "user_id long, n_obs long, level double, trend double, forecast_next double"
+def _holt_schema(series_col: str) -> str:
+    # series key carried through as long — every series id in the testdata
+    # model (user_id, event_id, vec_id) is integral
+    return f"{series_col} long, n_obs long, level double, trend double, forecast_next double"
+
+
+# kept for callers that referenced the module constant (user_id series)
+HOLT_SCHEMA = _holt_schema("user_id")
 
 
 def holt_forecast(
@@ -103,7 +110,7 @@ def holt_forecast(
         y = pdf[val_col].to_numpy(dtype=np.float64)
         if len(y) < 2:
             return pd.DataFrame(
-                columns=["user_id", "n_obs", "level", "trend", "forecast_next"]
+                columns=[series_col, "n_obs", "level", "trend", "forecast_next"]
             )
         s, b = y[0], y[1] - y[0]
         for x in y[1:]:
@@ -112,7 +119,7 @@ def holt_forecast(
             b = beta * (s - s_prev) + (1 - beta) * b
         return pd.DataFrame(
             {
-                "user_id": [int(pdf[series_col].iloc[0])],
+                series_col: [int(pdf[series_col].iloc[0])],
                 "n_obs": [len(y)],
                 "level": [s],
                 "trend": [b],
@@ -123,14 +130,19 @@ def holt_forecast(
     return (
         events.select(series_col, id_col, ts_col, val_col)
         .groupBy(series_col)
-        .applyInPandas(kernel, schema=HOLT_SCHEMA)
+        .applyInPandas(kernel, schema=_holt_schema(series_col))
     )
 
 
-HW_SCHEMA = (
-    "event_type string, n_obs long, level double, trend double,"
-    " season_amplitude double, forecast_next double"
-)
+def _hw_schema(series_col: str) -> str:
+    return (
+        f"{series_col} string, n_obs long, level double, trend double,"
+        " season_amplitude double, forecast_next double"
+    )
+
+
+# kept for callers that referenced the module constant (event_type series)
+HW_SCHEMA = _hw_schema("event_type")
 
 
 def holt_winters_forecast(
@@ -163,7 +175,7 @@ def holt_winters_forecast(
         if len(y) < 2 * m:
             return pd.DataFrame(
                 columns=[
-                    "event_type",
+                    series_col,
                     "n_obs",
                     "level",
                     "trend",
@@ -182,7 +194,7 @@ def holt_winters_forecast(
             seas[c_idx] = gamma * (y[t] - s) + (1 - gamma) * seas[c_idx]
         return pd.DataFrame(
             {
-                "event_type": [str(pdf[series_col].iloc[0])],
+                series_col: [str(pdf[series_col].iloc[0])],
                 "n_obs": [len(y)],
                 "level": [s],
                 "trend": [b],
@@ -194,5 +206,5 @@ def holt_winters_forecast(
     return (
         hourly.select(series_col, idx_col, val_col)
         .groupBy(series_col)
-        .applyInPandas(kernel, schema=HW_SCHEMA)
+        .applyInPandas(kernel, schema=_hw_schema(series_col))
     )

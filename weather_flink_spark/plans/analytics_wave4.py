@@ -239,8 +239,9 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((day+4) % 7 in {0=Sun, 6=Sat}) — no engine dayofweek "
         "convention involved. Each cell's statistic uses the "
         "denominator-cleared form (obs*N - rtot*ctot)^2 / (N*rtot*ctot): "
-        "numerator and denominator are BIGINT-exact (|obs*N| <= ~1e8 "
-        "at sf0.01), each cast to DOUBLE with a single rounding, and "
+        "the numerator multiplies in DECIMAL (exact at any event count, "
+        "matching the oracle's HUGEINT — int64 would wrap near 3e9 rows), "
+        "each side cast to DOUBLE with a single rounding, and "
         "the ~10 cell terms fold in fixed (event_type, wknd) order. "
         "One shuffle to the cell table; marginals join broadcast-sized."
     ),
@@ -254,7 +255,13 @@ def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
     c = o.groupBy("wknd").agg(F.sum("obs").alias("ctot"))
     n = o.agg(F.sum("obs").alias("ntot"), F.countDistinct("event_type").alias("ntypes"))
-    num = (F.col("obs") * F.col("ntot") - F.col("rtot") * F.col("ctot")).cast("decimal(19,0)")
+    # multiply in DECIMAL, not LONG: at ~3e9 events obs*ntot ≈ 9e18 silently
+    # wraps int64, while the oracle's HUGEINT stays exact. decimal(20,0)
+    # operands keep the products exact; the difference fits decimal(19,0)
+    # (|num| <= max(obs*ntot, rtot*ctot) < 1e19) so num*num stays within
+    # Spark's 38-digit cap.
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    num = (dec("obs") * dec("ntot") - dec("rtot") * dec("ctot")).cast("decimal(19,0)")
     terms = (
         o.join(F.broadcast(r), "event_type")
         .join(F.broadcast(c), "wknd")
@@ -265,7 +272,7 @@ def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ntot",
             "ntypes",
             ((num * num).cast("double")
-             / (F.col("ntot") * F.col("rtot") * F.col("ctot")).cast("double")).alias("term"),
+             / (F.col("ntot").cast("double") * F.col("rtot") * F.col("ctot"))).alias("term"),
         )
     )
     folded = terms.groupBy("ntot", "ntypes").agg(
@@ -408,7 +415,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
     edges = pairs.groupBy("p1", "p2").agg(F.count("*").alias("s")).filter(F.col("s") >= 2)
-    edges = edges.select("p1", "p2").persist()
+    # no persist: the two broadcast copies bound recomputation, and a
+    # per-call persist without unpersist leaks cached plans for the
+    # session lifetime (tools/scaling_probe.py materializes-then-unpersists
+    # instead when it needs the cache)
+    edges = edges.select("p1", "p2")
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(F.broadcast(e2), F.col("e2.p1") == F.col("e1.p2"))
