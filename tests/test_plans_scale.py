@@ -202,3 +202,84 @@ def test_chisq_marginals_broadcast(spark):
     plan = plan_of(spark, "q_stats_chisq")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _window_nodes(plan: str) -> list[tuple[str, str]]:
+    """Yield (node_header, arguments_line) for each Window node in a
+    formatted physical plan."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if ln.strip().endswith(") Window") or ln.strip().endswith(") WindowGroupLimit"):
+            for la in lines[i + 1 : i + 6]:
+                if la.startswith("Arguments:"):
+                    out.append((ln.strip(), la))
+                    break
+    return out
+
+
+def _windowspec_partition_args(args_line: str) -> list[list[str]]:
+    """For each windowspecdefinition(...) in a Window node's Arguments
+    line, return its pre-frame argument list split at top level. Order
+    expressions carry an ASC/DESC marker; anything without one is a
+    partition column."""
+    specs = []
+    i = 0
+    key = "windowspecdefinition("
+    while True:
+        j = args_line.find(key, i)
+        if j < 0:
+            break
+        depth, k = 1, j + len(key)
+        arg, arglist = "", []
+        while k < len(args_line) and depth > 0:
+            ch = args_line[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                arglist.append(arg.strip())
+                arg = ""
+            else:
+                arg += ch
+            k += 1
+        arglist.append(arg.strip())
+        # drop the frame spec (always the last argument)
+        specs.append([a for a in arglist[:-1]])
+        i = k
+    return specs
+
+
+def test_no_partitionless_window_in_any_registered_plan(spark):
+    """The regression net the round-1 audit asked for: a Window with no
+    partition spec collapses the input to ONE task — a scale-killer when
+    the input is per-key state (the q_customer_rfm NTILEs were this).
+
+    A windowspecdefinition whose pre-frame args are all order
+    expressions (ASC/DESC-marked) — or empty — has no partition columns
+    and runs single-task. Sanctioned exception: the two-pass
+    global-order pattern (operators/global_order.py, q_orders_abc_pareto)
+    orders the tiny per-shuffle-partition summary table
+    (<= #partitions rows) by a spark_partition_id-derived column named
+    `pid`/`__go_pid`; anything else fails."""
+    bad = {}
+    for name, spec in all_specs().items():
+        if name.startswith("s_") or name == "q_sink_partitioned_roundtrip":
+            continue
+        plan = plan_of(spark, name)
+        for header, args in _window_nodes(plan):
+            if "WindowGroupLimit" in header:
+                continue  # rank-pushdown helper, partition spec lives on the Window
+            for pre_frame in _windowspec_partition_args(args):
+                has_partition_col = any(
+                    " ASC NULLS" not in a and " DESC NULLS" not in a for a in pre_frame if a
+                )
+                if has_partition_col:
+                    continue
+                if any("pid" in a for a in pre_frame):
+                    continue  # bounded per-partition-summary prefix (global_order)
+                bad.setdefault(name, []).append(args[:160])
+    assert not bad, f"partitionless WindowExec in: {bad}"

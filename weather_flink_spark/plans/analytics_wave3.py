@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
+from weather_flink_spark.operators.global_order import attach_global_ntile
 from weather_flink_spark.plans.registry import register
 from weather_flink_spark.plans.llm_pipeline import tokens_col
 
@@ -245,10 +246,11 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "diff vs the global max order date, via a scalar-agg broadcast), "
         "frequency, decimal-exact monetary, each quartiled with NTILE "
         "over a total order (custkey tie-break makes the quartile "
-        "assignment deterministic on both engines).  The three NTILEs "
-        "are global windows — fine here because the per-customer rollup "
-        "has already collapsed the data; at 100 TB the rollup is the "
-        "only full shuffle and the scored table is |customers| rows."
+        "assignment deterministic on both engines). The three NTILEs "
+        "run DISTRIBUTED via operators.global_order.attach_global_ntile "
+        "(range-partitioned rank + closed-form bucket from rank and N) — "
+        "no partitionless WindowExec anywhere in the plan, so the scored "
+        "table can be |customers| ~ 1e9 rows without a single-task sort."
     ),
     tags=("window", "analytics", "segmentation"),
 )
@@ -261,36 +263,38 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gmax = o.agg(F.max("o_orderdate").alias("gmax"))
     joined = per_cust.join(F.broadcast(gmax))
-    scored = joined.select(
+    base = joined.select(
         "o_custkey",
         F.expr(
             "(unix_micros(cast(gmax as timestamp))"
             " - unix_micros(cast(last_order as timestamp))) div 86400000000"
         ).alias("recency_days"),
+        F.unix_micros(F.col("last_order").cast("timestamp")).alias("last_us"),
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(
-            Window.orderBy(
-                F.unix_micros(F.col("last_order").cast("timestamp")).desc(),
-                F.col("o_custkey").asc(),
-            )
-        )
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
-        .alias("m_score"),
     )
-    return scored.withColumn(
-        "rfm",
+    scored = attach_global_ntile(
+        base, 4, [F.col("last_us").desc(), F.col("o_custkey").asc()], "r_score"
+    )
+    scored = attach_global_ntile(
+        scored, 4, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score"
+    )
+    scored = attach_global_ntile(
+        scored, 4, [F.col("monetary").desc(), F.col("o_custkey").asc()], "m_score"
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
         F.concat(
             F.col("r_score").cast("string"),
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
-        ),
+        ).alias("rfm"),
     )
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
+from weather_flink_spark.operators.global_order import attach_global_row_number
 from weather_flink_spark.plans.registry import register
 
 LN2 = 0.6931471805599453  # same literal in both engines; never ln(2) at runtime
@@ -1095,8 +1096,8 @@ _MIX_HASH_SPACE = 268_435_456  # 2^28 — md5 prefix of 7 hex digits
         "engines, partitionings), compared against an integer "
         "threshold in the 2^28 hash space so no float comparison sits "
         "on a boundary. One groupBy for counts, broadcast rates back, "
-        "one partial-aggregable rollup; the only window runs over the "
-        "per-language result (|langs| rows)."
+        "one partial-aggregable rollup; the achieved-share denominator "
+        "joins in as a broadcast scalar (no window at all)."
     ),
     tags=("sampling", "corpus", "llm-pipeline"),
 )
@@ -1130,17 +1131,19 @@ def q_sample_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("rate"), 9).alias("sample_rate"),
         F.sum("keep").cast("bigint").alias("n_sampled"),
     )
-    w_all = Window.partitionBy()
-    return per_lang.select(
-        "lang",
-        "n_docs",
-        "sample_rate",
-        "n_sampled",
-        F.round(
-            F.col("n_sampled").cast("double")
-            / F.sum("n_sampled").over(w_all).cast("double"),
-            6,
-        ).alias("achieved_share"),
+    tot_sampled = per_lang.agg(F.sum("n_sampled").alias("__tot_sampled"))
+    return (
+        per_lang.crossJoin(F.broadcast(tot_sampled))
+        .select(
+            "lang",
+            "n_docs",
+            "sample_rate",
+            "n_sampled",
+            F.round(
+                F.col("n_sampled").cast("double") / F.col("__tot_sampled").cast("double"),
+                6,
+            ).alias("achieved_share"),
+        )
     )
 
 
@@ -2043,8 +2046,12 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     top = tf.orderBy(F.col("c").desc(), F.col("token").asc()).limit(ZIPF_TOP_N)
-    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
-    ranked = top.withColumn("r", F.row_number().over(w))
+    # rank via the distributed two-pass pattern — the input is already
+    # bounded by the limit, but this keeps the whole registry free of
+    # single-partition Window nodes (tests/test_plans_scale.py walks it)
+    ranked = attach_global_row_number(
+        top, [F.col("c").desc(), F.col("token").asc()], "r", num_partitions=4
+    )
     x = F.log(F.col("r").cast("double")).cast("decimal(20,12)")
     y = F.log(F.col("c").cast("double")).cast("decimal(20,12)")
     m = ranked.select(x.alias("x"), y.alias("y")).agg(

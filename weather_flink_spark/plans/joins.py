@@ -137,14 +137,27 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_custkey, c.c_name, c.c_acctbal
         FROM customer c
-        WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c.c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+        )
     """,
-    doc="Left-anti join: customers with no orders (NOT EXISTS).",
+    doc=(
+        "Left-anti join: customers with no orders in 1997Q1 (NOT EXISTS "
+        "against a date-restricted subquery). The quarter restriction "
+        "keeps the result non-empty at every SF — the unrestricted "
+        "variant returns 0 rows (every customer has some order), which "
+        "made the oracle comparison vacuous."
+    ),
     tags=("join", "anti"),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
     return c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )

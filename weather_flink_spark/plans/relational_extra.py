@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.functions.numeric import dsum, dsum_sql
 from weather_flink_spark.io import load
+from weather_flink_spark.operators.global_order import attach_exclusive_prefix_max
 from weather_flink_spark.plans.registry import register
 
 PIVOT_FLAGS = ("A", "N", "R")
@@ -357,17 +358,18 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pass over the distinct-price table) — a dominance test point i "
         "only needs max(size) over strictly-cheaper prices and the max "
         "at its own price. Survives scale-up: the per-price table is "
-        "the only shuffled state."
+        "the only shuffled state, and the running max is the two-pass "
+        "range-partitioned prefix max of operators.global_order — no "
+        "partitionless WindowExec even when |distinct prices| explodes."
     ),
     tags=("analytics", "skyline"),
 )
 def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("pmax"))
-    w = Window.orderBy(F.col("p_retailprice").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    fronts = attach_exclusive_prefix_max(
+        per_price, [F.col("p_retailprice").asc()], "pmax", "max_size_cheaper"
     )
-    fronts = per_price.withColumn("max_size_cheaper", F.max("pmax").over(w))
     dominated = F.coalesce(
         F.col("max_size_cheaper") >= F.col("p_size"), F.lit(False)
     ) | (F.col("pmax") > F.col("p_size"))
