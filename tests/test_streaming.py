@@ -225,3 +225,32 @@ def test_dedup_within_watermark_state_expires(spark):
         assert per_dev[dev] == 2, per_dev  # one per burst — state expired between
     assert per_dev["dev-9"] == 1 and per_dev["dev-8"] == 1
     assert len(rows) == 8
+
+
+def test_avro_expr_path_matches_python_codec(spark):
+    """The JVM from_avro fast path (decode_framed_avro_expr) must agree
+    with the pure-Python codec on the same framed fixtures. Activates
+    automatically on any deployment whose classpath carries spark-avro;
+    skipped in this sandbox (no JAR) so the branch can't rot silently."""
+    import pytest as _pytest
+
+    from weather_flink_spark.sources.framed import avro_expr_available, decode_framed_avro_expr
+
+    if not avro_expr_available(spark):
+        _pytest.skip("spark-avro JAR not on the classpath")
+    src = _value_df(spark, fx.framed_values())
+    expected = sorted(map(str, decode_framed_avro(src, fx.REGISTRY).collect()))
+    got = sorted(map(str, decode_framed_avro_expr(src, fx.REGISTRY).collect()))
+    assert got == expected
+
+
+def test_avro_expr_path_guard_raises_without_jar(spark):
+    from weather_flink_spark.sources.framed import avro_expr_available, decode_framed_avro_expr
+
+    if avro_expr_available(spark):
+        _ = decode_framed_avro_expr(_value_df(spark, fx.framed_values()), fx.REGISTRY)
+        return  # guard is a no-op when the JAR exists (main test covers parity)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        decode_framed_avro_expr(_value_df(spark, fx.framed_values()), fx.REGISTRY)
