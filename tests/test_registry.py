@@ -30,8 +30,10 @@ def test_oracle_coverage():
     # q_agg_tdigest_mergeable: sketch state has no DuckDB twin —
     # determinism + error bounds pinned by tests/test_tdigest.py;
     # q_events_holt_winters: sequential triple recursion — pinned by
-    # tests/test_analytics_wave4.py
+    # tests/test_analytics_wave4.py; q_emb_pca_project: eigensolve is
+    # not SQL-expressible — numpy twin pinned by tests/test_pca.py
     assert no_oracle <= {
+        "q_emb_pca_project",
         "q_agg_approx",
         "q_agg_approx_quantile",
         "q_sim_cosine_topk_arrow",

@@ -71,6 +71,8 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_extra,
         analytics_wave3,
         analytics_wave4,
+        tpch_suite,
+        llm_wave5,
         streaming_queries,
     )
 
