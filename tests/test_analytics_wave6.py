@@ -1,0 +1,61 @@
+"""Wave-6 semantics beyond the oracle hash (incremental MV, BPE, recall)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mv_incremental_equals_direct_recompute(spark):
+    """merge(partial_hist, partial_delta) must be row-identical to the
+    one-shot aggregation — including customers present on only one side
+    of the cutoff."""
+    mv = all_specs()["q_mv_incremental_agg"].fn(spark, SF)
+    o = load(spark, SF, "orders")
+    direct = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    assert mv.exceptAll(direct).count() == 0
+    assert direct.exceptAll(mv).count() == 0
+    # the cutoff actually splits the data (both slices non-empty)
+    cutoff = "2000-01-01"
+    assert o.where(F.col("o_orderdate") < cutoff).count() > 0
+    assert o.where(F.col("o_orderdate") >= cutoff).count() > 0
+
+
+def test_bpe_pairs_ranked_and_weighted(spark):
+    rows = all_specs()["q_text_bpe_pairs"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 30
+    counts = [r["pair_count"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
+    # weighting check: a pair inside the most frequent word must appear
+    # with count >= that word's corpus frequency
+    d = load(spark, SF, "documents")
+    top_word, freq = (
+        d.select(F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("w"))
+        .first()
+    )
+    if len(top_word) >= 2:
+        pair = top_word[:2]
+        hit = [r for r in rows if r["pair"] == pair]
+        if hit:
+            assert hit[0]["pair_count"] >= freq
+
+
+def test_ann_recall_bounded_and_meaningful(spark):
+    rows = all_specs()["q_sim_ann_recall"].fn(spark, SF).collect()
+    assert len(rows) == 5  # one row per query
+    for r in rows:
+        assert r["k"] == 5
+        assert 0 <= r["n_hit"] <= r["k"]
+        assert abs(r["recall_at_k"] - r["n_hit"] / r["k"]) < 1e-12

@@ -283,3 +283,55 @@ def test_no_partitionless_window_in_any_registered_plan(spark):
                     continue  # bounded per-partition-summary prefix (global_order)
                 bad.setdefault(name, []).append(args[:160])
     assert not bad, f"partitionless WindowExec in: {bad}"
+
+
+def test_tpch_q1_single_exchange(spark):
+    """Q1 is the map-side-combine probe: exactly one shuffle (the final
+    grouped aggregate), partial aggregation before it."""
+    plan = plan_of(spark, "q_sql_tpch_q1")
+    assert plan.count("Exchange") <= 2  # agg exchange (+AQE read)
+    assert "HashAggregate" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_tpch_q8_star_broadcasts_all_dims(spark):
+    """Seven dim joins in Q8 must all broadcast; the only sort-merge-able
+    edge is lineitem⋈orders."""
+    plan = plan_of(spark, "q_sql_tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    # the p_type filter reaches the part scan
+    assert "EqualTo(p_type,PROMO)" in plan
+
+
+def test_tpch_q14_no_wide_shuffle(spark):
+    """Month-slice + broadcast part join + global agg: no hash-partition
+    exchange of fact rows anywhere."""
+    plan = plan_of(spark, "q_sql_tpch_q14")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_tpch_q17_decorrelates_subquery(spark):
+    """The correlated per-part AVG must become an aggregate + join, not a
+    per-row re-scan."""
+    plan = plan_of(spark, "q_sql_tpch_q17")
+    assert "HashAggregate" in plan
+    assert "EqualTo(p_brand,Brand#3)" in plan  # brand filter pushed to part scan
+
+
+def test_tpch_q21_single_rollup_no_correlated_scans(spark):
+    """The rollup-CTE formulation: the plan must not contain nested
+    per-row subquery re-executions — lateness resolves in one orderkey
+    aggregate joined back."""
+    plan = plan_of(spark, "q_sql_tpch_q21")
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(o_orderstatus,F)" in plan  # status filter pushed down
+
+
+def test_decontaminate_bench_set_broadcasts(spark):
+    """The benchmark gram set is the small side — the corpus probe must
+    be a broadcast join, never a corpus-wide shuffle."""
+    plan = plan_of(spark, "q_text_decontaminate")
+    assert "BroadcastHashJoin" in plan

@@ -73,6 +73,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave4,
         tpch_suite,
         llm_wave5,
+        analytics_wave6,
         streaming_queries,
     )
 
