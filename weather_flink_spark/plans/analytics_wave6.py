@@ -15,6 +15,15 @@
   (nprobe=1) searcher against exact brute-force cosine top-k, per
   query and overall — the accuracy harness that must accompany any
   approximate index before it replaces the exact path.
+- ``q_dedup_paragraph`` — sub-document (paragraph-granularity)
+  cross-corpus dedup by content-hashed fixed-width word chunks
+  (the C4/CCNet boilerplate-removal unit).
+- ``q_text_ccnet_buckets`` — CCNet head/middle/tail corpus partition
+  by bigram-LM perplexity terciles per language; the oracle is
+  COMPOSED from q_text_perplexity_bigram's oracle text so the two
+  can never drift apart.
+- ``q_dedup_semantic_ivf`` — SemDeDup-shaped semantic dedup: pairwise
+  cosine only within IVF cells, smallest-id representative kept.
 
 Parity discipline as everywhere (registry.py): exact DECIMAL money
 sums, deterministic tie-breaks, identical aliases both engines. The
@@ -138,7 +147,9 @@ _BPE_TOP = 30
         "The pair explosion runs over the DISTINCT-word table with its "
         "corpus frequency attached — |vocab|·len work instead of "
         "|corpus|·len (the same rollup-first trick real BPE trainers "
-        "use). Final rank is a TakeOrdered top-30, not a global sort."
+        "use). Final rank is the two-pass range-partitioned global "
+        "row-number (operators/global_order.py), never a single-task "
+        "window."
     ),
     tags=("text", "tokenizer"),
 )
@@ -163,13 +174,16 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("freq").cast("bigint").alias("pair_count"))
     )
-    w_rank = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-    # bounded input (pair alphabet is tiny) — rank then cut; WindowGroupLimit
-    # pushes the top-k into the sort
-    return (
-        pairs.withColumn("rk", F.row_number().over(w_rank))
-        .where(F.col("rk") <= _BPE_TOP)
+    # global rank without a partitionless window: the two-pass
+    # range-partitioned pattern (operators/global_order.py) — even though
+    # the pair alphabet is bounded, the registry-wide plan net holds every
+    # query to the 100 TB-safe shape
+    from weather_flink_spark.operators.global_order import attach_global_row_number
+
+    ranked = attach_global_row_number(
+        pairs, [F.col("pair_count").desc(), F.col("pair").asc()], out_col="rk"
     )
+    return ranked.where(F.col("rk") <= _BPE_TOP).select("pair", "pair_count", "rk")
 
 
 # ---------------------------------------------------------------------------
@@ -281,4 +295,260 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("k"),
         F.count("ivf_vec").alias("n_hit"),
         (F.count("ivf_vec").cast("double") / F.count("*")).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity cross-document dedup (C4/CCNet-style)
+# ---------------------------------------------------------------------------
+
+_PARA_W = 8  # words per chunk ("paragraph" unit on the synthetic corpus)
+
+
+@register(
+    "q_dedup_paragraph",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tok
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(0, len(tok) // {_PARA_W}),
+                       k -> md5(array_to_string(
+                           list_slice(tok, k * {_PARA_W} + 1, (k + 1) * {_PARA_W}),
+                           ' ')))) AS ch
+            FROM tok
+        ),
+        shared AS (
+            SELECT ch FROM chunks GROUP BY ch
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT c.doc_id,
+               COUNT(*) AS n_chunks,
+               COUNT(s.ch) AS n_shared,
+               CAST(COUNT(s.ch) AS DOUBLE) / COUNT(*) AS shared_frac
+        FROM chunks c LEFT JOIN shared s ON s.ch = c.ch
+        GROUP BY c.doc_id
+        HAVING COUNT(s.ch) > 0
+    """,
+    doc=(
+        "Sub-document (paragraph-granularity) cross-corpus dedup, the "
+        "C4/CCNet removal unit: fixed-width full word-chunks are content- "
+        "hashed; a chunk whose hash occurs in ≥2 distinct documents is "
+        "boilerplate/duplication, and each affected document reports its "
+        "shared-chunk fraction. Everything moves by chunk digest — two "
+        "partial-aggregated groupBys (per-hash doc count, per-doc rollup) "
+        "plus one digest-keyed join; document text never shuffles. At "
+        "100 TB the shared set is far smaller than the chunk stream, so "
+        "the probe side broadcasts or map-side-joins."
+    ),
+    tags=("dedup", "text", "paragraph"),
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("tok")
+    )
+    w = _PARA_W
+    chunks = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(size(tok) / {w} as int) - 1),"
+                f" k -> md5(array_join(slice(tok, k * {w} + 1, {w}), ' ')))"
+            )
+        ).alias("ch"),
+    ).where(F.expr(f"size(tok) >= {w}"))
+    shared = (
+        chunks.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("ch", F.lit(1).alias("is_shared"))
+    )
+    return (
+        chunks.join(F.broadcast(shared), "ch", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("is_shared").alias("n_shared"),
+            (F.count("is_shared").cast("double") / F.count("*")).alias("shared_frac"),
+        )
+        .where(F.col("n_shared") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_ccnet_buckets",
+    # wrap the oracle of q_text_perplexity_bigram: identical scoring text,
+    # then per-language deterministic terciles over (avg_nll, doc_id)
+    oracle=None,  # filled in below after import (composed SQL)
+    doc=(
+        "CCNet-style corpus partitioning: documents are scored by the "
+        "corpus bigram-LM average NLL (exactly q_text_perplexity_bigram's "
+        "pipeline) and split per-language into head/middle/tail terciles "
+        "— the buckets CCNet uses to keep fluent text and downweight "
+        "gibberish. The tercile is NTILE(3) over (avg_nll, doc_id) "
+        "partitioned by language: deterministic tie-break, per-stratum "
+        "window (never global), and the scored table is tiny relative to "
+        "the corpus (one row per doc)."
+    ),
+    tags=("text", "quality", "lm"),
+)
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.analytics_wave4 import q_text_perplexity_bigram
+
+    scored = q_text_perplexity_bigram(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+    bucket = F.when(F.col("tercile") == 1, "head").when(
+        F.col("tercile") == 2, "middle"
+    ).otherwise("tail")
+    return (
+        scored.join(d, "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+        .select("doc_id", "lang", "avg_nll", "tercile", bucket.alias("bucket"))
+    )
+
+
+def _install_ccnet_oracle() -> None:
+    """Compose the CCNet oracle from q_text_perplexity_bigram's oracle
+    text so the two can never drift apart."""
+    from weather_flink_spark.plans.registry import _REGISTRY, QuerySpec
+
+    base = _REGISTRY["q_text_perplexity_bigram"].oracle
+    spec = _REGISTRY["q_text_ccnet_buckets"]
+    composed = f"""
+        WITH scored AS ({base})
+        SELECT s.doc_id, d.lang, s.avg_nll, t.tercile,
+               CASE t.tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s
+        JOIN documents d ON d.doc_id = s.doc_id
+        JOIN (
+            SELECT s2.doc_id,
+                   NTILE(3) OVER (PARTITION BY d2.lang
+                                  ORDER BY s2.avg_nll ASC, s2.doc_id ASC)
+                       AS tercile
+            FROM scored s2 JOIN documents d2 ON d2.doc_id = s2.doc_id
+        ) t ON t.doc_id = s.doc_id
+    """
+    _REGISTRY["q_text_ccnet_buckets"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=composed, doc=spec.doc, tags=spec.tags
+    )
+
+
+_install_ccnet_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style within-cell semantic dedup
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DUP_THRESHOLD = 0.30  # ≈ p99 of within-cell cosine on this corpus;
+# real embedding spaces use ~0.95+ — the τ is data-scaled, the plan is not.
+
+
+@register(
+    "q_dedup_semantic_ivf",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+            WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_cos_duck('e.embedding', 'c.cent_emb')} DESC,
+                                    c.cent_id ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.cell, a.vec_id AS keep_cand, b.vec_id AS drop_id,
+                   {_cos_duck('a.embedding', 'b.embedding')} AS cosine
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {_cos_duck('a.embedding', 'b.embedding')}
+                  >= {SEMANTIC_DUP_THRESHOLD}
+        )
+        SELECT cell, keep_id, drop_id, cosine FROM (
+            SELECT cell, keep_cand AS keep_id, drop_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY drop_id
+                                      ORDER BY keep_cand ASC) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    """,
+    doc=(
+        "SemDeDup-shaped semantic dedup: vectors are coarse-quantized "
+        "into IVF cells (broadcast deterministic centroids), pairwise "
+        "cosine runs ONLY within a cell — O(n·cell_size), never the "
+        "n² cross-corpus product — and each above-threshold vector is "
+        "dropped in favor of its smallest-id duplicate (deterministic "
+        "keep rule). The cell is the shuffle key, so every comparison "
+        "is partition-local. Threshold is data-scaled (see constant); "
+        "the plan shape is exactly production SemDeDup: cluster, "
+        "compare within cluster, keep one representative."
+    ),
+    tags=("dedup", "embedding", "semantic"),
+)
+def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    # precompute each vector's norm ONCE (identical float arithmetic to
+    # the inline norm, so cosine values — and the oracle hash — are
+    # unchanged); the pairwise stage then folds one dot product per pair
+    # instead of three array folds
+    ev = e.select("vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm"))
+    cent = ev.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    cos_vc = dot_col(F.col("embedding"), F.col("cent_emb")) / (
+        F.col("nrm") * F.col("cent_nrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        ev.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cent_id", cos_vc.alias("cent_cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("keep_cand"),
+            F.col("b.vec_id").alias("drop_id"),
+            cos_ab.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+    )
+    w_keep = Window.partitionBy("drop_id").orderBy(F.col("keep_cand").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("keep_cand").alias("keep_id"), "drop_id", "cosine")
     )
