@@ -220,6 +220,169 @@ def main() -> None:
         "xN": timed(lambda: kmeans_iter(scaled(emb, ["vec_id"], K, STRIDE))),
     }
 
+    def paragraph_dedup(d):
+        tok = d.select(
+            "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("tok")
+        )
+        chunks = tok.where("size(tok) >= 8").select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(size(tok) / 8 as int) - 1),"
+                    " k -> md5(array_join(slice(tok, k * 8 + 1, 8), ' ')))"
+                )
+            ).alias("ch"),
+        )
+        shared = (
+            chunks.groupBy("ch")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2)
+            .select("ch", F.lit(1).alias("is_shared"))
+        )
+        return (
+            chunks.join(F.broadcast(shared), "ch", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*"), F.count("is_shared"))
+            .count()
+        )
+
+    # doc_id shifts per copy, so copies duplicate CONTENT across new ids —
+    # the worst case for the shared-set size (it grows with copies)
+    results["paragraph_dedup"] = {
+        "x1": timed(lambda: paragraph_dedup(docs)),
+        "xN": timed(lambda: paragraph_dedup(scaled(docs, ["doc_id"], K, STRIDE))),
+    }
+
+    def semantic_cells(e):
+        from weather_flink_spark.plans.registry import all_specs  # late: avoid cycles
+        from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
+        from pyspark.sql import Window
+
+        ev = e.select("vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm"))
+        cent = ev.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+        cos_vc = dot_col(F.col("embedding"), F.col("cent_emb")) / (
+            F.col("nrm") * F.col("cent_nrm")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cent_id"))
+        assigned = (
+            ev.join(F.broadcast(cent))
+            .select("vec_id", "embedding", "nrm", "cent_id", cos_vc.alias("cc"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
+            .persist()
+        )
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
+        n = (
+            a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(cos_ab.alias("cos"))
+            .filter("cos >= 0.30")
+            .count()
+        )
+        assigned.unpersist()
+        return n
+
+    # centroid count grows with the corpus (stride-based), so cell size
+    # stays ~constant and within-cell pair work grows LINEARLY — the
+    # SemDeDup scale property this probe exists to demonstrate
+    results["semantic_dedup_cells"] = {
+        "x1": timed(lambda: semantic_cells(emb)),
+        "xN": timed(lambda: semantic_cells(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
+    def semantic_cells_hier(e):
+        """Two-level (coarse→fine) IVF assignment: per-vector distance
+        evals drop from k to |coarse| + k/|coarse| — the mitigation for
+        the flat probe's super-linear assignment phase."""
+        from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
+        from pyspark.sql import Window
+
+        ev = e.select("vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm"))
+        coarse = ev.filter(F.col("vec_id") % 1000 == 0).select(
+            F.col("vec_id").alias("co_id"),
+            F.col("embedding").alias("co_emb"),
+            F.col("nrm").alias("co_nrm"),
+        )
+        fine = ev.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("fi_id"),
+            F.col("embedding").alias("fi_emb"),
+            F.col("nrm").alias("fi_nrm"),
+        )
+
+        def nearest(df, id_in, emb_in, nrm_in, cand, cid, cemb, cnrm, out):
+            cos = dot_col(F.col(emb_in), F.col(cemb)) / (F.col(nrm_in) * F.col(cnrm))
+            w = Window.partitionBy(id_in).orderBy(F.col("__c").desc(), F.col(cid))
+            return (
+                df.join(F.broadcast(cand))
+                .withColumn("__c", cos)
+                .withColumn("__r", F.row_number().over(w))
+                .filter("__r = 1")
+                .drop("__c", "__r", cemb, cnrm)
+                .withColumnRenamed(cid, out)
+            )
+
+        # fine centroids pre-assigned to their coarse cell (tiny × small)
+        fine_assigned = nearest(
+            fine, "fi_id", "fi_emb", "fi_nrm", coarse, "co_id", "co_emb", "co_nrm", "co"
+        )
+        # vectors: nearest coarse, then nearest fine WITHIN that coarse cell
+        v_coarse = nearest(
+            ev, "vec_id", "embedding", "nrm", coarse, "co_id", "co_emb", "co_nrm", "co"
+        )
+        cos_vf = dot_col(F.col("embedding"), F.col("fi_emb")) / (
+            F.col("nrm") * F.col("fi_nrm")
+        )
+        w2 = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(), F.col("fi_id"))
+        assigned = (
+            v_coarse.join(F.broadcast(fine_assigned), "co")
+            .withColumn("__c", cos_vf)
+            .withColumn("__r", F.row_number().over(w2))
+            .filter("__r = 1")
+            .select("vec_id", "embedding", "nrm", F.col("fi_id").alias("cell"))
+            .persist()
+        )
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
+        n = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(cos_ab.alias("cos"))
+            .filter("cos >= 0.30")
+            .count()
+        )
+        assigned.unpersist()
+        return n
+
+    results["semantic_dedup_hierarchical"] = {
+        "x1": timed(lambda: semantic_cells_hier(emb)),
+        "xN": timed(lambda: semantic_cells_hier(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
+    def pca_gramian(e):
+        from weather_flink_spark.operators.pca import gramian_stats
+
+        n, s, g = gramian_stats(e, "embedding", dim=64)
+        return n
+
+    # linear map phase + fixed-size (d²) reduce: factor should track the
+    # row count, never the d² reduction
+    results["pca_gramian"] = {
+        "x1": timed(lambda: pca_gramian(emb)),
+        "xN": timed(lambda: pca_gramian(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
     print(json.dumps({"copies": K, "sf": args.sf, "results": results}, indent=2))

@@ -503,30 +503,11 @@ SEMANTIC_DUP_THRESHOLD = 0.30  # ≈ p99 of within-cell cosine on this corpus;
     tags=("dedup", "embedding", "semantic"),
 )
 def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    # precompute each vector's norm ONCE (identical float arithmetic to
-    # the inline norm, so cosine values — and the oracle hash — are
-    # unchanged); the pairwise stage then folds one dot product per pair
-    # instead of three array folds
-    ev = e.select("vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm"))
-    cent = ev.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_emb"),
-        F.col("nrm").alias("cent_nrm"),
-    )
-    cos_vc = dot_col(F.col("embedding"), F.col("cent_emb")) / (
-        F.col("nrm") * F.col("cent_nrm")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        ev.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "nrm", "cent_id", cos_vc.alias("cent_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
-    )
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_table
+
+    # session-cached assignment (vec_id, embedding, nrm, cell) — shared
+    # with q_sim_ann_ivf / q_sim_ann_recall; one persist, many consumers
+    assigned = ivf_assigned_table(spark, sf_dir)
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (

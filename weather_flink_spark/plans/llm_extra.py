@@ -349,6 +349,46 @@ def _cos_duck(a: str, b: str) -> str:
     )
 
 
+
+def ivf_assigned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (vec_id, embedding, nrm, cell) IVF assignment.
+
+    Shared by q_sim_ann_ivf, q_sim_ann_recall and q_dedup_semantic_ivf:
+    the assignment is the expensive O(n·centroids) phase, so it is built
+    once per (session, sf_dir) and persisted — the same discipline as the
+    signature tables in llm_pipeline (one persist, many consumers; no
+    per-call storage leak). Norms are precomputed once per vector with
+    the same float arithmetic as the inline fold, so downstream cosine
+    values (and oracle hashes) are unchanged.
+    """
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings")
+        ev = e.select("vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm"))
+        cent = ev.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+        cos_vc = dot_col(F.col("embedding"), F.col("cent_emb")) / (
+            F.col("nrm") * F.col("cent_nrm")
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id").asc()
+        )
+        return (
+            ev.join(F.broadcast(cent))
+            .select("vec_id", "embedding", "nrm", "cent_id", cos_vc.alias("cent_cos"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
+            .persist()
+        )
+
+    return _cached("ivf_assigned", spark, sf_dir, build)
+
+
 @register(
     "q_sim_ann_ivf",
     oracle=f"""
@@ -391,32 +431,15 @@ def _cos_duck(a: str, b: str) -> str:
     tags=("similarity", "ann", "ivf"),
 )
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    cent = (
-        e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
-    )
-    cos_vc = dot_col(F.col("embedding"), F.col("cent_emb")) / (
-        norm_col(F.col("embedding")) * norm_col(F.col("cent_emb"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        e.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cent_id", cos_vc.alias("cent_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
-        .persist()
-    )
+    assigned = ivf_assigned_table(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("cell").alias("q_cell"),
     )
     cos_qv = dot_col(F.col("q_emb"), F.col("embedding")) / (
-        norm_col(F.col("q_emb")) * norm_col(F.col("embedding"))
+        F.col("q_nrm") * F.col("nrm")
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
