@@ -74,6 +74,7 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch_suite,
         llm_wave5,
         analytics_wave6,
+        analytics_wave7,
         streaming_queries,
     )
 
