@@ -368,8 +368,12 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nd") >= 2)
         .select("ch", F.lit(1).alias("is_shared"))
     )
+    # no forced broadcast: the shared set scales with duplicate
+    # STRUCTURE, not corpus size — usually tiny (AQE broadcasts it at
+    # runtime), but a pathologically duplicated corpus must still plan,
+    # so the digest-keyed shuffle join stays available
     return (
-        chunks.join(F.broadcast(shared), "ch", "left")
+        chunks.join(shared, "ch", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
