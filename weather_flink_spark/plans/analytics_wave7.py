@@ -182,3 +182,143 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w")
         ).alias("resample_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction: top-k TF-IDF terms per document
+# ---------------------------------------------------------------------------
+
+_KW_K = 3
+
+
+@register(
+    "q_text_keywords_topk",
+    oracle=None,  # composed below from q_text_tfidf's oracle text
+    doc=(
+        "Keyword extraction: the top-3 TF-IDF terms per document with "
+        "deterministic tie-break — rides q_text_tfidf's scoring (its "
+        "oracle text is reused verbatim as a CTE so scorer and extractor "
+        "cannot drift). Per-doc window over the already-aggregated "
+        "(doc, term) table; WindowGroupLimit pushes k=3 into the sort, "
+        "so per-partition traffic is O(k·docs), not O(terms)."
+    ),
+    tags=("text", "keywords", "tfidf"),
+)
+def q_text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_extra import q_text_tfidf
+
+    scored = q_text_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KW_K)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ensemble: the actual keep/drop gate with reasons
+# ---------------------------------------------------------------------------
+
+_ENS_NLL_MAX = 3.40
+_ENS_DUP3_MAX = 0.01
+
+
+@register(
+    "q_quality_ensemble",
+    oracle=None,  # composed below from the three member oracles
+    doc=(
+        "The end-of-pipeline quality gate: Gopher rules ∧ repetition "
+        "ceiling ∧ perplexity ceiling, with the first failing rule as "
+        "the per-document verdict (the audit trail a curator needs to "
+        "tune kill rates). All three member signals are the registered "
+        "operators themselves — Spark side composes their DataFrames, "
+        "and the oracle composes their oracle SQL texts as CTEs, so the "
+        "ensemble can never drift from its members. Joins are on "
+        "doc_id (co-partitioned rollups of the same corpus scan)."
+    ),
+    tags=("text", "quality", "ensemble"),
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.analytics_wave4 import q_text_perplexity_bigram
+    from weather_flink_spark.plans.llm_wave5 import q_text_gopher_rules
+    from weather_flink_spark.plans.pipeline_extra import q_text_repetition
+
+    g = q_text_gopher_rules(spark, sf_dir).select("doc_id", "gopher_pass")
+    r = q_text_repetition(spark, sf_dir).select("doc_id", "dup_trigram_frac")
+    p = q_text_perplexity_bigram(spark, sf_dir).select("doc_id", "avg_nll")
+    dup = F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0))
+    keep = (
+        F.col("gopher_pass")
+        & (dup <= _ENS_DUP3_MAX)
+        & (F.col("avg_nll") <= _ENS_NLL_MAX)
+    )
+    verdict = (
+        F.when(~F.col("gopher_pass"), "gopher_rules")
+        .when(dup > _ENS_DUP3_MAX, "repetition")
+        .when(F.col("avg_nll") > _ENS_NLL_MAX, "perplexity")
+        .otherwise("kept")
+    )
+    return (
+        g.join(r, "doc_id")
+        .join(p, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_pass",
+            "dup_trigram_frac",
+            "avg_nll",
+            keep.alias("keep"),
+            verdict.alias("verdict"),
+        )
+    )
+
+
+def _install_composed_oracles() -> None:
+    """Compose member oracle texts so composites can never drift."""
+    from weather_flink_spark.plans.registry import _REGISTRY, QuerySpec
+    from weather_flink_spark.plans import llm_extra, llm_wave5, pipeline_extra  # noqa: F401
+    from weather_flink_spark.plans import analytics_wave4  # noqa: F401
+
+    def _swap(name: str, oracle: str) -> None:
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(
+            name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc, tags=spec.tags
+        )
+
+    tfidf = _REGISTRY["q_text_tfidf"].oracle
+    _swap(
+        "q_text_keywords_topk",
+        f"""
+        WITH scored AS ({tfidf})
+        SELECT doc_id, token, tfidf, rk FROM (
+            SELECT doc_id, token, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {_KW_K}
+        """,
+    )
+
+    gopher = _REGISTRY["q_text_gopher_rules"].oracle
+    rep = _REGISTRY["q_text_repetition"].oracle
+    perp = _REGISTRY["q_text_perplexity_bigram"].oracle
+    _swap(
+        "q_quality_ensemble",
+        f"""
+        WITH g AS ({gopher}), r AS ({rep}), p AS ({perp})
+        SELECT g.doc_id, g.gopher_pass, r.dup_trigram_frac, p.avg_nll,
+               (g.gopher_pass
+                AND COALESCE(r.dup_trigram_frac, 0.0) <= {_ENS_DUP3_MAX}
+                AND p.avg_nll <= {_ENS_NLL_MAX}) AS keep,
+               CASE WHEN NOT g.gopher_pass THEN 'gopher_rules'
+                    WHEN COALESCE(r.dup_trigram_frac, 0.0) > {_ENS_DUP3_MAX}
+                         THEN 'repetition'
+                    WHEN p.avg_nll > {_ENS_NLL_MAX} THEN 'perplexity'
+                    ELSE 'kept' END AS verdict
+        FROM g JOIN r ON r.doc_id = g.doc_id
+        JOIN p ON p.doc_id = g.doc_id
+        """,
+    )
+
+
+_install_composed_oracles()
