@@ -36,8 +36,9 @@ from pyspark.sql import types as T
 
 _PARTIAL_SCHEMA = T.StructType(
     [
-        T.StructField("n", T.LongType()),
-        T.StructField("acc", T.ArrayType(T.DoubleType())),  # [Σx (d) | ΣxᵀX flat (d²)]
+        # acc = [n | Σx (d) | ΣxᵀX flat (d²)] — count rides the array so
+        # the reduction (and the single data pass feeding it) happens once
+        T.StructField("acc", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -62,21 +63,24 @@ def gramian_stats(df: DataFrame, col: str, dim: int) -> tuple[int, np.ndarray, n
             s += x.sum(axis=0)
             g += x.T @ x
         if n:
-            yield pd.DataFrame({"n": [n], "acc": [np.concatenate([s, g.ravel()])]})
+            yield pd.DataFrame(
+                {"acc": [np.concatenate([[float(n)], s, g.ravel()])]}
+            )
 
     part = df.select(F.col(col).alias(col)).mapInPandas(partials, schema=_PARTIAL_SCHEMA)
-    # element-wise distributed sum: ≤ P×(d²+d) rows shuffled, O(d²) out
+    # element-wise distributed sum: ≤ P×(d²+d+1) rows shuffled, O(d²) out;
+    # one data pass — the row count is slot 0 of the same reduction
     reduced = (
-        part.select("n", F.posexplode("acc").alias("pos", "v"))
+        part.select(F.posexplode("acc").alias("pos", "v"))
         .groupBy("pos")
         .agg(F.sum("v").alias("v"))
         .collect()
     )
-    n_total = part.agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
-    acc = np.zeros(dim + dim * dim)
+    acc = np.zeros(1 + dim + dim * dim)
     for r in reduced:
         acc[r["pos"]] = r["v"]
-    return int(n_total), acc[:dim], acc[dim:].reshape(dim, dim)
+    n_total = int(round(acc[0]))
+    return n_total, acc[1 : 1 + dim], acc[1 + dim :].reshape(dim, dim)
 
 
 def fit_pca(df: DataFrame, col: str, dim: int, k: int) -> dict:
