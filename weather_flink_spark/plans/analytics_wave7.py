@@ -322,3 +322,109 @@ def _install_composed_oracles() -> None:
 
 
 _install_composed_oracles()
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve tuning table (bands × rows design tool)
+# ---------------------------------------------------------------------------
+
+# (bands, rows) configurations of an 8-permutation MinHash signature
+_LSH_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+@register(
+    "q_dedup_lsh_scurve",
+    oracle=None,  # composed below from q_dedup_ngram_jaccard's oracle text
+    doc=(
+        "The LSH design tool: for each (bands b, rows r) split of an "
+        "8-perm MinHash signature, the expected recall over the measured "
+        "near-duplicate pairs — detection probability 1−(1−s^r)^b at "
+        "each pair's true Jaccard s, averaged. Powers are expanded to "
+        "explicit products (s², s⁴, s⁸ by squaring) so no libm pow "
+        "enters the cross-engine comparison, and the average sums "
+        "DECIMAL-quantized probabilities. This is the table you read "
+        "before picking a banding scheme at 100 TB: it rides the "
+        "already-verified pair table (pair count scales with duplicate "
+        "structure, not corpus size)."
+    ),
+    tags=("dedup", "lsh", "tuning"),
+)
+def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_extra import q_dedup_ngram_jaccard
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(F.col("jaccard").alias("s"))
+    # integer powers by squaring — multiplication only, engine-exact
+    powed = pairs.select(
+        "s",
+        (F.col("s") * F.col("s")).alias("s2"),
+    ).select("s", "s2", (F.col("s2") * F.col("s2")).alias("s4"))
+    powed = powed.select("s", "s2", "s4", (F.col("s4") * F.col("s4")).alias("s8"))
+
+    def prob(b: int, r: int):
+        sr = {1: F.col("s"), 2: F.col("s2"), 4: F.col("s4"), 8: F.col("s8")}[r]
+        miss = F.lit(1.0) - sr  # (1 - s^r)
+        acc = F.lit(1.0)
+        for _ in range(b):
+            acc = acc * miss
+        return F.lit(1.0) - acc
+
+    parts = []
+    for b, r in _LSH_CONFIGS:
+        parts.append(
+            powed.select(
+                F.lit(f"b{b}r{r}").alias("config"),
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                prob(b, r).cast("decimal(18,12)").alias("p_dec"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("config", "bands", "rows_per_band").agg(
+        F.count("*").alias("n_pairs"),
+        (F.sum("p_dec").cast("double") / F.count("*")).alias("expected_recall"),
+    )
+
+
+def _install_lsh_scurve_oracle() -> None:
+    from weather_flink_spark.plans.registry import _REGISTRY, QuerySpec
+    from weather_flink_spark.plans import llm_extra  # noqa: F401
+
+    base = _REGISTRY["q_dedup_ngram_jaccard"].oracle
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)
+    sr = {1: "s", 2: "s2", 4: "s4", 8: "s8"}
+    prob_cases = " ".join(
+        f"WHEN r = {r} AND b = {b} THEN 1.0 - {'*'.join([f'(1.0 - {sr[r]})'] * b)}"
+        for b, r in _LSH_CONFIGS
+    )
+    oracle = f"""
+        WITH pairs AS ({base}),
+        powed AS (
+            SELECT jaccard AS s, jaccard * jaccard AS s2,
+                   (jaccard * jaccard) * (jaccard * jaccard) AS s4,
+                   ((jaccard * jaccard) * (jaccard * jaccard))
+                     * ((jaccard * jaccard) * (jaccard * jaccard)) AS s8
+            FROM pairs
+        ),
+        cfg AS (SELECT * FROM (VALUES {cfg_rows}) AS t(b, r)),
+        probs AS (
+            SELECT 'b' || CAST(b AS VARCHAR) || 'r' || CAST(r AS VARCHAR)
+                       AS config,
+                   b AS bands, r AS rows_per_band,
+                   CAST(CASE {prob_cases} END AS DECIMAL(18,12)) AS p_dec
+            FROM powed CROSS JOIN cfg
+        )
+        SELECT config, bands, rows_per_band,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(p_dec) AS DOUBLE) / COUNT(*) AS expected_recall
+        FROM probs
+        GROUP BY config, bands, rows_per_band
+    """
+    spec = _REGISTRY["q_dedup_lsh_scurve"]
+    _REGISTRY["q_dedup_lsh_scurve"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc, tags=spec.tags
+    )
+
+
+_install_lsh_scurve_oracle()
