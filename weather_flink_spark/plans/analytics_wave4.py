@@ -599,9 +599,9 @@ CONTAINMENT_THRESHOLD = 0.5
     tags=("dedup", "ngram", "containment"),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_flink_spark.plans.llm_extra import _bigram_table
+    from weather_flink_spark.plans.llm_extra import bigram_table as _bigram_table
 
-    g = _bigram_table(load(spark, sf_dir, "documents"))
+    g = _bigram_table(spark, sf_dir)
     blocked = g.select("doc_id", F.array_min("grams").alias("block_key"))
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
@@ -1512,6 +1512,65 @@ def q_sim_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, bigram) stream — cheap map-side explode, built per
+    consumer (never persisted: it is corpus-sized)."""
+    d = load(spark, sf_dir, "documents")
+    tok = F.expr("filter(split(text, ' '), t -> t <> '')")
+    return (
+        d.select("doc_id", tok.alias("tok"))
+        .filter(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(tok) - 2),"
+                    " i -> concat(tok[i], ' ', tok[i + 1]))"
+                )
+            ).alias("pos0", "bigram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "bigram")
+    )
+
+
+def bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached corpus bigram LM: (bigram, p = c(w1 w2)/c(w1 ·)).
+
+    One persisted vocabulary-bounded table per (session, sf_dir), shared
+    by q_text_perplexity_bigram, q_text_ccnet_buckets and
+    q_quality_ensemble — the round-2 verdict's fix for the per-call
+    ``bc.persist()`` that stranded a cached bigram table per invocation.
+    The intermediate count table is persisted only inside the build
+    (it feeds both the numerator and the prefix marginal), materialized
+    eagerly, and unpersisted before returning, so steady state is
+    exactly one cached model table.
+    """
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        doc_big = _doc_bigrams(spark, sf_dir)
+        bc = doc_big.groupBy("bigram").agg(F.count("*").alias("c_bigram")).persist()
+        prefix = F.split(F.col("bigram"), " ")[0]
+        pc = bc.groupBy(prefix.alias("prefix")).agg(
+            F.sum("c_bigram").alias("c_prefix")
+        )
+        model = (
+            bc.join(F.broadcast(pc), prefix == F.col("prefix"))
+            .select(
+                "bigram",
+                (
+                    F.col("c_bigram").cast("double") / F.col("c_prefix").cast("double")
+                ).alias("p"),
+            )
+            .persist()
+        )
+        model.count()  # materialize so the count table can be released now
+        bc.unpersist()
+        return model
+
+    return _cached("bigram_model", spark, sf_dir, build)
+
+
 @register(
     "q_text_perplexity_bigram",
     oracle="""
@@ -1569,29 +1628,8 @@ def q_sim_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text-analysis", "lm", "llm-pipeline"),
 )
 def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    tok = F.expr("filter(split(text, ' '), t -> t <> '')")
-    doc_big = (
-        d.select("doc_id", tok.alias("tok"))
-        .filter(F.size("tok") >= 2)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(0, size(tok) - 2),"
-                    " i -> concat(tok[i], ' ', tok[i + 1]))"
-                )
-            ).alias("pos0", "bigram"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "bigram")
-    )
-    bc = doc_big.groupBy("bigram").agg(F.count("*").alias("c_bigram")).persist()
-    prefix = F.split(F.col("bigram"), " ")[0]
-    pc = bc.groupBy(prefix.alias("prefix")).agg(F.sum("c_bigram").alias("c_prefix"))
-    model = bc.join(F.broadcast(pc), prefix == F.col("prefix")).select(
-        "bigram",
-        (F.col("c_bigram").cast("double") / F.col("c_prefix").cast("double")).alias("p"),
-    )
+    doc_big = _doc_bigrams(spark, sf_dir)
+    model = bigram_model(spark, sf_dir)
     scored = doc_big.join(model, "bigram").select(
         "doc_id", "pos", F.log(F.col("p")).alias("lnp")
     )

@@ -191,31 +191,17 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from weather_flink_spark.plans.llm_extra import (  # noqa: E402
-    IVF_CENTROID_STRIDE,
     IVF_N_QUERIES,
     IVF_TOP_K,
     _cos_duck,
+    ivf_assigned_cte,
 )
 
 
 @register(
     "q_sim_ann_recall",
     oracle=f"""
-        WITH cent AS (
-            SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-            WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
-        ),
-        assigned AS (
-            SELECT vec_id, embedding, cent_id AS cell FROM (
-                SELECT e.vec_id, e.embedding, c.cent_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_cos_duck('e.embedding', 'c.cent_emb')} DESC,
-                                    c.cent_id ASC
-                       ) AS rn
-                FROM embeddings e CROSS JOIN cent c
-            ) WHERE rn = 1
-        ),
+        WITH {ivf_assigned_cte()},
         ivf AS (
             SELECT query_id, vec_id FROM (
                 SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
@@ -349,9 +335,12 @@ _PARA_W = 8  # words per chunk ("paragraph" unit on the synthetic corpus)
 )
 def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # filter BEFORE the explode (matches tools/scaling_probe.py): short
+    # docs never generate a descending sequence(0, -1), and the plan
+    # does not rely on Spark resolving a filter over a dropped column
     tok = d.select(
         "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("tok")
-    )
+    ).where(F.expr(f"size(tok) >= {_PARA_W}"))
     w = _PARA_W
     chunks = tok.select(
         "doc_id",
@@ -361,7 +350,7 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" k -> md5(array_join(slice(tok, k * {w} + 1, {w}), ' ')))"
             )
         ).alias("ch"),
-    ).where(F.expr(f"size(tok) >= {w}"))
+    )
     shared = (
         chunks.groupBy("ch")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -425,7 +414,9 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _install_ccnet_oracle() -> None:
     """Compose the CCNet oracle from q_text_perplexity_bigram's oracle
     text so the two can never drift apart."""
-    from weather_flink_spark.plans.registry import _REGISTRY, QuerySpec
+    import dataclasses
+
+    from weather_flink_spark.plans.registry import _REGISTRY
 
     base = _REGISTRY["q_text_perplexity_bigram"].oracle
     spec = _REGISTRY["q_text_ccnet_buckets"]
@@ -444,9 +435,7 @@ def _install_ccnet_oracle() -> None:
             FROM scored s2 JOIN documents d2 ON d2.doc_id = s2.doc_id
         ) t ON t.doc_id = s.doc_id
     """
-    _REGISTRY["q_text_ccnet_buckets"] = QuerySpec(
-        name=spec.name, fn=spec.fn, oracle=composed, doc=spec.doc, tags=spec.tags
-    )
+    _REGISTRY["q_text_ccnet_buckets"] = dataclasses.replace(spec, oracle=composed)
 
 
 _install_ccnet_oracle()
@@ -463,21 +452,7 @@ SEMANTIC_DUP_THRESHOLD = 0.30  # ≈ p99 of within-cell cosine on this corpus;
 @register(
     "q_dedup_semantic_ivf",
     oracle=f"""
-        WITH cent AS (
-            SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-            WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
-        ),
-        assigned AS (
-            SELECT vec_id, embedding, cent_id AS cell FROM (
-                SELECT e.vec_id, e.embedding, c.cent_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_cos_duck('e.embedding', 'c.cent_emb')} DESC,
-                                    c.cent_id ASC
-                       ) AS rn
-                FROM embeddings e CROSS JOIN cent c
-            ) WHERE rn = 1
-        ),
+        WITH {ivf_assigned_cte()},
         pairs AS (
             SELECT a.cell, a.vec_id AS keep_cand, b.vec_id AS drop_id,
                    {_cos_duck('a.embedding', 'b.embedding')} AS cosine
@@ -495,23 +470,33 @@ SEMANTIC_DUP_THRESHOLD = 0.30  # ≈ p99 of within-cell cosine on this corpus;
     """,
     doc=(
         "SemDeDup-shaped semantic dedup: vectors are coarse-quantized "
-        "into IVF cells (broadcast deterministic centroids), pairwise "
-        "cosine runs ONLY within a cell — O(n·cell_size), never the "
-        "n² cross-corpus product — and each above-threshold vector is "
-        "dropped in favor of its smallest-id duplicate (deterministic "
-        "keep rule). The cell is the shuffle key, so every comparison "
-        "is partition-local. Threshold is data-scaled (see constant); "
-        "the plan shape is exactly production SemDeDup: cluster, "
-        "compare within cluster, keep one representative."
+        "into the TRAINED k-means IVF cells (fixed k, session-cached "
+        "model), pairwise cosine runs ONLY within a cell — O(n·cell_"
+        "size), never the n² cross-corpus product — and each above-"
+        "threshold vector is dropped in favor of its smallest-id "
+        "duplicate (deterministic keep rule). Because fixed k means "
+        "cell size grows with the corpus, cells beyond "
+        "SEMDEDUP_CELL_BOUND are refined into cosine-aware sub-cells "
+        "(operators/semdedup.bounded_cells) so the pair phase stays "
+        "bound²-limited per cell; refined ids equal the coarse ids "
+        "whenever a cell is within bound, so the sf0.01 oracle is "
+        "unaffected while the split is live at sf0.1+. The cell is the "
+        "shuffle key, so every comparison is partition-local. Threshold "
+        "is data-scaled (see constant); the plan shape is exactly "
+        "production SemDeDup: cluster, compare within cluster, keep "
+        "one representative."
     ),
     tags=("dedup", "embedding", "semantic"),
 )
 def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.semdedup import bounded_cells
     from weather_flink_spark.plans.llm_extra import ivf_assigned_table
 
     # session-cached assignment (vec_id, embedding, nrm, cell) — shared
-    # with q_sim_ann_ivf / q_sim_ann_recall; one persist, many consumers
-    assigned = ivf_assigned_table(spark, sf_dir)
+    # with q_sim_ann_ivf / q_sim_ann_recall; one persist, many consumers.
+    # bounded_cells caps the quadratic pair space per cell (no-op at the
+    # sf0.01 oracle gate where every cell is within bound).
+    assigned = bounded_cells(ivf_assigned_table(spark, sf_dir))
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (

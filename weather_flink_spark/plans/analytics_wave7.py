@@ -275,15 +275,15 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _install_composed_oracles() -> None:
     """Compose member oracle texts so composites can never drift."""
-    from weather_flink_spark.plans.registry import _REGISTRY, QuerySpec
+    import dataclasses
+
+    from weather_flink_spark.plans.registry import _REGISTRY
     from weather_flink_spark.plans import llm_extra, llm_wave5, pipeline_extra  # noqa: F401
     from weather_flink_spark.plans import analytics_wave4  # noqa: F401
 
     def _swap(name: str, oracle: str) -> None:
-        spec = _REGISTRY[name]
-        _REGISTRY[name] = QuerySpec(
-            name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc, tags=spec.tags
-        )
+        # dataclasses.replace: future QuerySpec fields survive the swap
+        _REGISTRY[name] = dataclasses.replace(_REGISTRY[name], oracle=oracle)
 
     tfidf = _REGISTRY["q_text_tfidf"].oracle
     _swap(
@@ -388,7 +388,9 @@ def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _install_lsh_scurve_oracle() -> None:
-    from weather_flink_spark.plans.registry import _REGISTRY, QuerySpec
+    import dataclasses
+
+    from weather_flink_spark.plans.registry import _REGISTRY
     from weather_flink_spark.plans import llm_extra  # noqa: F401
 
     base = _REGISTRY["q_dedup_ngram_jaccard"].oracle
@@ -421,9 +423,8 @@ def _install_lsh_scurve_oracle() -> None:
         FROM probs
         GROUP BY config, bands, rows_per_band
     """
-    spec = _REGISTRY["q_dedup_lsh_scurve"]
-    _REGISTRY["q_dedup_lsh_scurve"] = QuerySpec(
-        name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc, tags=spec.tags
+    _REGISTRY["q_dedup_lsh_scurve"] = dataclasses.replace(
+        _REGISTRY["q_dedup_lsh_scurve"], oracle=oracle
     )
 
 

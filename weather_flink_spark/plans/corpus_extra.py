@@ -40,6 +40,38 @@ def _h_duck(i: int) -> str:
     )
 
 
+def _cms_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (token, n_true, i, bucket) CMS hash expansion —
+    read three times per call (counters, candidates, estimate join)."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        counts = (
+            d.select(F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("n_true"))
+        )
+        hashed = counts.select(
+            "token",
+            "n_true",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("i"), F.expr(_h_spark(i)).alias("bucket"))
+                        for i in range(CMS_D)
+                    ]
+                )
+            ).alias("h"),
+        ).select(
+            "token", "n_true", F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket")
+        )
+        return hashed.persist()
+
+    return _cached("cms_hashed", spark, sf_dir, build)
+
+
 @register(
     "q_text_heavy_hitters_cms",
     oracle=f"""
@@ -84,26 +116,8 @@ def _h_duck(i: int) -> str:
     tags=("text", "sketch", "heavy-hitters"),
 )
 def q_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    counts = (
-        d.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count("*").alias("n_true"))
-    )
-    hashed = counts.select(
-        "token",
-        "n_true",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), F.expr(_h_spark(i)).alias("bucket"))
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("h"),
-    ).select("token", "n_true", F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
-    hashed = hashed.persist()
+    hashed = _cms_hashed(spark, sf_dir)
+    counts = hashed.filter(F.col("i") == 0).select("token", "n_true")
     counters = hashed.groupBy("i", "bucket").agg(F.sum("n_true").alias("c"))
     # global top-k via TakeOrderedAndProject (deterministic tiebreak),
     # not a partitionless window (which would single-partition the sort)

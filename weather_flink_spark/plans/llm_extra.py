@@ -64,7 +64,19 @@ def _simhash_table(d: DataFrame) -> DataFrame:
         "IF(2 * size(filter(hs, h -> ((shiftright(h, i) & 1) = 1))) > size(hs),"
         " shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
     )
-    return hashed.select("doc_id", simhash.alias("simhash")).persist()
+    res = hashed.select("doc_id", simhash.alias("simhash")).persist()
+    res.count()  # materialize so the token-hash intermediate releases now
+    hashed.unpersist()
+    return res
+
+
+def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, simhash) signature table."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    return _cached(
+        "simhash", spark, sf_dir, lambda: _simhash_table(load(spark, sf_dir, "documents"))
+    )
 
 
 _SIMHASH_DUCK = f"""
@@ -118,7 +130,7 @@ _SIMHASH_DUCK = f"""
     tags=("dedup", "simhash"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = _simhash_table(load(spark, sf_dir, "documents"))
+    sim = simhash_table(spark, sf_dir)
     band_ids = F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])
     keyed = sim.select(
         "doc_id",
@@ -172,6 +184,17 @@ def _bigram_table(d: DataFrame) -> DataFrame:
     return toks.select("doc_id", F.expr(_BIGRAM_SPARK).alias("grams")).persist()
 
 
+def bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, grams) word-bigram signature table —
+    shared by q_dedup_ngram_jaccard and the chunk-overlap scorer (one
+    persist, many consumers; round-2 verdict leak class)."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    return _cached(
+        "bigrams", spark, sf_dir, lambda: _bigram_table(load(spark, sf_dir, "documents"))
+    )
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
@@ -207,7 +230,7 @@ def _bigram_table(d: DataFrame) -> DataFrame:
     tags=("dedup", "ngram"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _bigram_table(load(spark, sf_dir, "documents"))
+    g = bigram_table(spark, sf_dir)
     blocked = g.select("doc_id", "grams", F.array_min("grams").alias("block_key"))
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
@@ -268,6 +291,26 @@ def _bucket_duck() -> str:
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"
 
 
+def _hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (vec_id, demb, nrm, bucket) hyperplane-LSH table."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings")
+        return (
+            e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
+            .select(
+                "vec_id",
+                F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("demb"),
+                norm_col(F.col("embedding")).alias("nrm"),
+                _bucket_spark().alias("bucket"),
+            )
+            .persist()
+        )
+
+    return _cached("cos_buckets", spark, sf_dir, build)
+
+
 @register(
     "q_dedup_embedding_cosine",
     oracle=f"""
@@ -303,17 +346,7 @@ def _bucket_duck() -> str:
     tags=("dedup", "embedding", "lsh"),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    bucketed = (
-        e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
-        .select(
-            "vec_id",
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("demb"),
-            norm_col(F.col("embedding")).alias("nrm"),
-            _bucket_spark().alias("bucket"),
-        )
-        .persist()
-    )
+    bucketed = _hyperplane_buckets(spark, sf_dir)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cosine = dot_col(F.col("a.demb"), F.col("b.demb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
@@ -331,7 +364,6 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-style approximate nearest neighbor
 # ---------------------------------------------------------------------------
 
-IVF_CENTROID_STRIDE = 100  # centroids = vec_id % stride == 0 → ~n/100 cells
 IVF_TOP_K = 5
 IVF_N_QUERIES = 5
 
@@ -350,63 +382,59 @@ def _cos_duck(a: str, b: str) -> str:
 
 
 
+def ivf_assigned_cte() -> str:
+    """DuckDB WITH-chain text ending in CTE ``assigned`` (vec_id,
+    embedding, cell): the oracle twin of :func:`ivf_assigned_table`.
+
+    Replays the k-means training of q_emb_kmeans_lloyd (fixed k, fixed
+    iteration count, deterministic seeds) and exposes the final
+    assignment — every IVF consumer's oracle composes on top of this
+    one text so the centroid rule can never drift between consumers.
+    """
+    from weather_flink_spark.plans.analytics_wave4 import (
+        KMEANS_ITERS,
+        _kmeans_cte_parts,
+    )
+
+    parts = _kmeans_cte_parts()
+    parts.append(
+        f"assigned AS (SELECT vec_id, embedding, cid AS cell FROM a{KMEANS_ITERS})"
+    )
+    return ",".join(parts)
+
+
 def ivf_assigned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached (vec_id, embedding, nrm, cell) IVF assignment.
 
-    Shared by q_sim_ann_ivf, q_sim_ann_recall and q_dedup_semantic_ivf:
-    the assignment is the expensive O(n·centroids) phase, so it is built
-    once per (session, sf_dir) and persisted — the same discipline as the
-    signature tables in llm_pipeline (one persist, many consumers; no
-    per-call storage leak). Norms are precomputed once per vector with
-    the same float arithmetic as the inline fold, so downstream cosine
-    values (and oracle hashes) are unchanged.
+    Shared by q_sim_ann_ivf, q_sim_ann_ivf_nprobe, q_sim_ann_recall and
+    q_dedup_semantic_ivf. Cells are the TRAINED k-means centroids of
+    q_emb_kmeans_lloyd (fixed k=KMEANS_K, session-cached model), so the
+    assignment phase is O(n·k) with constant k and the broadcast
+    centroid table is bounded — the round-2 verdict's scale fix for the
+    stride-derived centroid set whose k grew with the corpus (O(n²/stride)
+    assignment + unbounded broadcast). The trained model and its
+    assignment are persisted once by kmeans_final_assignment; this
+    projection only adds the L2 norm column (same float fold as the
+    inline cosine), so downstream cosine values are unchanged.
     """
+    from weather_flink_spark.plans.analytics_wave4 import kmeans_final_assignment
     from weather_flink_spark.plans.llm_pipeline import _cached
 
     def build() -> DataFrame:
-        e = load(spark, sf_dir, "embeddings")
-        ev = e.select("vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm"))
-        cent = ev.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-            F.col("nrm").alias("cent_nrm"),
-        )
-        cos_vc = dot_col(F.col("embedding"), F.col("cent_emb")) / (
-            F.col("nrm") * F.col("cent_nrm")
-        )
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.col("cent_cos").desc(), F.col("cent_id").asc()
-        )
-        return (
-            ev.join(F.broadcast(cent))
-            .select("vec_id", "embedding", "nrm", "cent_id", cos_vc.alias("cent_cos"))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
-            .persist()
+        _, final = kmeans_final_assignment(spark, sf_dir)
+        return final.select(
+            "vec_id",
+            "embedding",
+            norm_col(F.col("embedding")).alias("nrm"),
+            F.col("cid").alias("cell"),
         )
 
     return _cached("ivf_assigned", spark, sf_dir, build)
 
 
-@register(
-    "q_sim_ann_ivf",
-    oracle=f"""
-        WITH cent AS (
-            SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-            WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
-        ),
-        assigned AS (
-            SELECT vec_id, embedding, cent_id AS cell FROM (
-                SELECT e.vec_id, e.embedding, c.cent_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_cos_duck('e.embedding', 'c.cent_emb')} DESC,
-                                    c.cent_id ASC
-                       ) AS rn
-                FROM embeddings e CROSS JOIN cent c
-            ) WHERE rn = 1
-        )
+def _ann_ivf_oracle() -> str:
+    return f"""
+        WITH {ivf_assigned_cte()}
         SELECT query_id, vec_id, cell, cosine, k_rank FROM (
             SELECT q.vec_id AS query_id, v.vec_id AS vec_id, v.cell AS cell,
                    {_cos_duck('q.embedding', 'v.embedding')} AS cosine,
@@ -419,14 +447,20 @@ def ivf_assigned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON q.cell = v.cell AND q.vec_id <> v.vec_id
             WHERE q.vec_id < {IVF_N_QUERIES}
         ) WHERE k_rank <= {IVF_TOP_K}
-    """,
+    """
+
+
+@register(
+    "q_sim_ann_ivf",
+    oracle=_ann_ivf_oracle(),
     doc=(
         "IVF-style ANN: coarse quantization assigns every vector to its "
-        "nearest centroid (deterministic centroid subset, broadcast), "
-        "then each query searches ONLY its own cell (nprobe=1) for "
-        "top-5 by cosine. The scale path vs q_sim_cosine_topk's exact "
-        "brute force: search cost drops from O(n) to O(n/cells) per "
-        "query; cells are the partitioning key."
+        "nearest TRAINED k-means centroid (fixed k, session-cached "
+        "model — O(n·k) assignment, bounded broadcast), then each query "
+        "searches ONLY its own cell (nprobe=1) for top-5 by cosine. The "
+        "scale path vs q_sim_cosine_topk's exact brute force: search "
+        "cost drops from O(n) to O(n/cells) per query; cells are the "
+        "partitioning key."
     ),
     tags=("similarity", "ann", "ivf"),
 )
@@ -622,6 +656,63 @@ DEDUP_CLUSTERS_ORACLE = f"""
 """
 
 
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached converged min-label assignment over the LSH
+    edge-touched subgraph. The iterative build runs ONCE per (session,
+    sf): each round's labels are materialized by the convergence-sum
+    action and the previous round (and the edge list) are unpersisted
+    before returning, so steady state is exactly one cached table."""
+    from weather_flink_spark.plans.llm_pipeline import _cached, q_dedup_near_minhash
+
+    def build() -> DataFrame:
+        pairs = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.union(
+                pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+            )
+            .withColumnRenamed("doc_a", "src")
+            .withColumnRenamed("doc_b", "dst")
+            .persist()
+        )
+        # symmetric edge list → src alone covers every edge-touched vertex
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("label"))
+            .persist()
+        )
+        # labels only ever DECREASE under min-propagation, so an unchanged
+        # label sum proves the fixpoint — one cheap aggregate per round
+        # instead of a join-and-count convergence check
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(CC_MAX_ITERS):
+            nbr_min = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        edges.unpersist()
+        return labels
+
+    return _cached("cc_labels", spark, sf_dir, build)
+
+
 @register(
     "q_dedup_clusters",
     oracle=DEDUP_CLUSTERS_ORACLE,
@@ -642,46 +733,7 @@ DEDUP_CLUSTERS_ORACLE = f"""
     tags=("dedup", "iterative", "graph"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_flink_spark.plans.llm_pipeline import q_dedup_near_minhash
-
-    pairs = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .withColumnRenamed("doc_a", "src")
-        .withColumnRenamed("doc_b", "dst")
-        .persist()
-    )
-    # symmetric edge list → src alone covers every edge-touched vertex
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .persist()
-    )
-    # labels only ever DECREASE under min-propagation, so an unchanged
-    # label sum proves the fixpoint — one cheap aggregate per round
-    # instead of a join-and-count convergence check
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
-            )
-            .persist()
-        )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    labels = _cc_labels(spark, sf_dir)
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
@@ -949,6 +1001,30 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def name_dict_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached distinct part-name dictionary with blocking keys
+    (p_name, ln, c1) — fuzzy matching runs on distinct values (64
+    here), never the row population carrying them. Shared by the
+    Levenshtein and Jaro-Winkler matchers (one persist, many
+    consumers)."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        return (
+            load(spark, sf_dir, "part")
+            .select("p_name")
+            .distinct()
+            .select(
+                "p_name",
+                F.length("p_name").alias("ln"),
+                F.substring("p_name", 1, 1).alias("c1"),
+            )
+            .persist()
+        )
+
+    return _cached("name_dict", spark, sf_dir, build)
+
+
 @register(
     "q_fuzzy_match_levenshtein",
     oracle="""
@@ -976,19 +1052,7 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "fuzzy", "entity-resolution"),
 )
 def q_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dedupe the name dictionary FIRST: fuzzy-matching runs on distinct
-    # values (64 here), never on the row population carrying them
-    p = (
-        load(spark, sf_dir, "part")
-        .select("p_name")
-        .distinct()
-        .select(
-            "p_name",
-            F.length("p_name").alias("ln"),
-            F.substring("p_name", 1, 1).alias("c1"),
-        )
-        .persist()
-    )
+    p = name_dict_table(spark, sf_dir)
     a, b = p.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
@@ -1098,11 +1162,17 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.llm_pipeline import shingle_table
 
     sh = shingle_table(spark, sf_dir)  # (doc_id, shingle_h28) — shared signature table
-    assigned = (
-        d.select("doc_id", split.alias("split"))
-        .join(sh.select("doc_id", F.array_min("shingle_h28").alias("fp")), "doc_id")
-        .persist()
-    )
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        return (
+            d.select("doc_id", split.alias("split"))
+            .join(sh.select("doc_id", F.array_min("shingle_h28").alias("fp")), "doc_id")
+            .persist()
+        )
+
+    # session-cached: the self-join below reads it twice per call
+    assigned = _cached("split_assigned", spark, sf_dir, build)
     a = assigned.filter(F.col("split") == "train").alias("a")
     b = assigned.filter(F.col("split") != "train").alias("b")
     return a.join(b, F.col("a.fp") == F.col("b.fp")).select(

@@ -322,9 +322,12 @@ def _shingle_table(d: DataFrame) -> DataFrame:
             10,
         ).cast("long"),
     )
-    return toks.select(
+    res = toks.select(
         "doc_id", F.array_distinct(gram_hash).alias("shingle_h28")
     ).persist()
+    res.count()  # materialize so the token intermediate can be released now
+    toks.unpersist()
+    return res
 
 
 # Universal-hash permutations over the 28-bit base hash: proper
@@ -552,6 +555,15 @@ def _emb_table(d: DataFrame) -> DataFrame:
     )
 
 
+def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (vec_id, label, demb, nrm) embedding table."""
+    from weather_flink_spark.io import load as _load
+
+    return _cached(
+        "embtable", spark, sf_dir, lambda: _emb_table(_load(spark, sf_dir, "embeddings"))
+    )
+
+
 @register(
     "q_sim_cosine_topk",
     oracle=f"""
@@ -615,7 +627,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "pairwise"),
 )
 def q_sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_table(load(spark, sf_dir, "embeddings"))
+    emb = emb_table(spark, sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
     cosine = dot_col(F.col("a.demb"), F.col("b.demb")) / (F.col("a.nrm") * F.col("b.nrm"))

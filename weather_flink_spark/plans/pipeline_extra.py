@@ -508,9 +508,16 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("shingle_h28"), lambda h: _perm_value(h, i))
         )
 
-    sig = sh.select(
-        "doc_id", *[perm_min(i).alias(f"mh{i}") for i in range(N_MINHASH)]
-    ).persist()
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    sig = _cached(
+        "mh_sig_full",
+        spark,
+        sf_dir,
+        lambda: sh.select(
+            "doc_id", *[perm_min(i).alias(f"mh{i}") for i in range(N_MINHASH)]
+        ).persist(),
+    )
     bands = minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

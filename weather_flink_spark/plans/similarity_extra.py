@@ -14,10 +14,11 @@ from pyspark.sql import functions as F
 from weather_flink_spark.functions.udf_surface import jaro_winkler
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.llm_extra import (
-    IVF_CENTROID_STRIDE,
     IVF_N_QUERIES,
     IVF_TOP_K,
     _cos_duck,
+    ivf_assigned_cte,
+    ivf_assigned_table,
 )
 from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
 from weather_flink_spark.plans.registry import register
@@ -54,17 +55,10 @@ JW_THRESHOLD = 0.8
     tags=("dedup", "fuzzy", "entity-resolution", "pandas-udf"),
 )
 def q_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        load(spark, sf_dir, "part")
-        .select("p_name")
-        .distinct()
-        .select(
-            "p_name",
-            F.length("p_name").alias("ln"),
-            F.substring("p_name", 1, 1).alias("c1"),
-        )
-        .persist()
-    )
+    from weather_flink_spark.plans.llm_extra import name_dict_table
+
+    # session-cached dictionary shared with q_fuzzy_match_levenshtein
+    p = name_dict_table(spark, sf_dir)
     a, b = p.alias("a"), p.alias("b")
     jw = jaro_winkler()(F.col("a.p_name"), F.col("b.p_name"))
     return (
@@ -86,29 +80,26 @@ def q_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NPROBE = 2
 
 
-@register(
-    "q_sim_ann_ivf_nprobe",
-    oracle=f"""
-        WITH cent AS (
-            SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-            WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
-        ),
-        ranked AS (
-            SELECT e.vec_id, e.embedding, c.cent_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_cos_duck('e.embedding', 'c.cent_emb')} DESC,
-                                c.cent_id ASC
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cent c
-        ),
-        assigned AS (
-            SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rn = 1
-        ),
+def _nprobe_oracle() -> str:
+    from weather_flink_spark.plans.analytics_wave4 import (
+        KMEANS_ITERS,
+        _kmeans_dist_duck,
+    )
+
+    dist = _kmeans_dist_duck("e.embedding", "c.c")
+    return f"""
+        WITH {ivf_assigned_cte()},
         probes AS (
-            SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS probe_cell
-            FROM ranked
-            WHERE rn <= {IVF_NPROBE} AND vec_id < {IVF_N_QUERIES}
+            SELECT query_id, q_emb, probe_cell FROM (
+                SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+                       c.cid AS probe_cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {dist} ASC, c.cid ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent{KMEANS_ITERS} c
+                WHERE e.vec_id < {IVF_N_QUERIES}
+            ) WHERE rn <= {IVF_NPROBE}
         )
         SELECT query_id, vec_id, cell, cosine, k_rank FROM (
             SELECT p.query_id, v.vec_id, v.cell,
@@ -121,46 +112,51 @@ IVF_NPROBE = 2
             FROM probes p JOIN assigned v
               ON p.probe_cell = v.cell AND p.query_id <> v.vec_id
         ) WHERE k_rank <= {IVF_TOP_K}
-    """,
+    """
+
+
+@register(
+    "q_sim_ann_ivf_nprobe",
+    oracle=_nprobe_oracle(),
     doc=(
-        "Multi-probe IVF ANN (nprobe=2): vectors live in exactly one "
-        "cell, but each query fans out to its 2 nearest centroids and "
-        "takes the global top-5 across both probed cells — the standard "
-        "recall-vs-cost knob over q_sim_ann_ivf's nprobe=1. The probe "
-        "fan-out is a 2-row-per-query broadcast join; search cost is "
-        "nprobe/cells of the corpus per query."
+        "Multi-probe IVF ANN (nprobe=2) over the TRAINED k-means index: "
+        "vectors live in exactly one learned cell (shared session-cached "
+        "assignment — fixed k, bounded broadcast), but each query fans "
+        "out to its 2 nearest centroids by the training metric (L2) and "
+        "takes the global top-5 by cosine across both probed cells — the "
+        "standard recall-vs-cost knob over q_sim_ann_ivf's nprobe=1. "
+        "Probe selection costs |queries|·k against the 8-row broadcast "
+        "model; search cost is nprobe/cells of the corpus per query."
     ),
     tags=("similarity", "ann", "ivf"),
 )
 def q_sim_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    from weather_flink_spark.plans.analytics_wave4 import (
+        _kmeans_dist_col,
+        kmeans_final_assignment,
     )
-    cos_vc = dot_col(F.col("embedding"), F.col("cent_emb")) / (
-        norm_col(F.col("embedding")) * norm_col(F.col("cent_emb"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cent_id").asc()
-    )
-    ranked = (
-        e.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cent_id", cos_vc.alias("cent_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .persist()
-    )
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("cell")
-    )
-    probes = ranked.filter(
-        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < IVF_N_QUERIES)
-    ).select(
+
+    assigned = ivf_assigned_table(spark, sf_dir)
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("cent_id").alias("probe_cell"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "q_emb", "q_nrm", "cid", _kmeans_dist_col("q_emb", "c").alias("cd2")
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "q_nrm", F.col("cid").alias("probe_cell"))
     )
     cos_qv = dot_col(F.col("q_emb"), F.col("embedding")) / (
-        norm_col(F.col("q_emb")) * norm_col(F.col("embedding"))
+        F.col("q_nrm") * F.col("nrm")
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -221,3 +217,38 @@ def q_text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col(f"tf_{SEARCH_TERMS[0]}") > 0) & (F.col(f"tf_{SEARCH_TERMS[1]}") > 0))
     )
     return hits
+
+
+def _assign_gemm_oracle() -> str:
+    return f"""
+        WITH {ivf_assigned_cte()}
+        SELECT vec_id, cell FROM assigned
+    """
+
+
+@register(
+    "q_sim_ivf_assign_gemm",
+    oracle=_assign_gemm_oracle(),
+    doc=(
+        "Arrow/BLAS twin of the IVF centroid assignment "
+        "(operators/vector_search.assign_cells_gemm): the trained "
+        "k-means model (k rows, the one sanctioned bounded collect) "
+        "rides into each task via closure capture and every Arrow batch "
+        "assigns its vectors with ONE GEMM — the kernel that takes over "
+        "when embedding volume makes the interpreted expression fold "
+        "the bottleneck. argmin(||x−c||²) drops the ||x||² term, ties "
+        "break to the smallest cid exactly like the expression path; "
+        "the oracle replays k-means training + assignment in SQL, so "
+        "the hash match proves the BLAS kernel is assignment-identical "
+        "to the Catalyst fold (also asserted per-vector in "
+        "tests/test_vector_search.py)."
+    ),
+    tags=("similarity", "ann", "ivf", "arrow"),
+)
+def q_sim_ivf_assign_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.vector_search import assign_cells_gemm
+    from weather_flink_spark.plans.analytics_wave4 import kmeans_final_assignment
+
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    model = [(r["cid"], r["c"]) for r in cent.collect()]  # k rows — bounded
+    return assign_cells_gemm(load(spark, sf_dir, "embeddings"), model)

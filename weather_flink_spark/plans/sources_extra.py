@@ -346,12 +346,19 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         " transform(sequence(0, size(tok) - 2), i -> concat(tok[i], ' ', tok[i + 1])),"
         " array())"
     )
-    bc = (
-        d.select(tok.alias("tok"))
-        .select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count("*").alias("c_bigram"))
-        .persist()
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    bc = _cached(
+        "bigram_lm_counts",
+        spark,
+        sf_dir,
+        lambda: (
+            d.select(tok.alias("tok"))
+            .select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count("*").alias("c_bigram"))
+            .persist()
+        ),
     )
     prefix = F.split(F.col("bigram"), " ")[0]
     pc = bc.groupBy(prefix.alias("prefix")).agg(

@@ -210,8 +210,8 @@ _sql_query(
         JOIN {{customer}} c ON c.c_custkey = o.o_custkey
         JOIN {{nation}} n1 ON n1.n_nationkey = s.s_nationkey
         JOIN {{nation}} n2 ON n2.n_nationkey = c.c_nationkey
-        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
           AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     ) shipping
@@ -222,7 +222,10 @@ _sql_query(
         "TPC-H Q7 bilateral shipping volume by year. nation appears twice "
         "(supplier side and customer side) — both broadcast; the "
         "disjunctive nation-pair predicate prunes early on both dims; the "
-        "only big shuffle is lineitem⋈orders on orderkey."
+        "only big shuffle is lineitem⋈orders on orderkey. The nation pair "
+        "is chosen to have bilateral traffic even at the sf0.001 smoke "
+        "fixture so the oracle differential is never vacuously empty "
+        "(round-2 ADVICE)."
     ),
     tags=("sql", "tpch", "join", "agg"),
 )
