@@ -151,3 +151,47 @@ def attach_exclusive_prefix_max(
         .withColumn(out_col, combined)
         .drop(_PID, _LOC, _OFF)
     )
+
+
+def attach_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    val_col: str,
+    out_col: str,
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``SUM(val) OVER (ORDER BY ...)`` (inclusive by default, or the
+    exclusive ``... TO 1 PRECEDING`` frame) — the distributed two-pass
+    prefix sum.
+
+    Use with INTEGRAL (or DECIMAL) ``val_col`` when bit-exact parity
+    with a single-partition SQL window matters: integer addition is
+    associative, so the partition-boundary regrouping cannot change the
+    result. (Double sums would be order-sensitive.)
+    """
+    hi = -1 if exclusive else 0
+    local_w = (
+        Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = _range_parted(df, order_cols, num_partitions).withColumn(
+        _LOC, F.sum(val_col).over(local_w)
+    )
+    wprev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy(_PID)
+        .agg(F.sum(val_col).alias("__go_psum"))
+        .withColumn(_OFF, F.sum("__go_psum").over(wprev))
+        .select(_PID, _OFF)
+    )
+    combined = F.coalesce(F.col(_LOC), F.lit(0)) + F.coalesce(F.col(_OFF), F.lit(0))
+    # exclusive frame on the very first row is an empty frame => NULL
+    if exclusive:
+        combined = F.when(F.col(_LOC).isNull() & F.col(_OFF).isNull(), F.lit(None)).otherwise(
+            combined
+        )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, combined)
+        .drop(_PID, _LOC, _OFF)
+    )

@@ -75,6 +75,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_wave5,
         analytics_wave6,
         analytics_wave7,
+        analytics_wave8,
         streaming_queries,
     )
 
