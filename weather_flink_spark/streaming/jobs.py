@@ -214,7 +214,10 @@ def run_to_memory(
     )
     deadline = time.time() + timeout_s
     while q.isActive and time.time() < deadline:
-        q.awaitTermination(1)
+        # 50 ms poll: availableNow fixtures finish in ~1-2 s, and a 1 s
+        # poll quantum added up to ~1 s dead time per streaming entry
+        # (~12 s across the bench suite's s_* floor)
+        q.awaitTermination(0.05)
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError("streaming query did not finish in time")
