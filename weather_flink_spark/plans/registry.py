@@ -76,6 +76,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave6,
         analytics_wave7,
         analytics_wave8,
+        analytics_wave9,
         streaming_queries,
     )
 
