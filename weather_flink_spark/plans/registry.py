@@ -77,6 +77,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave7,
         analytics_wave8,
         analytics_wave9,
+        analytics_wave10,
         streaming_queries,
     )
 
