@@ -254,3 +254,23 @@ def test_avro_expr_path_guard_raises_without_jar(spark):
 
     with _pytest.raises(RuntimeError, match="spark-avro"):
         decode_framed_avro_expr(_value_df(spark, fx.framed_values()), fx.REGISTRY)
+
+
+def test_rate_limit_stream_throttles_bursts(spark):
+    """The keyed throttle must admit at most M per (device, window),
+    with contiguous kept_rank, and actually drop burst overflow."""
+    from weather_flink_spark.plans.registry import all_specs
+
+    rows = all_specs()["s_rate_limit"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    seen: dict[tuple[str, int], list[int]] = {}
+    for r in rows:
+        seen.setdefault((r.deviceId, r.window_start), []).append(r.kept_rank)
+        assert r.window_start <= r.timestamp < r.window_start + 10_000
+    for key, ranks in seen.items():
+        ranks.sort()
+        assert ranks == list(range(1, len(ranks) + 1)), key
+        assert len(ranks) <= 2
+    # each fixture burst is 4 events inside one window: overflow dropped
+    n_good_events = 24
+    assert len(rows) < n_good_events

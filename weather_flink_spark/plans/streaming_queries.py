@@ -35,6 +35,7 @@ from weather_flink_spark.streaming import fixtures as fx
 from weather_flink_spark.streaming.jobs import (
     dedup_stream,
     presence_transitions,
+    rate_limit_stream,
     run_to_memory,
     session_windows,
     sliding_counts,
@@ -166,6 +167,24 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_stateful_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _small_state(spark):
         return run_to_memory(presence_transitions(_avro_stream(spark)), output_mode="append")
+
+
+@register(
+    "s_rate_limit",
+    doc=(
+        "Keyed streaming rate limiter via applyInPandasWithState: at "
+        "most 2 events pass per (device, 10 s event-time window), state "
+        "is one (window, count) pair per device with event-time-timeout "
+        "eviction — the streaming twin of q_events_rate_limit's hot-key "
+        "gate. Each fixture burst (4 events in <= 3 s) keeps exactly 2."
+    ),
+    tags=("streaming",),
+)
+def s_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _small_state(spark):
+        return run_to_memory(
+            rate_limit_stream(_json_stream(spark)), output_mode="append"
+        )
 
 
 @register(

@@ -189,6 +189,84 @@ def presence_transitions(df: DataFrame, gap_ms: int = 30_000) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# keyed streaming rate limiter (throttle)
+# ---------------------------------------------------------------------------
+
+RATE_LIMIT_OUTPUT = T.StructType(
+    [
+        T.StructField("deviceId", T.StringType()),
+        T.StructField("window_start", T.LongType()),  # epoch millis
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("kept_rank", T.LongType()),
+    ]
+)
+_RATE_STATE = T.StructType(
+    [
+        T.StructField("window_start", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+    ]
+)
+
+
+def rate_limit_stream(
+    df: DataFrame, max_per_window: int = 2, window_ms: int = 10_000
+) -> DataFrame:
+    """Per-key streaming rate limiter: at most ``max_per_window`` events
+    pass per (device, tumbling event-time window); the rest drop. The
+    hot-key protection gate of q_events_rate_limit as a custom stateful
+    streaming operator — state is ONE (window_start, n_kept) pair per
+    device regardless of event volume, and event-time timeouts evict it
+    two windows after the watermark passes, so state size is bounded by
+    live keys, not history. Events older than the current window (late
+    beyond the throttle's memory) drop conservatively — a throttle must
+    never over-admit on replay.
+    """
+
+    def fn(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        device = key[0]
+        out: list[dict[str, Any]] = []
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdfs:
+                ts.extend(int(t) for t in pdf["timestamp"])
+            ts.sort()
+            win, kept = state.get if state.exists else (None, 0)
+            for t in ts:
+                w = t - (t % window_ms)
+                if win is None or w > win:
+                    win, kept = w, 0
+                elif w < win:
+                    continue  # stale window: drop (never over-admit)
+                if kept < max_per_window:
+                    kept += 1
+                    out.append(
+                        {
+                            "deviceId": device,
+                            "window_start": win,
+                            "timestamp": t,
+                            "kept_rank": kept,
+                        }
+                    )
+            if win is not None:
+                state.update((win, kept))
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(win + 2 * window_ms, wm + 1))
+        yield pd.DataFrame(out, columns=[f.name for f in RATE_LIMIT_OUTPUT.fields])
+
+    return df.groupBy("deviceId").applyInPandasWithState(
+        fn,
+        outputStructType=RATE_LIMIT_OUTPUT,
+        stateStructType=_RATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # test harness: run a streaming query to a memory sink and read it back
 # ---------------------------------------------------------------------------
 
