@@ -452,6 +452,80 @@ def main() -> None:
         "xN": timed(lambda: pca_gramian(scaled(emb, ["vec_id"], K, STRIDE))),
     }
 
+    def suffix_dup_spans(d):
+        # probe-local mirror of plans/analytics_wave9.q_text_suffix_dup_spans;
+        # copying the corpus makes EVERY gram corpus-duplicated, so this
+        # probes the worst case where the dup set covers all positions
+        from weather_flink_spark.plans.analytics_wave9 import _SPAN_GH_SPARK, _SPAN_K
+        from pyspark.sql import Window
+
+        tok = d.select(
+            "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("tok")
+        )
+        g = (
+            tok.where(F.expr(f"size(tok) >= {_SPAN_K}"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(tok) - {_SPAN_K - 1}),"
+                        f" i -> struct(i as pos, {_SPAN_GH_SPARK} as gh))"
+                    )
+                ).alias("pg"),
+            )
+            .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+        )
+        dup = g.groupBy("gh").agg(F.count("*").alias("n")).where("n >= 2").select("gh")
+        dpos = g.join(dup, "gh").select("doc_id", "pos")
+        w_lag = Window.partitionBy("doc_id").orderBy("pos")
+        w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        isl = dpos.withColumn("prev", F.lag("pos").over(w_lag)).withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("pos") - F.col("prev") > _SPAN_K), 1
+                ).otherwise(0)
+            ).over(w_run),
+        )
+        return isl.groupBy("doc_id", "island").count().count()
+
+    results["suffix_dup_spans"] = {
+        "x1": timed(lambda: suffix_dup_spans(docs)),
+        "xN": timed(lambda: suffix_dup_spans(scaled(docs, ["doc_id"], K, STRIDE))),
+    }
+
+    def item_jaccard(o, l):
+        # probe-local mirror of plans/analytics_wave9.q_graph_item_jaccard:
+        # the degree cap turns hub-customer pair fan-out into a constant,
+        # so pair volume grows with customers (linear), never degree^2
+        cp = (
+            o.select(F.col("o_custkey").alias("c"), "o_orderkey")
+            .join(l.select("l_orderkey", F.col("l_partkey").alias("p")),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("c", "p")
+            .distinct()
+        )
+        deg = cp.groupBy("c").agg(F.count("*").alias("d"))
+        capped = cp.join(deg, "c").where(F.col("d").between(2, 40)).select("c", "p")
+        a, b = capped.alias("a"), capped.alias("b")
+        return (
+            a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p"), F.col("b.p"))
+            .count()
+            .count()
+        )
+
+    # scale customers (not parts): pair volume must track customer count
+    results["item_jaccard_degcapped"] = {
+        "x1": timed(lambda: item_jaccard(orders, li)),
+        "xN": timed(
+            lambda: item_jaccard(
+                scaled(orders, ["o_custkey", "o_orderkey"], K, STRIDE),
+                scaled(li, ["l_orderkey"], K, STRIDE),
+            )
+        ),
+    }
+
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
     print(json.dumps({"copies": K, "sf": args.sf, "results": results}, indent=2))
