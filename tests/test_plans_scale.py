@@ -376,3 +376,38 @@ def test_session_caches_are_the_only_cached_plans(spark):
         f"cache manager holds {cached} relations but only {whitelisted} are "
         f"whitelisted session caches — some query leaks a per-call persist"
     )
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """100 TB posture: a selective dim-side filter must be able to prune
+    the fact scan at runtime via Spark's injected bloom filter (the
+    row-level runtime filtering AQE adds on shuffle joins). Thresholds
+    are lowered because the sf0.01 fixture is below the production
+    defaults (10 MB creation / 10 GB application side) — the assertion
+    is that the OPTIMIZER injects and the executed plan carries the
+    might_contain probe, which is size-driven at real scale."""
+    from weather_flink_spark.io import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100000000",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    before = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        li = load(spark, SF, "lineitem")
+        o = load(spark, SF, "orders").filter(F.col("o_totalprice") > 300000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
