@@ -1,0 +1,82 @@
+"""Wave-11 semantics beyond the oracle hash."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_fixture(spark, values_by_user):
+    """Write a minimal events.parquet with one row per (user, value)."""
+    rows = []
+    eid = 0
+    for uid, values in values_by_user.items():
+        t = datetime.datetime(2024, 1, 1)
+        for v in values:
+            rows.append((eid, t, uid, "click", float(v), "{}"))
+            t += datetime.timedelta(minutes=1)
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), "wfs_wave11_fixture")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_alert_debounce_state_machine(spark):
+    """Pin the hysteresis semantics on crafted sequences (H=breach 100,
+    L=recovery 0; threshold 40, K=3):
+    - user 1: HH L HHH -> short run suppressed, onset at the 3rd H of
+      the qualifying run
+    - user 2: HHHH L HHH -> second breach run is NOT a new onset (state
+      never cleared: only one L between, needs K consecutive)
+    - user 3: HHH LLL HHH -> two onsets (full recovery in between)
+    - user 4: HH LL HH -> no onset at all (never 3 consecutive)
+    """
+    from weather_flink_spark.plans.analytics_wave11 import q_events_alert_debounce
+
+    H, L = 100.0, 0.0
+    d = _events_fixture(
+        spark,
+        {
+            1: [H, H, L, H, H, H],
+            2: [H, H, H, H, L, H, H, H],
+            3: [H, H, H, L, L, L, H, H, H],
+            4: [H, H, L, L, H, H],
+        },
+    )
+    rows = sorted(
+        q_events_alert_debounce(spark, d).collect(),
+        key=lambda r: (r.user_id, r.onset_ts),
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert sorted(by_user) == [1, 2, 3]
+    assert len(by_user[1]) == 1
+    # onset at minute offset 5 (0-indexed events at minutes 0..5)
+    assert by_user[1][0].onset_ts.minute == 5
+    assert len(by_user[2]) == 1  # single L does not clear -> no re-onset
+    assert by_user[2][0].onset_ts.minute == 2
+    assert len(by_user[3]) == 2  # full K-recovery in between -> two onsets
+    assert [r.onset_ts.minute for r in by_user[3]] == [2, 8]
+
+
+def test_backlog_aging_partitions_open_orders(spark):
+    from weather_flink_spark.io import load
+
+    rows = all_specs()["q_orders_backlog_aging"].fn(spark, SF).collect()
+    assert rows
+    o = load(spark, SF, "orders")
+    n_open = o.where("o_orderstatus <> 'F'").count()
+    assert sum(r.n_orders for r in rows) == n_open
+    assert {r.o_orderstatus for r in rows} <= {"O", "P"}
+    assert all(r.backlog_value > 0 for r in rows)

@@ -78,6 +78,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave8,
         analytics_wave9,
         analytics_wave10,
+        analytics_wave11,
         streaming_queries,
     )
 
