@@ -80,3 +80,53 @@ def test_backlog_aging_partitions_open_orders(spark):
     assert sum(r.n_orders for r in rows) == n_open
     assert {r.o_orderstatus for r in rows} <= {"O", "P"}
     assert all(r.backlog_value > 0 for r in rows)
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    rows = all_specs()["q_agg_bitmap_distinct"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct_bitmap == r.n_distinct_exact
+
+
+def test_hamming_topk_invariants(spark):
+    from weather_flink_spark.plans.analytics_wave12 import _HAM_K
+
+    rows = all_specs()["q_sim_hamming_topk"].fn(spark, SF).collect()
+    assert rows
+    import collections
+
+    per_q = collections.defaultdict(list)
+    for r in rows:
+        assert 0 <= r.hamming <= 64
+        per_q[r.query_id].append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.h_rank)
+        assert [r.h_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _HAM_K
+        hams = [r.hamming for r in rs]
+        assert hams == sorted(hams)
+
+
+def test_lateral_topk_matches_window_form(spark):
+    """The LATERAL form must equal the window-function top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.io import load
+
+    c = load(spark, SF, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    expect = {
+        (r.c_mktsegment, r.c_custkey)
+        for r in c.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 2")
+        .collect()
+    }
+    got = {
+        (r.c_mktsegment, r.c_custkey)
+        for r in all_specs()["q_sql_lateral_topk"].fn(spark, SF).collect()
+    }
+    assert got == expect

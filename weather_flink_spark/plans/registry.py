@@ -79,6 +79,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave9,
         analytics_wave10,
         analytics_wave11,
+        analytics_wave12,
         streaming_queries,
     )
 
