@@ -80,6 +80,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave10,
         analytics_wave11,
         analytics_wave12,
+        analytics_wave13,
         streaming_queries,
     )
 
