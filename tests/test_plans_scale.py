@@ -411,3 +411,27 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark):
+    """100 TB posture: a filter on the partition column of a
+    partition-laid-out table must prune directories at planning time —
+    the scan's PartitionFilters must carry the predicate and the
+    number of files read must be the single matching partition's."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.io import load
+
+    out = os.path.join(tempfile.gettempdir(), "wfs_prune_probe")
+    o = load(spark, SF, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan[:800]
+    n = back.count()
+    assert n == o.filter("o_orderstatus = 'F'").count() and n > 0
