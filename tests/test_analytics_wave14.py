@@ -1,0 +1,144 @@
+"""Wave-14 semantics beyond the oracle hash."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_srm_uniform_assignment_not_flagged(spark):
+    """The seeded md5 split is genuinely uniform, so the chi-square
+    stays far under the alarm threshold on honest data."""
+    rows = all_specs()["q_stats_srm"].fn(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.df == 9
+    assert r.n_users > 0
+    assert r.chi2 >= 0.0
+    assert not r.srm_detected  # uniform hashing must not alarm
+
+
+def test_srm_detects_a_rigged_split(spark):
+    """Hand-build the statistic on a deliberately skewed assignment to
+    confirm the threshold actually fires on a real mismatch."""
+    n, b = 1000, 10
+    # one bucket holds 30% instead of 10%
+    obs = [300] + [round(700 / 9)] * 9
+    obs[1] += n - sum(obs)
+    chi2 = sum((b * o - n) ** 2 for o in obs) / (b * n)
+    assert chi2 > 27.877
+
+
+def test_acf_bounds_and_lag1_dominance(spark):
+    rows = {r.lag_h: r for r in all_specs()["q_events_acf"].fn(spark, SF).collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n > 10
+
+
+def test_m4_envelope_and_endpoints(spark):
+    rows = all_specs()["q_events_m4_downsample"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.v_min <= r.v_max
+        assert r.v_min <= r.v_first <= r.v_max
+        assert r.v_min <= r.v_last <= r.v_max
+        assert r.n_obs >= 1
+
+
+def test_zorder_files_have_narrow_spans_on_both_dims(spark):
+    """The point of Z-clustering: every file covers a narrow rectangle
+    in (px, sx) bucket space, so min/max skipping prunes on EITHER
+    dimension. A lexicographic (px, sx) sort would give sx spans of 15
+    for every multi-px file."""
+    from weather_flink_spark.io import load
+
+    rows = all_specs()["q_layout_zorder"].fn(spark, SF).collect()
+    assert 1 < len(rows) <= 16
+    # every lineitem row lands in exactly one file
+    assert sum(r.n_rows for r in rows) == load(spark, SF, "lineitem").count()
+    for r in rows:
+        # 16 z-cells per file = a 4x4 Morton block: span <= 3 per dim
+        assert r.px_max - r.px_min <= 3
+        assert r.sx_max - r.sx_min <= 3
+
+
+def test_adamic_adar_weights_favor_small_baskets(spark):
+    df = all_specs()["q_graph_adamic_adar"].fn(spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.n_co >= 2
+        assert r.p1 < r.p2
+        # each co-order contributes at most 1/ln(3) and more co-orders
+        # can only raise the score
+        assert 0 < r.aa_score <= r.n_co / math.log(3) + 1e-9
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """E-S sampling with weight = n_chars must skew the sample's mean
+    length above the corpus mean, and keys must be valid (<= 0)."""
+    from weather_flink_spark.io import load
+
+    sample = all_specs()["q_sample_weighted"].fn(spark, SF).collect()
+    assert len(sample) == 100
+    assert all(r.key9 <= 0 for r in sample)
+    corpus_avg = (
+        load(spark, SF, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_avg = sum(r.n_chars for r in sample) / len(sample)
+    assert sample_avg > corpus_avg
+
+
+def test_profile_matches_direct_aggregates(spark):
+    from weather_flink_spark.io import load
+
+    prof = {r.col_name: r for r in all_specs()["q_profile_columns"].fn(spark, SF).collect()}
+    li = load(spark, SF, "lineitem")
+    n = li.count()
+    direct = li.agg(
+        F.countDistinct("l_partkey").alias("nd"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    ).collect()[0]
+    assert prof["l_partkey"].n_rows == n
+    assert prof["l_partkey"].n_nulls == 0
+    assert prof["l_partkey"].n_distinct == direct.nd
+    assert prof["l_quantity"].min_v == direct.mn
+    assert prof["l_extendedprice"].max_v == direct.mx
+
+
+def test_kl_divergence_nonnegative_and_self_consistent(spark):
+    """KL >= 0 up to the 9dp term quantization; a source that IS most
+    of the corpus should diverge less than a tiny skewed one... at
+    minimum every value is finite and near-nonnegative."""
+    rows = all_specs()["q_text_kl_source_divergence"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.kl > -1e-6  # smoothing + quantization slack
+        assert r.n_tokens > 0
+        assert r.vocab > 0
+    # all sources share one corpus vocab
+    assert len({r.vocab for r in rows}) == 1
+
+
+def test_survival_hazard_monotonics(spark):
+    rows = sorted(
+        all_specs()["q_stats_survival_hazard"].fn(spark, SF).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert rows
+    # risk set shrinks as duration grows; cumulative hazard never falls
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_risk > b.n_risk
+        assert a.cum_hazard <= b.cum_hazard
+    total = rows[0].n_risk  # everyone is at risk at the earliest time
+    assert sum(r.n_death + r.n_censored for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r.hazard <= 1.0

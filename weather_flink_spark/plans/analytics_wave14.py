@@ -1,0 +1,707 @@
+"""Wave-14 operators (round 3): experiment-health + survival stats,
+time-series downsampling/diagnostics, data-layout design, link
+prediction, weighted sampling, column profiling, and corpus drift.
+
+- ``q_stats_srm`` — sample-ratio-mismatch guardrail: chi-square of the
+  deterministic 10-bucket assignment against the intended uniform
+  split, with the statistic rearranged to integer arithmetic so both
+  engines compute it exactly.
+- ``q_events_acf`` — autocorrelation of the global hourly event-count
+  series at lags 1..3, as a lag self-join (no global window) with
+  integer-exact Pearson sums.
+- ``q_events_m4_downsample`` — M4 viz downsampling (Jugel et al. 2014):
+  per pixel bucket keep min/max/first/last — the four points that make
+  a line rendering pixel-exact — via min_by/max_by, one shuffle.
+- ``q_layout_zorder`` — Z-order (Morton) data-layout design: interleave
+  two join dimensions into a space-filling-curve cell, pack cells into
+  target files, and report each file's per-dimension bucket span — the
+  min/max-skipping locality a 100 TB table gets from Z-clustering.
+- ``q_graph_adamic_adar`` — co-purchase link prediction: Adamic-Adar
+  score over part pairs sharing orders, wedge-joined within order and
+  weighted by 1/ln(basket size).
+- ``q_sample_weighted`` — Efraimidis-Spirakis weighted sampling without
+  replacement (k=100, weight = doc length) with seeded md5 uniforms.
+- ``q_profile_columns`` — Deequ-style single-pass numeric column
+  profiler of lineitem (nulls / distinct / min / max), unpivoted to one
+  row per column.
+- ``q_text_kl_source_divergence`` — per-source corpus drift: smoothed
+  unigram KL(source ‖ corpus), per-token terms quantized to 9 dp then
+  summed exactly.
+- ``q_stats_survival_hazard`` — Nelson-Aalen cumulative-hazard estimator
+  of time-to-first-purchase with right-censoring, all sums exact
+  decimal over the bounded distinct-duration table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch (SRM) chi-square
+# ---------------------------------------------------------------------------
+
+_SRM_B = 10  # intended equal-split buckets
+# chi2 critical value, df=9, alpha=0.001 — the SRM alarm threshold
+_SRM_CRIT = 27.877
+
+_SRM_BUCKET_SPARK = (
+    "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 7),"
+    " 16, 10) as bigint) % 10"
+)
+_SRM_BUCKET_DUCK = "CAST('0x' || md5('srm:' || CAST(user_id AS VARCHAR))[1:7] AS BIGINT) % 10"
+
+
+@register(
+    "q_stats_srm",
+    oracle=f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        cells AS (
+            SELECT {_SRM_BUCKET_DUCK} AS bucket, COUNT(*) AS obs
+            FROM users GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+        SELECT n AS n_users,
+               ROUND(CAST(SUM(({_SRM_B} * obs - n) * ({_SRM_B} * obs - n))
+                          AS DOUBLE) / ({_SRM_B}.0 * n), 6) AS chi2,
+               {_SRM_B - 1} AS df,
+               (CAST(SUM(({_SRM_B} * obs - n) * ({_SRM_B} * obs - n))
+                     AS DOUBLE) / ({_SRM_B}.0 * n)) > {_SRM_CRIT} AS srm_detected
+        FROM cells CROSS JOIN tot
+        GROUP BY n
+    """,
+    doc=(
+        "Sample-ratio-mismatch guardrail: users are deterministically "
+        "assigned to 10 equal-intent buckets (seeded md5, the same "
+        "never-rand() discipline as q_stats_ab_proportions) and the "
+        "observed bucket counts are chi-square-tested against the "
+        "uniform expectation — the first health check every "
+        "experimentation platform runs before reading an experiment. "
+        "Parity: the statistic is rearranged to sum((B*obs - n)^2) / "
+        "(B*n), so everything before the single final division is "
+        "exact integer arithmetic. Scale: distinct-user rollup then a "
+        "10-row aggregate; the only broadcast is the one-row total."
+    ),
+    tags=("statistics", "experimentation", "quality"),
+)
+def q_stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cells = (
+        e.select("user_id")
+        .distinct()
+        .groupBy(F.expr(_SRM_BUCKET_SPARK).alias("bucket"))
+        .agg(F.count("*").alias("obs"))
+    )
+    tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
+    dev = _SRM_B * F.col("obs") - F.col("n")
+    chi2 = F.sum(dev * dev).cast("double") / (float(_SRM_B) * F.col("n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(chi2, 6).alias("chi2"),
+            F.lit(_SRM_B - 1).alias("df"),
+            (chi2 > _SRM_CRIT).alias("srm_detected"),
+        )
+        .select(F.col("n").alias("n_users"), "chi2", "df", "srm_detected")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly count series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@register(
+    "q_events_acf",
+    oracle=f"""
+        WITH hc AS (
+            -- FLOOR before the cast: epoch() carries microseconds and a
+            -- bare CAST rounds, while Spark's cast(ts as long) truncates
+            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ),
+        lags(lag_h) AS (VALUES {", ".join(f"({ell})" for ell in _ACF_LAGS)}),
+        pairs AS (
+            SELECT l.lag_h, a.c AS x, b.c AS y
+            FROM hc a CROSS JOIN lags l
+            JOIN hc b ON b.hr = a.hr + l.lag_h
+        ),
+        s AS (
+            SELECT lag_h, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM pairs GROUP BY lag_h
+        )
+        SELECT lag_h, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+        FROM s
+    """,
+    doc=(
+        "Autocorrelation (ACF) of the global hourly event-count series "
+        "at lags 1..3 — the seasonality/burstiness diagnostic behind "
+        "forecast-model selection. Expressed as a lag SELF-JOIN on the "
+        "hour index (hr = epoch//3600) rather than a global ordered "
+        "window, so no single-task sort exists; the hourly rollup is "
+        "partial-aggregated map-side and the join keys are dense "
+        "integers. Pearson components (n, Σx, Σy, Σxy, Σx², Σy²) are "
+        "exact BIGINTs; the only floats are the final division and two "
+        "IEEE square roots, identically structured on both engines. "
+        "At 100 TB the hourly rollup is ~9k rows/year — the join side "
+        "is trivially broadcastable."
+    ),
+    tags=("timeseries", "statistics"),
+)
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # cast(ts as long) is epoch seconds; floor-div matches DuckDB's //
+    hc = e.groupBy(F.expr("cast(ts as long) div 3600").alias("hr")).agg(
+        F.count("*").alias("c")
+    )
+    lags = spark.createDataFrame([(ell,) for ell in _ACF_LAGS], "lag_h int")
+    a = hc.crossJoin(F.broadcast(lags))
+    b = hc.select(F.col("hr").alias("bhr"), F.col("c").alias("y"))
+    pairs = a.join(b, F.col("bhr") == F.col("hr") + F.col("lag_h")).select(
+        "lag_h", F.col("c").alias("x"), "y"
+    )
+    s = pairs.groupBy("lag_h").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("lag_h", "n", F.round(num / den, 6).alias("acf"))
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling
+# ---------------------------------------------------------------------------
+
+_M4_BUCKET_H = 4  # hours per pixel bucket
+
+
+@register(
+    "q_events_m4_downsample",
+    oracle=f"""
+        SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) // {_M4_BUCKET_H} AS pixel,
+               COUNT(*) AS n_obs,
+               MIN(value) AS v_min,
+               MAX(value) AS v_max,
+               FIRST(value ORDER BY ts ASC, event_id ASC) AS v_first,
+               LAST(value ORDER BY ts ASC, event_id ASC) AS v_last
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "M4 downsampling (Jugel et al., VLDB 2014): per pixel-width "
+        "time bucket keep exactly min, max, first and last — the four "
+        "values that make a downsampled line chart pixel-identical to "
+        "the full-resolution rendering. Complements q_events_lttb "
+        "(perceptual) with the error-free variant, and unlike LTTB it "
+        "is a pure ONE-PASS groupBy: min_by/max_by on a (ts, event_id) "
+        "struct give the ordered endpoints with map-side combine — no "
+        "window sort, no per-series sequential state. At 100 TB this "
+        "is the query a dashboard fires at raw telemetry."
+    ),
+    tags=("timeseries", "downsample"),
+)
+def q_events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    pixel = F.expr(f"(cast(ts as long) div 3600) div {_M4_BUCKET_H}").alias("pixel")
+    return e.groupBy(pixel).agg(
+        F.count("*").alias("n_obs"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min_by("value", order_key).alias("v_first"),
+        F.max_by("value", order_key).alias("v_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 4  # bits per dimension -> 16x16 grid, 256 cells
+_Z_CELLS_PER_FILE = 16  # -> 16 target files
+
+
+def _z_value_sql(px: str, sx: str, intdiv: str) -> str:
+    """Morton interleave of two 4-bit bucket ids via div/mod arithmetic
+    (portable: no engine-specific bit operators). ``intdiv`` is the
+    engine's integer-division operator ('div' for Spark, '//' DuckDB)."""
+    terms = []
+    for i in range(_Z_BITS):
+        bit_p = f"((({px}) {intdiv} {2 ** i}) % 2)"
+        bit_s = f"((({sx}) {intdiv} {2 ** i}) % 2)"
+        terms.append(f"{bit_p} * {2 ** (2 * i + 1)}")
+        terms.append(f"{bit_s} * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+_Z_SPARK = _z_value_sql("l_partkey % 16", "l_suppkey % 16", "div")
+_Z_DUCK = _z_value_sql("l_partkey % 16", "l_suppkey % 16", "//")
+
+
+@register(
+    "q_layout_zorder",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey % 16 AS px, l_suppkey % 16 AS sx,
+                   {_Z_DUCK} AS zval
+            FROM lineitem
+        )
+        SELECT zval // {_Z_CELLS_PER_FILE} AS file_id,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT zval) AS n_cells,
+               MIN(px) AS px_min, MAX(px) AS px_max,
+               MIN(sx) AS sx_min, MAX(sx) AS sx_max
+        FROM z GROUP BY 1
+    """,
+    doc=(
+        "Z-order (Morton curve) data-layout design — the clustering "
+        "step behind Delta/Iceberg OPTIMIZE ZORDER BY: two join "
+        "dimensions bucketize to 4 bits each, the bits interleave into "
+        "a space-filling-curve cell, and consecutive cells pack into "
+        "target files. The output is the layout's skipping profile: "
+        "each file's per-dimension bucket span stays narrow on BOTH "
+        "dimensions simultaneously (a lexicographic sort would pin one "
+        "and scatter the other), which is exactly what parquet min/max "
+        "file skipping needs for predicates on either column. All "
+        "arithmetic is integer div/mod — engine-exact. At 100 TB the "
+        "same expression feeds repartitionByRange(zval) before the "
+        "write; here the plan stops at the profile so the oracle can "
+        "check it."
+    ),
+    tags=("layout", "scan", "scale"),
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    z = li.select(
+        (F.col("l_partkey") % 16).alias("px"),
+        (F.col("l_suppkey") % 16).alias("sx"),
+        F.expr(_Z_SPARK).alias("zval"),
+    )
+    return z.groupBy(
+        F.expr(f"zval div {_Z_CELLS_PER_FILE}").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("zval").alias("n_cells"),
+        F.min("px").alias("px_min"),
+        F.max("px").alias("px_max"),
+        F.min("sx").alias("sx_min"),
+        F.max("sx").alias("sx_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over co-purchase wedges
+# ---------------------------------------------------------------------------
+
+_AA_MIN_BASKET = 3
+_AA_MIN_CO = 2
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        sz AS (
+            SELECT ok, COUNT(*) AS basket,
+                   CAST(ROUND(1.0 / LN(COUNT(*)), 6) AS DECIMAL(10,6)) AS w6
+            FROM op GROUP BY ok
+            HAVING COUNT(*) >= {_AA_MIN_BASKET}
+        ),
+        wedges AS (
+            SELECT a.pk AS p1, b.pk AS p2, s.w6
+            FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+            JOIN sz s ON s.ok = a.ok
+        )
+        SELECT p1, p2, COUNT(*) AS n_co,
+               CAST(SUM(w6) AS DOUBLE) AS aa_score
+        FROM wedges GROUP BY p1, p2
+        HAVING COUNT(*) >= {_AA_MIN_CO}
+    """,
+    doc=(
+        "Adamic-Adar link prediction on the co-purchase graph: part "
+        "pairs sharing an order score Σ 1/ln(basket size) over their "
+        "common orders — rare small baskets say more than huge ones. "
+        "The wedge join is WITHIN-order (quadratic only in basket "
+        "size, which is bounded by business reality, never in corpus "
+        "size) — the same blocked-pair discipline as the MinHash "
+        "band joins. Parity: each order's weight quantizes to 6 dp "
+        "decimal once, so pair scores are exact decimal sums. Filters "
+        "(basket >= 3, co-count >= 2) bound the output to genuinely "
+        "evidenced candidate links."
+    ),
+    tags=("graph", "similarity"),
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    sz = (
+        op.groupBy("ok")
+        .agg(F.count("*").alias("basket"))
+        .where(F.col("basket") >= _AA_MIN_BASKET)
+        .select(
+            "ok",
+            F.round(F.lit(1.0) / F.log("basket"), 6)
+            .cast("decimal(10,6)")
+            .alias("w6"),
+        )
+    )
+    a = op.select("ok", F.col("pk").alias("p1"))
+    b = op.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
+    wedges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .join(sz, "ok")
+        .select("p1", "p2", "w6")
+    )
+    return (
+        wedges.groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_co"), F.sum("w6").cast("double").alias("aa_score"))
+        .where(F.col("n_co") >= _AA_MIN_CO)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+_WS_POW = 1152921504606846976  # 2^60
+_WS_U_SPARK = (
+    "(cast(conv(substring(md5(concat('wsamp:', cast(doc_id as string))), 1, 15),"
+    f" 16, 10) as bigint) + 1) / {_WS_POW}.0"
+)
+_WS_U_DUCK = (
+    "(CAST('0x' || md5('wsamp:' || CAST(doc_id AS VARCHAR))[1:15] AS BIGINT)"
+    f" + 1) / {_WS_POW}.0"
+)
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+        SELECT doc_id, n_chars,
+               ROUND(LN({_WS_U_DUCK}) / n_chars, 9) AS key9
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY LN({_WS_U_DUCK}) / n_chars DESC, doc_id ASC
+        LIMIT {_WS_K}
+    """,
+    doc=(
+        "Weighted sampling without replacement (Efraimidis-Spirakis "
+        "2006, A-Res): each doc draws a seeded md5 uniform u in (0,1] "
+        "and ranks by u^(1/w) — equivalently ln(u)/w, monotone and "
+        "overflow-free — with weight = doc length; the top k=100 keys "
+        "are the sample. Deterministic (never rand()), so the oracle "
+        "replays it exactly; ties break on doc_id. Scale: rank-by-key "
+        "top-k compiles to TakeOrderedAndProject (per-partition heaps, "
+        "no global sort shuffle) — the same one-pass distributed "
+        "weighted sampler runs unchanged on 10^11 rows."
+    ),
+    tags=("sampling", "llm-pipeline"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    key = F.expr(f"ln({_WS_U_SPARK}) / n_chars")
+    return (
+        d.where(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+        .select("doc_id", "n_chars", F.round("key", 9).alias("key9"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass numeric column profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "q_profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_v,
+               CAST(MAX({c}) AS DOUBLE) AS max_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+    doc=(
+        "Deequ-style numeric column profiler: nulls, exact distinct "
+        "count, min and max for five lineitem columns, computed in ONE "
+        "scan (a single multi-aggregate; Spark plans the distincts via "
+        "expand + partial aggregation) and unpivoted with stack() to "
+        "one row per column — the data-quality snapshot a pipeline "
+        "records before/after every batch. min/max are selections of "
+        "stored values (no arithmetic), so parity is byte-exact. At "
+        "100 TB the exact distincts swap for approx_count_distinct; "
+        "the plan shape (one scan, map-side partials) is unchanged."
+    ),
+    tags=("quality", "profiling", "aggregate"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack})"
+            " as (col_name, nn, n_distinct, min_v, max_v)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_v",
+        "max_v",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence (corpus drift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_kl_source_divergence",
+    oracle="""
+        WITH tok AS (
+            SELECT source, UNNEST(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        corpus AS (
+            SELECT token, COUNT(*) AS cq FROM tok GROUP BY token
+        ),
+        src_tok AS (
+            SELECT source, token, COUNT(*) AS cp FROM tok GROUP BY source, token
+        ),
+        src_n AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM tok GROUP BY source
+        ),
+        scalars AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+            FROM tok
+        ),
+        grid AS (
+            SELECT s.source, c.token, c.cq, COALESCE(st.cp, 0) AS cp,
+                   s.ns, sc.n, sc.v
+            FROM src_n s
+            CROSS JOIN corpus c
+            CROSS JOIN scalars sc
+            LEFT JOIN src_tok st ON st.source = s.source AND st.token = c.token
+        ),
+        terms AS (
+            SELECT source, ns, v,
+                   CAST(ROUND(
+                       ((cp + 1.0) / (ns + v))
+                       * LN(((cp + 1.0) / (ns + v)) / ((cq + 1.0) / (n + v))),
+                       9) AS DECIMAL(18,9)) AS t9
+            FROM grid
+        )
+        SELECT source, ns AS n_tokens, v AS vocab,
+               CAST(SUM(t9) AS DOUBLE) AS kl
+        FROM terms GROUP BY source, ns, v
+    """,
+    doc=(
+        "Per-source corpus drift: Laplace-smoothed unigram "
+        "KL(source ‖ corpus) — the canonical 'is this slice "
+        "distributionally off' monitor for training-data intake "
+        "(CCNet's domain filter is this with an LM). Full "
+        "source x vocab grid via a vocab-side join (sources are few; "
+        "the grid is V x S rows, linear in vocab, never corpus^2); "
+        "missing tokens keep their smoothed mass, so the sum is a true "
+        "KL. Parity: each term quantizes to 9 dp decimal before the "
+        "order-free exact sum, so per-row IEEE LN differences cannot "
+        "accumulate. Scale: two token-count aggregations (map-side "
+        "combinable) + one join keyed on token."
+    ),
+    tags=("text", "statistics", "llm-pipeline", "quality"),
+)
+def q_text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    corpus = tok.groupBy("token").agg(F.count("*").alias("cq"))
+    src_tok = tok.groupBy("source", "token").agg(F.count("*").alias("cp"))
+    src_n = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("ns"))
+    scalars = tok.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("token").cast("bigint").alias("v"),
+    )
+    grid = (
+        src_n.crossJoin(corpus)
+        .crossJoin(F.broadcast(scalars))
+        .join(src_tok, ["source", "token"], "left")
+        .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
+    )
+    p = (F.col("cp") + 1.0) / (F.col("ns") + F.col("v"))
+    q = (F.col("cq") + 1.0) / (F.col("n") + F.col("v"))
+    t9 = F.round(p * F.log(p / q), 9).cast("decimal(18,9)")
+    return (
+        grid.select("source", "ns", "v", t9.alias("t9"))
+        .groupBy("source", "ns", "v")
+        .agg(F.sum("t9").cast("double").alias("kl"))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            F.col("v").alias("vocab"),
+            "kl",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard with right censoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stats_survival_hazard",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(ts) AS first_ts,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+                   MAX(ts) AS last_ts
+            FROM events GROUP BY user_id
+        ),
+        durs AS (
+            SELECT CASE WHEN purch_ts IS NOT NULL
+                        THEN date_diff('day', CAST(first_ts AS DATE),
+                                       CAST(purch_ts AS DATE))
+                        ELSE date_diff('day', CAST(first_ts AS DATE),
+                                       CAST(last_ts AS DATE)) END AS dur,
+                   CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END AS death
+            FROM per_user
+        ),
+        durt AS (
+            SELECT dur, CAST(SUM(death) AS BIGINT) AS d,
+                   CAST(SUM(1 - death) AS BIGINT) AS c
+            FROM durs GROUP BY dur
+        ),
+        risk AS (
+            SELECT dur, d, c,
+                   CAST(SUM(d + c) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+            FROM durt
+        ),
+        haz AS (
+            SELECT dur, d, c, n_risk,
+                   CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 6)
+                        AS DECIMAL(10,6)) AS h6
+            FROM risk
+        )
+        SELECT dur AS duration_days, n_risk, d AS n_death, c AS n_censored,
+               CAST(h6 AS DOUBLE) AS hazard,
+               CAST(SUM(CASE WHEN d > 0 THEN h6
+                             ELSE CAST(0 AS DECIMAL(10,6)) END)
+                    OVER (ORDER BY dur ASC) AS DOUBLE) AS cum_hazard
+        FROM haz
+    """,
+    doc=(
+        "Nelson-Aalen cumulative-hazard estimator of "
+        "time-to-first-purchase with right censoring (no purchase => "
+        "censored at last activity) — survival analysis, the "
+        "time-to-event complement of q_events_retention's fixed "
+        "windows. The corpus-sized phase is one per-user rollup; "
+        "everything after runs on the BOUNDED distinct-duration table "
+        "(days, dozens of rows), where the risk-set and cumulative "
+        "sums are broadcast theta self-joins rather than partitionless "
+        "windows (the DuckDB oracle uses windows — only the Spark plan "
+        "is policed). Parity: per-time hazard quantizes to 6 dp "
+        "decimal; the cumulative hazard is an exact decimal sum — no "
+        "float products anywhere (the Kaplan-Meier product variant "
+        "needs one; Nelson-Aalen is the estimator that stays exact)."
+    ),
+    tags=("statistics", "survival", "events"),
+)
+def q_stats_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("purch_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    durs = per_user.select(
+        F.when(
+            F.col("purch_ts").isNotNull(),
+            F.datediff(F.to_date("purch_ts"), F.to_date("first_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("first_ts")))
+        .alias("dur"),
+        F.when(F.col("purch_ts").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("death"),
+    )
+    durt = durs.groupBy("dur").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.sum(1 - F.col("death")).cast("bigint").alias("c"),
+    )
+    b = durt.select(
+        F.col("dur").alias("bdur"), F.col("d").alias("bd"), F.col("c").alias("bc")
+    )
+    risk = (
+        durt.join(F.broadcast(b), F.col("bdur") >= F.col("dur"))
+        .groupBy("dur", "d", "c")
+        .agg(F.sum(F.col("bd") + F.col("bc")).alias("n_risk"))
+    )
+    haz = risk.withColumn(
+        "h6", F.round(F.col("d").cast("double") / F.col("n_risk"), 6).cast("decimal(10,6)")
+    )
+    hb = haz.select(
+        F.col("dur").alias("bdur"),
+        F.col("d").alias("bd"),
+        F.col("h6").alias("bh6"),
+    )
+    cum = (
+        haz.join(F.broadcast(hb), F.col("bdur") <= F.col("dur"))
+        .groupBy("dur", "d", "c", "n_risk", "h6")
+        .agg(
+            F.sum(
+                F.when(F.col("bd") > 0, F.col("bh6")).otherwise(
+                    F.lit(0).cast("decimal(10,6)")
+                )
+            ).alias("ch")
+        )
+    )
+    return cum.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_death"),
+        F.col("c").alias("n_censored"),
+        F.col("h6").cast("double").alias("hazard"),
+        F.col("ch").cast("double").alias("cum_hazard"),
+    )

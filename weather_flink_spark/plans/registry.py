@@ -81,6 +81,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave11,
         analytics_wave12,
         analytics_wave13,
+        analytics_wave14,
         streaming_queries,
     )
 
