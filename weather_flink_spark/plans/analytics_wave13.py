@@ -166,6 +166,46 @@ def _pq_oracle() -> str:
     """
 
 
+def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached PQ code index: (vec_id, code_0..3, d2_0..3).
+
+    The materialized artifact a production vector store writes once and
+    every ADC consumer reads: per vector, the nearest-codeword id per
+    subspace (exact-decimal L2, code tie-break) plus the per-subspace
+    residual. Shared by q_emb_pq_quantize (codes + reconstruction
+    error) and q_sim_ann_ivfpq (ADC distance over the codes), persisted
+    once per (session, sf) like the other index tables.
+    """
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings")
+        code = e.filter(F.col("vec_id") < _PQ_KC).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("c_emb")
+        )
+        joined = e.select("vec_id", "embedding").join(F.broadcast(code))
+        out = None
+        for m in range(_PQ_M):
+            d2 = F.expr(_pq_dist_spark(m))
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("d2").asc(), F.col("code").asc()
+            )
+            a = (
+                joined.select("vec_id", "code", d2.alias("d2"))
+                .withColumn("rn", F.row_number().over(w))
+                .where("rn = 1")
+                .select(
+                    "vec_id",
+                    F.col("code").alias(f"code_{m}"),
+                    F.col("d2").alias(f"d2_{m}"),
+                )
+            )
+            out = a if out is None else out.join(a, "vec_id")
+        return out.persist()
+
+    return _cached("pq_codes", spark, sf_dir, build)
+
+
 @register(
     "q_emb_pq_quantize",
     oracle=_pq_oracle(),
@@ -181,35 +221,15 @@ def _pq_oracle() -> str:
         "codeword selection compares exact decimals (no float-order "
         "ambiguity on either engine). Scale: the codebook is a bounded "
         "broadcast; assignment is one scan with 4x16 exact-decimal "
-        "distance folds per row, map-side only."
+        "distance folds per row, map-side only — materialized once as "
+        "the session-cached PQ code index shared with q_sim_ann_ivfpq."
     ),
     tags=("embedding", "quantization", "llm-pipeline"),
 )
 def q_emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    code = e.filter(F.col("vec_id") < _PQ_KC).select(
-        F.col("vec_id").alias("code"), F.col("embedding").alias("c_emb")
-    )
-    joined = e.select("vec_id", "embedding").join(F.broadcast(code))
-    out = None
-    for m in range(_PQ_M):
-        d2 = F.expr(_pq_dist_spark(m))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("code").asc()
-        )
-        a = (
-            joined.select("vec_id", "code", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select(
-                "vec_id",
-                F.col("code").alias(f"code_{m}"),
-                F.col("d2").alias(f"d2_{m}"),
-            )
-        )
-        out = a if out is None else out.join(a, "vec_id")
+    codes = pq_codes_table(spark, sf_dir)
     err = sum((F.col(f"d2_{m}") for m in range(1, _PQ_M)), F.col("d2_0"))
-    return out.select(
+    return codes.select(
         "vec_id",
         *[F.col(f"code_{m}") for m in range(_PQ_M)],
         err.cast("double").alias("recon_err"),

@@ -82,6 +82,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave12,
         analytics_wave13,
         analytics_wave14,
+        analytics_wave15,
         streaming_queries,
     )
 
