@@ -24,14 +24,44 @@ def test_srm_uniform_assignment_not_flagged(spark):
 
 
 def test_srm_detects_a_rigged_split(spark):
-    """Hand-build the statistic on a deliberately skewed assignment to
-    confirm the threshold actually fires on a real mismatch."""
-    n, b = 1000, 10
-    # one bucket holds 30% instead of 10%
-    obs = [300] + [round(700 / 9)] * 9
-    obs[1] += n - sum(obs)
-    chi2 = sum((b * o - n) ** 2 for o in obs) / (b * n)
-    assert chi2 > 27.877
+    """Drive the REAL plan (round-3 advice): a deliberately skewed
+    user_id distribution through srm_plan with a parametrized bucket
+    expression must fire the positive detection path of the actual
+    Spark expression, not a Python re-derivation."""
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.plans.analytics_wave14 import srm_plan
+
+    # 300 users in bucket 0, ~78 in each of 1..9 (n=1000)
+    ids = [k * 10 for k in range(300)]
+    for b in range(1, 10):
+        ids += [k * 10 + b for k in range(78 if b > 2 else 78 + 11)]
+    e = spark.createDataFrame([(i,) for i in ids], "user_id bigint")
+    rows = srm_plan(e, bucket=F.col("user_id") % 10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_users == len(ids)
+    assert r.df == 9
+    assert r.srm_detected  # 30% in one bucket must alarm
+    assert r.chi2 > 27.877
+
+
+def test_srm_empty_bucket_contributes_expected_term(spark):
+    """A bucket with ZERO users — the most extreme mismatch — must
+    contribute its full (B*0-n)^2/(B*n) = n/B term (round-3 advice:
+    the old statistic silently dropped unobserved buckets)."""
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.plans.analytics_wave14 import srm_plan
+
+    # 200 users spread over buckets 0..4 only; buckets 5..9 empty
+    ids = [k * 10 + b for b in range(5) for k in range(40)]
+    e = spark.createDataFrame([(i,) for i in ids], "user_id bigint")
+    r = srm_plan(e, bucket=F.col("user_id") % 10).collect()[0]
+    n = len(ids)
+    expected = (5 * (10 * 40 - n) ** 2 + 5 * n * n) / (10 * n)
+    assert abs(r.chi2 - round(expected, 6)) < 1e-9
+    assert r.srm_detected
 
 
 def test_acf_bounds_and_lag1_dominance(spark):
@@ -142,3 +172,16 @@ def test_survival_hazard_monotonics(spark):
     assert sum(r.n_death + r.n_censored for r in rows) == total
     for r in rows:
         assert 0.0 <= r.hazard <= 1.0
+
+
+def test_kl_divergence_single_tokenize_pass(spark):
+    """Round-3 verdict #2: the four consumers (corpus totals, per-source
+    totals, scalars, grid join) must ride ONE exploded-token aggregation
+    — the executed plan carries exactly one documents scan, with every
+    other branch a ReusedExchange of the shared src_tok shuffle."""
+    df = all_specs()["q_text_kl_source_divergence"].fn(spark, SF)
+    df.collect()  # AQE finalizes exchange reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 2, final

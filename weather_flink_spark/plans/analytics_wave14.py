@@ -55,6 +55,43 @@ _SRM_BUCKET_SPARK = (
 _SRM_BUCKET_DUCK = "CAST('0x' || md5('srm:' || CAST(user_id AS VARCHAR))[1:7] AS BIGINT) % 10"
 
 
+def srm_plan(e: DataFrame, bucket: F.Column | None = None) -> DataFrame:
+    """SRM chi-square over any events-shaped DataFrame.
+
+    ``bucket`` defaults to the seeded-md5 10-bucket assignment; tests
+    inject a rigged expression to drive the positive detection path of
+    the REAL plan (round-3 advice). Buckets that received zero users
+    still contribute their full expected-count term (B*0 - n)^2/(B*n)
+    = n/B via the missing-bucket correction, so a bucket losing ALL
+    traffic — the most extreme mismatch — raises chi2 instead of
+    silently dropping out; df stays B-1 for the same reason.
+    """
+    if bucket is None:
+        bucket = F.expr(_SRM_BUCKET_SPARK)
+    cells = (
+        e.select("user_id")
+        .distinct()
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("obs"))
+    )
+    tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
+    dev = _SRM_B * F.col("obs") - F.col("n")
+    # observed-bucket terms + n^2 for each of the (B - observed) empty
+    # buckets, all integer-exact before the single final division
+    num = F.sum(dev * dev) + (_SRM_B - F.count("*")) * F.col("n") * F.col("n")
+    chi2 = num.cast("double") / (float(_SRM_B) * F.col("n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(chi2, 6).alias("chi2"),
+            F.lit(_SRM_B - 1).alias("df"),
+            (chi2 > _SRM_CRIT).alias("srm_detected"),
+        )
+        .select(F.col("n").alias("n_users"), "chi2", "df", "srm_detected")
+    )
+
+
 @register(
     "q_stats_srm",
     oracle=f"""
@@ -66,9 +103,11 @@ _SRM_BUCKET_DUCK = "CAST('0x' || md5('srm:' || CAST(user_id AS VARCHAR))[1:7] AS
         tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
         SELECT n AS n_users,
                ROUND(CAST(SUM(({_SRM_B} * obs - n) * ({_SRM_B} * obs - n))
+                          + ({_SRM_B} - COUNT(*)) * n * n
                           AS DOUBLE) / ({_SRM_B}.0 * n), 6) AS chi2,
                {_SRM_B - 1} AS df,
                (CAST(SUM(({_SRM_B} * obs - n) * ({_SRM_B} * obs - n))
+                     + ({_SRM_B} - COUNT(*)) * n * n
                      AS DOUBLE) / ({_SRM_B}.0 * n)) > {_SRM_CRIT} AS srm_detected
         FROM cells CROSS JOIN tot
         GROUP BY n
@@ -80,34 +119,19 @@ _SRM_BUCKET_DUCK = "CAST('0x' || md5('srm:' || CAST(user_id AS VARCHAR))[1:7] AS
         "observed bucket counts are chi-square-tested against the "
         "uniform expectation — the first health check every "
         "experimentation platform runs before reading an experiment. "
-        "Parity: the statistic is rearranged to sum((B*obs - n)^2) / "
-        "(B*n), so everything before the single final division is "
-        "exact integer arithmetic. Scale: distinct-user rollup then a "
-        "10-row aggregate; the only broadcast is the one-row total."
+        "Buckets with zero users contribute their full n/B expected "
+        "term via the missing-bucket correction (round-3 advice), so "
+        "total traffic loss to a bucket maximally raises the alarm. "
+        "Parity: the statistic is rearranged to (sum((B*obs - n)^2) + "
+        "missing*n^2) / (B*n), so everything before the single final "
+        "division is exact integer arithmetic. Scale: distinct-user "
+        "rollup then a 10-row aggregate; the only broadcast is the "
+        "one-row total."
     ),
     tags=("statistics", "experimentation", "quality"),
 )
 def q_stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    cells = (
-        e.select("user_id")
-        .distinct()
-        .groupBy(F.expr(_SRM_BUCKET_SPARK).alias("bucket"))
-        .agg(F.count("*").alias("obs"))
-    )
-    tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
-    dev = _SRM_B * F.col("obs") - F.col("n")
-    chi2 = F.sum(dev * dev).cast("double") / (float(_SRM_B) * F.col("n"))
-    return (
-        cells.crossJoin(F.broadcast(tot))
-        .groupBy("n")
-        .agg(
-            F.round(chi2, 6).alias("chi2"),
-            F.lit(_SRM_B - 1).alias("df"),
-            (chi2 > _SRM_CRIT).alias("srm_detected"),
-        )
-        .select(F.col("n").alias("n_users"), "chi2", "df", "srm_detected")
-    )
+    return srm_plan(load(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -126,11 +150,18 @@ _ACF_LAGS = (1, 2, 3)
             SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr, COUNT(*) AS c
             FROM events GROUP BY 1
         ),
+        bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hc),
+        dense AS (
+            -- empty hours are genuine zeros of the count series
+            SELECT g.hr, COALESCE(hc.c, 0) AS c
+            FROM (SELECT UNNEST(range(h0, h1 + 1)) AS hr FROM bounds) g
+            LEFT JOIN hc ON hc.hr = g.hr
+        ),
         lags(lag_h) AS (VALUES {", ".join(f"({ell})" for ell in _ACF_LAGS)}),
         pairs AS (
             SELECT l.lag_h, a.c AS x, b.c AS y
-            FROM hc a CROSS JOIN lags l
-            JOIN hc b ON b.hr = a.hr + l.lag_h
+            FROM dense a CROSS JOIN lags l
+            JOIN dense b ON b.hr = a.hr + l.lag_h
         ),
         s AS (
             SELECT lag_h, COUNT(*) AS n,
@@ -147,8 +178,10 @@ _ACF_LAGS = (1, 2, 3)
     doc=(
         "Autocorrelation (ACF) of the global hourly event-count series "
         "at lags 1..3 — the seasonality/burstiness diagnostic behind "
-        "forecast-model selection. Expressed as a lag SELF-JOIN on the "
-        "hour index (hr = epoch//3600) rather than a global ordered "
+        "forecast-model selection. The hourly rollup densifies to the "
+        "full observed hour range first (empty hours are genuine zeros "
+        "of the count series), then lags via a SELF-JOIN on the hour "
+        "index (hr = epoch//3600) rather than a global ordered "
         "window, so no single-task sort exists; the hourly rollup is "
         "partial-aggregated map-side and the join keys are dense "
         "integers. Pearson components (n, Σx, Σy, Σxy, Σx², Σy²) are "
@@ -165,9 +198,19 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hc = e.groupBy(F.expr("cast(ts as long) div 3600").alias("hr")).agg(
         F.count("*").alias("c")
     )
+    # densify to the full observed hour range: an hour with no events is
+    # a genuine zero of the count series, not a missing sample (round-3
+    # advice — without this the join computes the ACF of a
+    # gap-compressed series)
+    grid = hc.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1")).select(
+        F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    dense = grid.join(hc, "hr", "left").select(
+        "hr", F.coalesce("c", F.lit(0)).alias("c")
+    )
     lags = spark.createDataFrame([(ell,) for ell in _ACF_LAGS], "lag_h int")
-    a = hc.crossJoin(F.broadcast(lags))
-    b = hc.select(F.col("hr").alias("bhr"), F.col("c").alias("y"))
+    a = dense.crossJoin(F.broadcast(lags))
+    b = dense.select(F.col("hr").alias("bhr"), F.col("c").alias("y"))
     pairs = a.join(b, F.col("bhr") == F.col("hr") + F.col("lag_h")).select(
         "lag_h", F.col("c").alias("x"), "y"
     )
@@ -555,17 +598,29 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "statistics", "llm-pipeline", "quality"),
 )
 def q_text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single tokenize pass (round-3 verdict #2): the corpus is exploded
+    # and aggregated ONCE to src_tok (source, token, cp); corpus totals,
+    # per-source totals, and the scalars all re-aggregate those V x S
+    # rows. The identical src_tok exchange subtree is planned once and
+    # reused (ReusedExchange) by every consumer, so the formatted plan
+    # carries exactly one scan of documents instead of four.
     d = load(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
-    corpus = tok.groupBy("token").agg(F.count("*").alias("cq"))
+    # the explicit (vacuous) null filters match the IsNotNull constraints
+    # the left join infers on its src_tok side, so every consumer branch
+    # canonicalizes identically and ReusedExchange actually fires
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("source").isNotNull() & F.col("token").isNotNull())
     src_tok = tok.groupBy("source", "token").agg(F.count("*").alias("cp"))
-    src_n = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("ns"))
-    scalars = tok.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.countDistinct("token").cast("bigint").alias("v"),
+    corpus = src_tok.groupBy("token").agg(F.sum("cp").cast("bigint").alias("cq"))
+    src_n = src_tok.groupBy("source").agg(F.sum("cp").cast("bigint").alias("ns"))
+    scalars = corpus.agg(
+        F.sum("cq").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("v"),
     )
     grid = (
-        src_n.crossJoin(corpus)
+        F.broadcast(src_n)
+        .crossJoin(corpus)
         .crossJoin(F.broadcast(scalars))
         .join(src_tok, ["source", "token"], "left")
         .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
