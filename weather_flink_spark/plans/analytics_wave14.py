@@ -370,10 +370,20 @@ _AA_MIN_CO = 2
             FROM op GROUP BY ok
             HAVING COUNT(*) >= {_AA_MIN_BASKET}
         ),
+        qual AS (
+            SELECT a.ok, a.pk, s.w6 FROM op a JOIN sz s ON s.ok = a.ok
+        ),
+        -- a part in < MIN_CO qualifying baskets can never reach the
+        -- co-count floor: prune it BEFORE the wedge self-join
+        pdeg AS (
+            SELECT pk FROM qual GROUP BY pk HAVING COUNT(*) >= {_AA_MIN_CO}
+        ),
+        pruned AS (
+            SELECT qual.ok, qual.pk, qual.w6 FROM qual JOIN pdeg USING (pk)
+        ),
         wedges AS (
-            SELECT a.pk AS p1, b.pk AS p2, s.w6
-            FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
-            JOIN sz s ON s.ok = a.ok
+            SELECT a.pk AS p1, b.pk AS p2, a.w6
+            FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.pk < b.pk
         )
         SELECT p1, p2, COUNT(*) AS n_co,
                CAST(SUM(w6) AS DOUBLE) AS aa_score
@@ -408,13 +418,22 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w6"),
         )
     )
-    a = op.select("ok", F.col("pk").alias("p1"))
-    b = op.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
-    wedges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
-        .join(sz, "ok")
-        .select("p1", "p2", "w6")
+    qual = op.join(sz, "ok")  # (ok, pk, w6): qualifying baskets only
+    # pair-space pre-filter (round-3 verdict #4 pattern): a part seen in
+    # fewer than MIN_CO qualifying baskets cannot reach the co-count
+    # floor — semi-join it out BEFORE the wedge self-join
+    hot = (
+        qual.groupBy("pk")
+        .agg(F.count("*").alias("dp"))
+        .where(F.col("dp") >= _AA_MIN_CO)
+        .select("pk")
     )
+    pruned = qual.join(hot, "pk", "left_semi")
+    a = pruned.select("ok", F.col("pk").alias("p1"), "w6")
+    b = pruned.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
+    wedges = a.join(
+        b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2"))
+    ).select("p1", "p2", "w6")
     return (
         wedges.groupBy("p1", "p2")
         .agg(F.count("*").alias("n_co"), F.sum("w6").cast("double").alias("aa_score"))

@@ -757,9 +757,15 @@ _JAC_MIN_CO = 2  # minimum co-occurrence to emit a pair
             WHERE d BETWEEN 2 AND {_JAC_CAP}
         ),
         item_deg AS (SELECT p, COUNT(*) AS dp FROM capped GROUP BY p),
+        -- an item seen with < MIN_CO customers can never reach the
+        -- co-occurrence floor: prune it BEFORE the self-join
+        pruned AS (
+            SELECT capped.c, capped.p FROM capped
+            JOIN item_deg USING (p) WHERE dp >= {_JAC_MIN_CO}
+        ),
         pairs AS (
             SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS co
-            FROM capped a JOIN capped b ON a.c = b.c AND a.p < b.p
+            FROM pruned a JOIN pruned b ON a.c = b.c AND a.p < b.p
             GROUP BY a.p, b.p
             HAVING COUNT(*) >= {_JAC_MIN_CO}
         )
@@ -800,8 +806,17 @@ def q_graph_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c", "p")
     )
     item_deg = capped.groupBy("p").agg(F.count("*").alias("dp"))
-    a = capped.alias("a")
-    b = capped.alias("b")
+    # pair-space pre-filter (round-3 verdict #4): an item whose
+    # capped-universe degree is below the co-occurrence floor cannot
+    # appear in any surviving pair — semi-join it out BEFORE the
+    # self-join so the quadratic phase runs on the dp >= MIN_CO slice
+    pruned = capped.join(
+        item_deg.where(F.col("dp") >= _JAC_MIN_CO).select("p"),
+        "p",
+        "left_semi",
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     pairs = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
