@@ -507,7 +507,16 @@ def main() -> None:
         )
         deg = cp.groupBy("c").agg(F.count("*").alias("d"))
         capped = cp.join(deg, "c").where(F.col("d").between(2, 40)).select("c", "p")
-        a, b = capped.alias("a"), capped.alias("b")
+        # round-4: min-co pre-filter — items below the co-occurrence
+        # floor leave the pair space before the self-join
+        hot = (
+            capped.groupBy("p")
+            .agg(F.count("*").alias("dp"))
+            .where(F.col("dp") >= 2)
+            .select("p")
+        )
+        pruned = capped.join(hot, "p", "left_semi")
+        a, b = pruned.alias("a"), pruned.alias("b")
         return (
             a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
             .groupBy(F.col("a.p"), F.col("b.p"))
@@ -524,6 +533,48 @@ def main() -> None:
                 scaled(li, ["l_orderkey"], K, STRIDE),
             )
         ),
+    }
+
+    def adamic_adar(l):
+        # probe-local mirror of plans/analytics_wave14.q_graph_adamic_adar:
+        # within-order wedge join (quadratic only in basket size) with the
+        # same min-co pre-filter before the self-join
+        op = l.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        sz = (
+            op.groupBy("ok")
+            .agg(F.count("*").alias("basket"))
+            .where(F.col("basket") >= 3)
+            .select(
+                "ok",
+                F.round(F.lit(1.0) / F.log("basket"), 6)
+                .cast("decimal(10,6)")
+                .alias("w6"),
+            )
+        )
+        qual = op.join(sz, "ok")
+        hot = (
+            qual.groupBy("pk")
+            .agg(F.count("*").alias("dp"))
+            .where(F.col("dp") >= 2)
+            .select("pk")
+        )
+        pruned = qual.join(hot, "pk", "left_semi")
+        a = pruned.select("ok", F.col("pk").alias("p1"), "w6")
+        b = pruned.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
+        return (
+            a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+            .groupBy("p1", "p2")
+            .agg(F.count("*").alias("n_co"), F.sum("w6").alias("aa"))
+            .where(F.col("n_co") >= 2)
+            .count()
+        )
+
+    # scale orders: wedge volume must track order count (baskets bounded)
+    results["adamic_adar_minco_prefiltered"] = {
+        "x1": timed(lambda: adamic_adar(li)),
+        "xN": timed(lambda: adamic_adar(scaled(li, ["l_orderkey"], K, STRIDE))),
     }
 
     for name, r in results.items():
