@@ -139,14 +139,22 @@ def test_holt_winters_matches_python_recursion(spark):
         f"""SELECT event_type, epoch_us(ts)//3600000000 AS h FROM '{SF}/events.parquet'"""
     ).df()
     hmin, hmax = int(pdf.h.min()), int(pdf.h.max())
-    m, alpha, beta, gamma = 24, 0.5, 0.2, 0.3
+    # dyadic constants + sequential-fold init: the oracle-exact contract
+    m, alpha, beta, gamma = 24, 0.5, 0.25, 0.25
     for et, grp in pdf.groupby("event_type"):
         counts = grp.groupby("h").size()
         y = np.array([float(counts.get(h, 0)) for h in range(hmin, hmax + 1)])
         assert len(y) >= 2 * m
-        s = y[:m].mean()
-        b = (y[m : 2 * m].mean() - y[:m].mean()) / m
-        seas = y[:m] - y[:m].mean()
+        acc1 = 0.0
+        for v in y[:m]:
+            acc1 = acc1 + v
+        m1 = acc1 / m
+        acc2 = 0.0
+        for v in y[m : 2 * m]:
+            acc2 = acc2 + v
+        s = m1
+        b = (acc2 / m - m1) / m
+        seas = y[:m] - m1
         for t in range(m, len(y)):
             ci = t % m
             s_prev = s

@@ -183,9 +183,19 @@ def holt_winters_forecast(
                     "forecast_next",
                 ]
             )
-        s = float(y[:m].mean())
-        b = float((y[m : 2 * m].mean() - y[:m].mean()) / m)
-        seas = (y[:m] - y[:m].mean()).astype(np.float64)
+        # sequential left folds (not numpy pairwise mean) so the exact
+        # op order is replayable by a SQL list_reduce oracle
+        acc1 = 0.0
+        for v in y[:m]:
+            acc1 = acc1 + v
+        m1 = acc1 / m
+        acc2 = 0.0
+        for v in y[m : 2 * m]:
+            acc2 = acc2 + v
+        m2 = acc2 / m
+        s = m1
+        b = (m2 - m1) / m
+        seas = (y[:m] - m1).astype(np.float64)
         for t in range(m, len(y)):
             c_idx = t % m
             s_prev = s

@@ -69,11 +69,15 @@ def gramian_stats(df: DataFrame, col: str, dim: int) -> tuple[int, np.ndarray, n
 
     part = df.select(F.col(col).alias(col)).mapInPandas(partials, schema=_PARTIAL_SCHEMA)
     # element-wise distributed sum: ≤ P×(d²+d+1) rows shuffled, O(d²) out;
-    # one data pass — the row count is slot 0 of the same reduction
+    # one data pass — the row count is slot 0 of the same reduction.
+    # The cross-partition reduction goes through exact DECIMAL so the
+    # Gramian (and everything the eigensolve derives from it) does not
+    # depend on partition arrival order — the model is reproducible
+    # across cluster configurations.
     reduced = (
         part.select(F.posexplode("acc").alias("pos", "v"))
         .groupBy("pos")
-        .agg(F.sum("v").alias("v"))
+        .agg(F.sum(F.col("v").cast("decimal(38,18)")).cast("double").alias("v"))
         .collect()
     )
     acc = np.zeros(1 + dim + dim * dim)

@@ -397,20 +397,54 @@ def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_holt_forecast",
+    oracle="""
+        WITH RECURSIVE ser AS MATERIALIZED (
+            SELECT user_id, CAST(value AS DOUBLE) AS y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        eligible AS MATERIALIZED (SELECT * FROM ser WHERE n >= 2),
+        rec(user_id, t, n, s, b) AS (
+            SELECT s1.user_id, 1, s1.n, s1.y, s2.y - s1.y
+            FROM eligible s1
+            JOIN eligible s2 ON s2.user_id = s1.user_id AND s2.rn = 2
+            WHERE s1.rn = 1
+            UNION ALL
+            SELECT r.user_id, r.t + 1, r.n,
+                   CAST(0.5 AS DOUBLE) * e.y
+                       + CAST(0.5 AS DOUBLE) * (r.s + r.b),
+                   CAST(0.25 AS DOUBLE)
+                       * ((CAST(0.5 AS DOUBLE) * e.y
+                           + CAST(0.5 AS DOUBLE) * (r.s + r.b)) - r.s)
+                       + CAST(0.75 AS DOUBLE) * r.b
+            FROM rec r
+            JOIN eligible e ON e.user_id = r.user_id AND e.rn = r.t + 1
+            WHERE r.t < r.n
+        )
+        SELECT user_id, n AS n_obs, s AS level, b AS trend,
+               s + b AS forecast_next
+        FROM rec WHERE t = n
+    """,
     doc=(
-        "Holt double-exponential smoothing (alpha=0.5, beta=0.3) per "
+        "Holt double-exponential smoothing (alpha=0.5, beta=0.25) per "
         "user series with a one-step-ahead forecast "
         "(operators/downsample.holt_forecast). Sequential recursion "
         "over each series -> applyInPandas per user, the same "
-        "distribution contract as q_events_lttb. Rows-only: pinned by "
-        "tests/test_downsample.py against a hand-computed recursion."
+        "distribution contract as q_events_lttb. Oracle-exact (round-3 "
+        "verdict #8): the smoothing constants are dyadic (0.5/0.25/"
+        "0.75 are exact binary doubles, so 1-beta is unambiguous on "
+        "every engine) and the recursion is pure sequential IEEE "
+        "double ops, replayed op-for-op by a recursive-CTE oracle — "
+        "bit-identical floats, no quantization needed."
     ),
     tags=("timeseries", "forecast", "pandas-udf"),
 )
 def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.operators.downsample import holt_forecast
 
-    return holt_forecast(load(spark, sf_dir, "events"))
+    return holt_forecast(load(spark, sf_dir, "events"), alpha=0.5, beta=0.25)
 
 
 from weather_flink_spark.functions.geo import geohash8, geohash8_select_sql  # noqa: E402

@@ -644,22 +644,99 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_HW_M = 24  # season length (hours)
+
+# dyadic smoothing constants: 0.5/0.25/0.75 are exact binary doubles,
+# so (1-alpha) etc. are unambiguous on every engine and the recursion
+# replays bit-exactly in SQL (round-3 verdict #8)
+_HW_SNEW = (
+    "(CAST(0.5 AS DOUBLE) * (i.ys[r.t + 1] - r.seas[(r.t % 24) + 1])"
+    " + CAST(0.5 AS DOUBLE) * (r.s + r.b))"
+)
+
+_HW_ORACLE = f"""
+    WITH RECURSIVE counts AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS hmin,
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS hmax
+        FROM events
+    ),
+    dense AS (
+        SELECT t.event_type, g.hr AS hour_idx,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) AS y
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT UNNEST(range(hmin, hmax + 1)) AS hr FROM bounds) g
+        LEFT JOIN counts c
+          ON c.event_type = t.event_type AND c.hour_idx = g.hr
+    ),
+    inits AS MATERIALIZED (
+        SELECT event_type, ys, n, m1,
+               (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[25:48]),
+                            (a, x) -> a + x) / CAST(24 AS DOUBLE) - m1)
+                   / CAST(24 AS DOUBLE) AS b0,
+               list_transform(ys[1:24], v -> v - m1) AS seas0
+        FROM (
+            SELECT event_type, ys, len(ys) AS n,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:24]),
+                               (a, x) -> a + x) / CAST(24 AS DOUBLE) AS m1
+            FROM (
+                SELECT event_type, LIST(y ORDER BY hour_idx) AS ys
+                FROM dense GROUP BY event_type
+            )
+        ) WHERE n >= 48
+    ),
+    rec(event_type, t, s, b, seas) AS (
+        SELECT event_type, 24, m1, b0, seas0 FROM inits
+        UNION ALL
+        SELECT r.event_type, r.t + 1,
+               {_HW_SNEW},
+               CAST(0.25 AS DOUBLE) * ({_HW_SNEW} - r.s)
+                   + CAST(0.75 AS DOUBLE) * r.b,
+               list_transform(range(1, 25), k -> CASE
+                   WHEN k = (r.t % 24) + 1
+                   THEN CAST(0.25 AS DOUBLE)
+                            * (i.ys[r.t + 1] - {_HW_SNEW})
+                        + CAST(0.75 AS DOUBLE) * r.seas[k]
+                   ELSE r.seas[k] END)
+        FROM rec r JOIN inits i USING (event_type)
+        WHERE r.t < i.n
+    )
+    SELECT r.event_type, i.n AS n_obs, r.s AS level, r.b AS trend,
+           list_aggregate(r.seas, 'max') - list_aggregate(r.seas, 'min')
+               AS season_amplitude,
+           r.s + r.b + r.seas[(i.n % 24) + 1] AS forecast_next
+    FROM rec r JOIN inits i USING (event_type)
+    WHERE r.t = i.n
+"""
+
+
 @register(
     "q_events_holt_winters",
-    oracle=None,  # sequential triple recursion — pinned by tests/test_analytics_wave4.py
+    oracle=_HW_ORACLE,
     doc=(
-        "Additive Holt-Winters (level + trend + 24-hour seasonality) "
-        "over each event type's hourly activity series "
-        "(operators/downsample.holt_winters_forecast). The series is "
-        "built dense first — global hour grid from integer epoch "
-        "arithmetic, zero-filled left join, the resample-gapfill "
-        "pattern — because the seasonal recursion indexes hours "
-        "positionally. The expensive part (per-hour counts) is one "
-        "partial-aggregable groupBy over the fact table; the recursion "
-        "then runs per series on the period-bounded hourly rollup "
-        "(720 points at 30 days), so Arrow moves a fixed-size series "
-        "per type regardless of raw event volume. Rows-only: pinned "
-        "against a pure-python recursion in tests."
+        "Additive Holt-Winters (level + trend + 24-hour seasonality, "
+        "alpha=0.5 beta=0.25 gamma=0.25) over each event type's hourly "
+        "activity series (operators/downsample.holt_winters_forecast). "
+        "The series is built dense first — global hour grid from "
+        "integer epoch arithmetic, zero-filled left join, the "
+        "resample-gapfill pattern — because the seasonal recursion "
+        "indexes hours positionally. The expensive part (per-hour "
+        "counts) is one partial-aggregable groupBy over the fact "
+        "table; the recursion then runs per series on the "
+        "period-bounded hourly rollup (720 points at 30 days), so "
+        "Arrow moves a fixed-size series per type regardless of raw "
+        "event volume. Oracle-exact (round-3 verdict #8): inputs are "
+        "integer counts cast to double, the kernel's season-mean "
+        "initialization is a sequential left fold (= list_reduce), "
+        "the smoothing constants are dyadic, and the triple recursion "
+        "— including the 24-slot seasonal vector — is replayed "
+        "op-for-op by a recursive CTE carrying the seasonal LIST as "
+        "state. Bit-identical floats, no quantization."
     ),
     tags=("timeseries", "forecast", "pandas-udf"),
 )
@@ -684,7 +761,7 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_idx",
         F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("hourly_avg"),
     )
-    return holt_winters_forecast(dense)
+    return holt_winters_forecast(dense, alpha=0.5, beta=0.25, gamma=0.25)
 
 
 # ---------------------------------------------------------------------------
