@@ -292,10 +292,11 @@ def run_to_memory(
     )
     deadline = time.time() + timeout_s
     while q.isActive and time.time() < deadline:
-        # 50 ms poll: availableNow fixtures finish in ~1-2 s, and a 1 s
-        # poll quantum added up to ~1 s dead time per streaming entry
-        # (~12 s across the bench suite's s_* floor)
-        q.awaitTermination(0.05)
+        # 20 ms poll: availableNow fixtures finish in ~1 s, and the poll
+        # quantum is pure dead time at the end of every entry (1 s -> 50
+        # ms in round 3 cut ~12 s; 50 -> 20 ms trims the rest of the
+        # tail without busy-waiting)
+        q.awaitTermination(0.02)
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError("streaming query did not finish in time")
