@@ -39,8 +39,16 @@ def _lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> list[int]:
         nxt_lo, nxt_hi = bounds[i + 1], (bounds[i + 2] if i + 2 < len(bounds) else n)
         if nxt_hi <= nxt_lo:
             nxt_lo, nxt_hi = n - 1, n
-        avg_x = float(x[nxt_lo:nxt_hi].mean())
-        avg_y = float(y[nxt_lo:nxt_hi].mean())
+        # sequential left folds (not numpy pairwise mean) so the exact
+        # op order is replayable by a SQL list_reduce oracle
+        accx = 0.0
+        for v in x[nxt_lo:nxt_hi]:
+            accx = accx + v
+        avg_x = accx / (nxt_hi - nxt_lo)
+        accy = 0.0
+        for v in y[nxt_lo:nxt_hi]:
+            accy = accy + v
+        avg_y = accy / (nxt_hi - nxt_lo)
         ax, ay = float(x[a]), float(y[a])
         # twice the triangle area; ties resolved to the earliest point
         areas = np.abs(

@@ -200,6 +200,103 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_lttb",
+    oracle="""
+        WITH RECURSIVE pts AS MATERIALIZED (
+            SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+                   CAST(epoch_ns(ts) AS DOUBLE) AS x,
+                   CAST(value AS DOUBLE) AS yv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        ser AS MATERIALIZED (
+            SELECT user_id, MAX(n) AS n,
+                   LIST(x ORDER BY rn) AS xs,
+                   LIST(yv ORDER BY rn) AS ys
+            FROM pts GROUP BY user_id
+        ),
+        -- np.linspace(1, n-1, 11).astype(int64): i*step + 1 truncated,
+        -- endpoint pinned to n-1
+        binfo AS MATERIALIZED (
+            SELECT user_id, n, xs, ys,
+                   list_append(
+                       list_transform(range(0, 10), i ->
+                           CAST(FLOOR(CAST(i AS DOUBLE)
+                                * (CAST(n - 2 AS DOUBLE) / CAST(10 AS DOUBLE))
+                                + CAST(1 AS DOUBLE)) AS BIGINT)),
+                       CAST(n - 1 AS BIGINT)) AS bounds
+            FROM ser WHERE n > 12
+        ),
+        rec(user_id, i, a, sel) AS (
+            SELECT user_id, 0, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)]
+            FROM binfo
+            UNION ALL
+            SELECT user_id, i + 1, pick, list_append(sel, pick) FROM (
+                SELECT t.user_id, t.i, t.sel,
+                       t.lo + list_position(
+                           list_transform(range(t.lo, t.hi), j ->
+                               abs((t.ax - t.avg_x) * (t.ys[j + 1] - t.ay)
+                                   - (t.ax - t.xs[j + 1]) * (t.avg_y - t.ay))),
+                           list_aggregate(
+                               list_transform(range(t.lo, t.hi), j ->
+                                   abs((t.ax - t.avg_x) * (t.ys[j + 1] - t.ay)
+                                       - (t.ax - t.xs[j + 1]) * (t.avg_y - t.ay))),
+                               'max')) - 1 AS pick
+                FROM (
+                    SELECT u.user_id, u.i, u.sel, u.lo, u.hi, u.xs, u.ys,
+                           u.ax, u.ay,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               u.xs[CAST(u.nxt_lo + 1 AS INTEGER):CAST(u.nxt_hi AS INTEGER)]),
+                               (acc, v) -> acc + v)
+                               / CAST(u.nxt_hi - u.nxt_lo AS DOUBLE) AS avg_x,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               u.ys[CAST(u.nxt_lo + 1 AS INTEGER):CAST(u.nxt_hi AS INTEGER)]),
+                               (acc, v) -> acc + v)
+                               / CAST(u.nxt_hi - u.nxt_lo AS DOUBLE) AS avg_y
+                    FROM (
+                        SELECT r.user_id, r.i, r.a, r.sel, b.xs, b.ys, b.n,
+                               b.bounds[r.i + 1] AS lo,
+                               b.bounds[r.i + 2] AS hi,
+                               b.xs[CAST(r.a + 1 AS INTEGER)] AS ax,
+                               b.ys[CAST(r.a + 1 AS INTEGER)] AS ay,
+                               CASE WHEN (CASE WHEN r.i + 3 <= 11
+                                          THEN b.bounds[r.i + 3] ELSE b.n END)
+                                         <= b.bounds[r.i + 2]
+                                    THEN b.n - 1
+                                    ELSE b.bounds[r.i + 2] END AS nxt_lo,
+                               CASE WHEN (CASE WHEN r.i + 3 <= 11
+                                          THEN b.bounds[r.i + 3] ELSE b.n END)
+                                         <= b.bounds[r.i + 2]
+                                    THEN b.n
+                                    ELSE (CASE WHEN r.i + 3 <= 11
+                                          THEN b.bounds[r.i + 3] ELSE b.n END)
+                                    END AS nxt_hi
+                        FROM rec r JOIN binfo b USING (user_id)
+                        WHERE r.i < 10
+                    ) u
+                ) t
+            )
+        ),
+        chosen AS (
+            SELECT r.user_id,
+                   UNNEST(list_append(r.sel, b.n - 1)) AS idx0,
+                   UNNEST(range(0, len(r.sel) + 1)) AS sel_rank
+            FROM rec r JOIN binfo b USING (user_id)
+            WHERE r.i = 10
+        ),
+        small AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(rn - 1 AS INTEGER) AS sel_rank
+            FROM pts WHERE n <= 12
+        )
+        SELECT p.user_id, p.event_id, p.ts, p.value,
+               CAST(c.sel_rank AS INTEGER) AS sel_rank
+        FROM chosen c
+        JOIN pts p ON p.user_id = c.user_id AND p.rn = c.idx0 + 1
+        UNION ALL
+        SELECT * FROM small
+    """,
     doc=(
         "Largest-Triangle-Three-Buckets downsampling of each user's "
         "gauge series to 12 points (operators/downsample.py): the "
@@ -207,10 +304,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sequential per series (each pick anchors the next triangle), "
         "so it runs as applyInPandas per user — series are the "
         "partition unit, the same contract a 100 TB run would use "
-        "(one series' points fit one executor). Rows-only: the "
-        "sequential selection is not ANSI-SQL-expressible; semantics "
-        "are pinned by tests/test_downsample.py against a hand-"
-        "computed fixture."
+        "(one series' points fit one executor). Oracle-exact (round-3 "
+        "verdict #8): bucket averages are sequential left folds "
+        "(= list_reduce), np.linspace bucket bounds are replayed with "
+        "the same double mul/add/trunc, and the per-bucket argmax "
+        "(first-max tie-break = list_position) runs in a recursive CTE "
+        "carrying the selected anchor — bit-identical floats end to "
+        "end."
     ),
     tags=("timeseries", "downsample", "pandas-udf"),
 )
