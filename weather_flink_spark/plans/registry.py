@@ -83,6 +83,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave13,
         analytics_wave14,
         analytics_wave15,
+        analytics_wave16,
         streaming_queries,
     )
 
