@@ -84,6 +84,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave14,
         analytics_wave15,
         analytics_wave16,
+        analytics_wave17,
         streaming_queries,
     )
 
