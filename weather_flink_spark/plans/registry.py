@@ -85,6 +85,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave15,
         analytics_wave16,
         analytics_wave17,
+        analytics_wave18,
         streaming_queries,
     )
 
