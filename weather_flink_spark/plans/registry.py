@@ -86,6 +86,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave16,
         analytics_wave17,
         analytics_wave18,
+        analytics_wave19,
         streaming_queries,
     )
 
