@@ -1,0 +1,121 @@
+"""Wave-20 semantics beyond the oracle hash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_dedup_covers_delta_and_verdicts_consistent(spark):
+    rows = all_specs()["q_dedup_incremental"].fn(spark, SF).collect()
+    d = load(spark, SF, "documents")
+    h = d.agg(F.expr("max(doc_id) * 4 div 5")).collect()[0][0]
+    n_delta = d.filter(F.col("doc_id") >= h).count()
+    assert len(rows) == n_delta
+    verdicts = {r.verdict for r in rows}
+    assert verdicts <= {"dup_of_history", "dup_in_batch", "novel"}
+    for r in rows:
+        assert r.doc_id >= h
+        if r.verdict == "novel":
+            assert r.n_history_matches == 0 and r.n_batch_matches == 0
+            assert r.best_match_id is None
+        else:
+            assert r.best_jaccard >= 0.5
+            assert r.n_history_matches + r.n_batch_matches >= 1
+        if r.verdict == "dup_of_history":
+            assert r.n_history_matches > 0
+        if r.verdict == "dup_in_batch":
+            assert r.n_history_matches == 0 and r.n_batch_matches > 0
+
+
+def test_incremental_dedup_agrees_with_full_pair_table(spark):
+    """Every (new, old) verified pair in the full near-dup table must be
+    reflected in the incremental verdicts."""
+    d = load(spark, SF, "documents")
+    h = d.agg(F.expr("max(doc_id) * 4 div 5")).collect()[0][0]
+    pairs = all_specs()["q_dedup_near_minhash"].fn(spark, SF).collect()
+    incr = {r.doc_id: r for r in all_specs()["q_dedup_incremental"].fn(spark, SF).collect()}
+    for p in pairs:
+        lo, hi = sorted((p.doc_a, p.doc_b))
+        if hi >= h > lo:  # a (history, new) pair
+            assert incr[hi].n_history_matches >= 1
+
+
+def test_graph_ann_output_shape_and_visited_semantics(spark):
+    rows = all_specs()["q_sim_ann_graph"].fn(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for qid, rs in by_q.items():
+        assert sorted(r.k_rank for r in rs) == list(range(1, 6))
+        rs = sorted(rs, key=lambda r: r.k_rank)
+        for a, b in zip(rs, rs[1:]):
+            assert a.cosine >= b.cosine
+        assert all(r.vec_id != qid for r in rs)
+
+
+def test_graph_ann_beats_entry_point_alone(spark):
+    """Beam search must find nodes better than the fixed entry point for
+    most queries (otherwise the hops did nothing)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(SF + "/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    emb = emb[order]
+    nrm = np.linalg.norm(emb, axis=1)
+    rows = all_specs()["q_sim_ann_graph"].fn(spark, SF).collect()
+    best = {}
+    for r in rows:
+        best[r.query_id] = max(best.get(r.query_id, -2.0), r.cosine)
+    improved = 0
+    for qid, b in best.items():
+        entry_cos = float(emb[qid] @ emb[0] / (nrm[qid] * nrm[0]))
+        if qid == 0 or b > entry_cos + 1e-12:
+            improved += 1
+    assert improved >= 3  # hops expand beyond the entry for most queries
+
+
+def test_stream_ann_assign_matches_batch_assignment(spark):
+    """The streaming cell assignment must agree with the batch
+    ivf_assigned_table for the streamed vectors."""
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_table
+
+    got = {
+        r.vec_id: r.cell
+        for r in all_specs()["s_stream_ann_assign"].fn(spark, SF).collect()
+    }
+    assert len(got) == 20
+    batch = {
+        r.vec_id: r.cell
+        for r in ivf_assigned_table(spark, SF)
+        .filter(F.col("vec_id") < 20)
+        .collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup_incremental_candidates_subsume_batch_pairs(spark):
+    """Every verified near-dup pair touching a streamed doc must appear
+    among the streaming candidates (candidates ⊇ verified pairs)."""
+    stream_pairs = {
+        (r.new_doc, r.corpus_doc)
+        for r in all_specs()["s_dedup_incremental"].fn(spark, SF).collect()
+    }
+    d = load(spark, SF, "documents")
+    streamed = {
+        r.doc_id
+        for r in d.orderBy(F.col("doc_id").desc()).limit(10).collect()
+    }
+    pairs = all_specs()["q_dedup_near_minhash"].fn(spark, SF).collect()
+    for p in pairs:
+        for new, other in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if new in streamed and other not in streamed:
+                assert (new, other) in stream_pairs, (new, other)

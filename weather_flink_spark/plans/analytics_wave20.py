@@ -1,0 +1,603 @@
+"""Wave-20 operators (round 4): incremental delta-batch dedup, graph
+ANN (NSW-style beam search), and their streaming twins.
+
+- ``q_dedup_incremental`` — the daily-ingest shape of near-dedup: the
+  newest 20% of documents (the "delta batch") are checked against the
+  historical corpus AND against each other via the shared LSH band
+  index, and every new document gets a verdict (dup_of_history /
+  dup_in_batch / novel) with its best match. This is what a production
+  pipeline runs per ingest: history's signature table is the reusable
+  index; only the delta hashes fresh.
+- ``q_sim_ann_graph`` — graph-based ANN (the navigable-small-world
+  family, the third major ANN architecture after IVF and hashing):
+  a k-NN edge list (top-3 in-cell neighbors per vector, riding the
+  session-cached IVF assignment) is greedily beam-searched from a
+  fixed entry point — 3 unrolled hops, beam 3, final top-5 of the
+  visited set. Hops are pure join+window rounds, replayed by unrolled
+  CTEs in the oracle.
+- ``s_stream_ann_assign`` — streaming vector ingestion: a file stream
+  of JSON vectors is assigned to its trained IVF cell by a
+  stream-static broadcast of the k-means model — the "index new
+  embeddings as they arrive" path.
+- ``s_dedup_incremental`` — streaming near-dup candidates: a stream of
+  new documents is minhash-banded on the fly and stream-static-joined
+  against the static corpus band index, emitting candidate pairs as
+  they arrive.
+
+Reference parity note: the reference's transformation plan is empty
+(``WeatherProcessingJobPlan.java:9-11``); these extend the north-star
+surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-batch) near-dedup
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def _incr_oracle() -> str:
+    from weather_flink_spark.plans.llm_pipeline import (
+        _BANDS_SQL,
+        H28_SHINGLE_SQL,
+    )
+
+    jac = (
+        "CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
+        " / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"
+    )
+    return f"""
+        WITH split AS (
+            SELECT (MAX(doc_id) * 4) // 5 AS h FROM documents
+        ),
+        bands AS MATERIALIZED ({_BANDS_SQL}),
+        sh AS MATERIALIZED (
+            SELECT doc_id, {H28_SHINGLE_SQL} AS hs
+            FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+        ),
+        cand AS (
+            -- new docs probe the full band index; pair each new doc
+            -- with any OTHER doc sharing a band bucket
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS other_id
+            FROM bands n
+            JOIN bands o
+              ON o.band_id = n.band_id AND o.band_key = n.band_key
+             AND o.doc_id <> n.doc_id
+            WHERE n.doc_id >= (SELECT h FROM split)
+        ),
+        verified AS (
+            SELECT c.new_id, c.other_id,
+                   c.other_id >= (SELECT h FROM split) AS other_is_new,
+                   {jac} AS jaccard
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.new_id
+            JOIN sh y ON y.doc_id = c.other_id
+            WHERE {jac} >= {JACCARD_THRESHOLD}
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY new_id
+                ORDER BY jaccard DESC, other_id ASC) AS rk
+            FROM verified
+        ),
+        rolled AS (
+            SELECT new_id,
+                   CAST(SUM(CASE WHEN other_is_new THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_history_matches,
+                   CAST(SUM(CASE WHEN other_is_new THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_batch_matches,
+                   MAX(CASE WHEN rk = 1 THEN other_id END) AS best_match_id,
+                   MAX(jaccard) AS best_jaccard
+            FROM ranked GROUP BY new_id
+        )
+        SELECT d.doc_id,
+               COALESCE(r.n_history_matches, 0) AS n_history_matches,
+               COALESCE(r.n_batch_matches, 0) AS n_batch_matches,
+               r.best_match_id, r.best_jaccard,
+               CASE WHEN r.n_history_matches > 0 THEN 'dup_of_history'
+                    WHEN r.n_batch_matches > 0 THEN 'dup_in_batch'
+                    ELSE 'novel' END AS verdict
+        FROM documents d
+        LEFT JOIN rolled r ON r.new_id = d.doc_id
+        WHERE d.doc_id >= (SELECT h FROM split)
+    """
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=_incr_oracle(),
+    doc=(
+        "Incremental (delta-batch) near-dedup — the daily-ingest shape "
+        "of the MinHash pipeline: the newest 20% of documents probe the "
+        "shared LSH band index against history AND each other, verified "
+        "pairs (hashed-shingle Jaccard >= 0.5) roll up to a per-new-doc "
+        "verdict: dup_of_history (drop — it already exists), "
+        "dup_in_batch (intra-delta cluster, keep one) or novel, with "
+        "the best match attached. At 100 TB the history band/signature "
+        "tables are the PERSISTED index (here the session-cached "
+        "tables); only the delta is hashed per ingest, and the probe "
+        "is a band-bucket equi-join — never delta x corpus."
+    ),
+    tags=("dedup", "lsh", "llm-pipeline", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import (
+        minhash_bands,
+        shingle_table,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    split = d.agg(F.expr("max(doc_id) * 4 div 5").alias("h"))
+    bands = minhash_bands(spark, sf_dir)
+    sh = shingle_table(spark, sf_dir)
+
+    new_bands = bands.join(F.broadcast(split)).filter(
+        F.col("doc_id") >= F.col("h")
+    )
+    cand = (
+        new_bands.alias("n")
+        .join(
+            bands.alias("o"),
+            (F.col("o.band_id") == F.col("n.band_id"))
+            & (F.col("o.band_key") == F.col("n.band_key"))
+            & (F.col("o.doc_id") != F.col("n.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("other_id"),
+            F.col("n.h").alias("h"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("x.shingle_h28"), F.col("y.shingle_h28")))
+    union = (
+        F.size(F.col("x.shingle_h28"))
+        + F.size(F.col("y.shingle_h28"))
+        - inter
+    )
+    jac = inter.cast("double") / union
+    verified = (
+        cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("new_id"))
+        .join(sh.alias("y"), F.col("y.doc_id") == F.col("other_id"))
+        .select(
+            "new_id",
+            "other_id",
+            (F.col("other_id") >= F.col("h")).alias("other_is_new"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w_best = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("other_id").asc()
+    )
+    rolled = (
+        verified.withColumn("rk", F.row_number().over(w_best))
+        .groupBy("new_id")
+        .agg(
+            F.sum(F.when(F.col("other_is_new"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_history_matches"),
+            F.sum(F.when(F.col("other_is_new"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_batch_matches"),
+            F.max(F.when(F.col("rk") == 1, F.col("other_id"))).alias(
+                "best_match_id"
+            ),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        d.join(F.broadcast(split))
+        .filter(F.col("doc_id") >= F.col("h"))
+        .select("doc_id")
+        .join(rolled, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_history_matches", F.lit(0)).alias(
+                "n_history_matches"
+            ),
+            F.coalesce("n_batch_matches", F.lit(0)).alias("n_batch_matches"),
+            "best_match_id",
+            "best_jaccard",
+            F.when(F.col("n_history_matches") > 0, "dup_of_history")
+            .when(F.col("n_batch_matches") > 0, "dup_in_batch")
+            .otherwise("novel")
+            .alias("verdict"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN: NSW-style beam search over a k-NN edge list
+# ---------------------------------------------------------------------------
+
+_G_KNN = 3  # out-degree of the k-NN graph
+_G_BEAM = 3  # beam width per hop
+_G_HOPS = 3  # unrolled hops
+_G_ENTRY = 0  # fixed entry vector
+
+
+def _graph_oracle() -> str:
+    from weather_flink_spark.plans.llm_extra import (
+        IVF_N_QUERIES,
+        IVF_TOP_K,
+        _cos_duck,
+        ivf_assigned_cte,
+    )
+
+    cos_qn = _cos_duck("q.embedding", "n.embedding")
+    hops = []
+    prev = "f0"
+    for h in range(1, _G_HOPS + 1):
+        hops.append(
+            f"""exp{h} AS (
+                -- expand: the frontier's out-edges, scored vs the query
+                SELECT query_id, node, cosine FROM {prev}
+                UNION
+                SELECT f.query_id, e.dst AS node,
+                       {_cos_duck('q.embedding', 'v.embedding')} AS cosine
+                FROM {prev} f
+                JOIN edges e ON e.src = f.node
+                JOIN embeddings q ON q.vec_id = f.query_id
+                JOIN embeddings v ON v.vec_id = e.dst
+            ),
+            f{h} AS (
+                SELECT query_id, node, cosine FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, node ASC) AS rk
+                    FROM exp{h}
+                ) WHERE rk <= {_G_BEAM}
+            ),
+            vis{h} AS (
+                SELECT query_id, node, cosine FROM exp{h}
+                {f"UNION SELECT query_id, node, cosine FROM vis{h - 1}" if h > 1 else ""}
+            )"""
+        )
+        prev = f"f{h}"
+    return f"""
+        WITH {ivf_assigned_cte()},
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT a.vec_id AS src, n.vec_id AS dst,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_duck('a.embedding', 'n.embedding')} DESC,
+                                    n.vec_id ASC) AS rk
+                FROM assigned a JOIN assigned n
+                  ON n.cell = a.cell AND n.vec_id <> a.vec_id
+            ) WHERE rk <= {_G_KNN}
+        ),
+        f0 AS (
+            SELECT q.vec_id AS query_id, {_G_ENTRY} AS node,
+                   {_cos_duck('q.embedding', 'n.embedding')} AS cosine
+            FROM embeddings q JOIN embeddings n ON n.vec_id = {_G_ENTRY}
+            WHERE q.vec_id < {IVF_N_QUERIES}
+        ),
+        {",".join(hops)}
+        SELECT query_id, node AS vec_id, cosine, k_rank FROM (
+            SELECT query_id, node, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, node ASC) AS k_rank
+            FROM vis{_G_HOPS}
+            WHERE node <> query_id
+        ) WHERE k_rank <= {IVF_TOP_K}
+    """
+
+
+@register(
+    "q_sim_ann_graph",
+    oracle=_graph_oracle(),
+    doc=(
+        "Graph-based ANN — the navigable-small-world family (HNSW's "
+        "base layer), the third major ANN architecture in the engine "
+        "after IVF (q_sim_ann_ivf*/ivfpq) and hashing "
+        "(q_sim_hamming_topk): a k-NN edge list (top-3 in-cell "
+        "neighbors per vector, one cell-blocked ranking pass over the "
+        "session-cached IVF assignment — never all-pairs) is beam-"
+        "searched from a fixed entry point with 3 unrolled hops of "
+        "beam 3; the answer is the top-5 of everything VISITED. Each "
+        "hop is one edge join + one per-query window over <= "
+        "beam*(1+degree) rows — bounded work per query per hop at any "
+        "corpus size, and the unrolled-CTE oracle replays the exact "
+        "frontier evolution (deterministic cosine-desc/node tie-break)."
+    ),
+    tags=("similarity", "ann", "graph"),
+)
+def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_extra import (
+        IVF_N_QUERIES,
+        IVF_TOP_K,
+        ivf_assigned_table,
+    )
+    from weather_flink_spark.plans.llm_pipeline import dot_col
+
+    assigned = ivf_assigned_table(spark, sf_dir)
+
+    # --- k-NN edge list: top-3 in-cell neighbors per vector
+    a, n = assigned.alias("a"), assigned.alias("n")
+    cos_an = dot_col(F.col("a.embedding"), F.col("n.embedding")) / (
+        F.col("a.nrm") * F.col("n.nrm")
+    )
+    w_knn = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    edges = (
+        a.join(
+            n,
+            (F.col("n.cell") == F.col("a.cell"))
+            & (F.col("n.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("n.vec_id").alias("dst"),
+            cos_an.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w_knn))
+        .filter(F.col("rk") <= _G_KNN)
+        .select("src", "dst")
+    )
+
+    q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    node_vec = assigned.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    cos_qn = dot_col(F.col("q_emb"), F.col("n_emb")) / (
+        F.col("q_nrm") * F.col("n_nrm")
+    )
+
+    # --- entry frontier
+    frontier = (
+        q.crossJoin(
+            F.broadcast(node_vec.filter(F.col("node") == _G_ENTRY))
+        )
+        .select("query_id", "node", cos_qn.alias("cosine"))
+    )
+    visited = frontier
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node").asc()
+    )
+    for _ in range(_G_HOPS):
+        expanded = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .join(q, "query_id")
+            .join(node_vec, "node")
+            .select("query_id", "node", cos_qn.alias("cosine"))
+            .unionByName(frontier.select("query_id", "node", "cosine"))
+            .distinct()
+        )
+        frontier = (
+            expanded.withColumn("rk", F.row_number().over(w_beam))
+            .filter(F.col("rk") <= _G_BEAM)
+            .select("query_id", "node", "cosine")
+        )
+        visited = visited.unionByName(expanded).distinct()
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node").asc()
+    )
+    return (
+        visited.filter(F.col("node") != F.col("query_id"))
+        .withColumn("k_rank", F.row_number().over(w_rank))
+        .filter(F.col("k_rank") <= IVF_TOP_K)
+        .select(
+            "query_id", F.col("node").alias("vec_id"), "cosine", "k_rank"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins: vector-to-cell assignment and incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def _write_jsonl_fixture(spark: SparkSession, kind: str, rows: list[str]) -> str:
+    """Two jsonl files in a per-process temp dir (the file-stream shape
+    every other s_* fixture uses)."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"wfs_stream_{kind}_{os.getpid()}"
+    )
+    os.makedirs(d, exist_ok=True)
+    mid = len(rows) // 2
+    for i, chunk in enumerate((rows[:mid], rows[mid:])):
+        with open(os.path.join(d, f"part-{i}.jsonl"), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+    return d
+
+
+@register(
+    "s_stream_ann_assign",
+    doc=(
+        "Streaming vector ingestion — 'index new embeddings as they "
+        "arrive': a file stream of JSON vectors is assigned to its "
+        "nearest TRAINED IVF cell by a pure expression over the "
+        "bounded collected k-means model (k=8 rows — the sanctioned "
+        "bounded-collect class), so the assignment is a stateless "
+        "streaming map: no windows, no state stores, the same L2 "
+        "argmin rule as the batch ivf_assigned_table. At scale this "
+        "is the write path that keeps the ANN index current between "
+        "full retrains."
+    ),
+    tags=("streaming", "similarity", "ann", "ivf"),
+)
+def s_stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    import pyarrow.parquet as papq
+
+    from weather_flink_spark.plans.analytics_wave4 import (
+        kmeans_final_assignment,
+    )
+    from weather_flink_spark.plans.streaming_queries import _configure
+    from weather_flink_spark.streaming.jobs import run_to_memory
+
+    _configure(spark)
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    model = sorted(
+        ((r["cid"], list(r["c"])) for r in cent.collect()),
+        key=lambda x: x[0],
+    )
+
+    t = papq.read_table(
+        sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = [
+        json.dumps(
+            {
+                "vec_id": int(v),
+                "embedding": [float(x) for x in e],
+            }
+        )
+        for v, e in zip(
+            t.column("vec_id").to_pylist()[:20],
+            t.column("embedding").to_pylist()[:20],
+        )
+    ]
+    d = _write_jsonl_fixture(spark, "annassign", rows)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+
+    def dist2(c_vals: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in c_vals])
+        prod = F.zip_with(
+            F.col("embedding"), arr, lambda a, b: (a - b) * (a - b)
+        )
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    d2s = [(cid, dist2(c)) for cid, c in model]
+    best = F.least(*[d for _, d in d2s])
+    cell = F.when(d2s[0][1] == best, F.lit(d2s[0][0]))
+    for cid, d2 in d2s[1:]:
+        cell = cell.when(d2 == best, F.lit(cid))
+    out = stream.select(
+        "vec_id", cell.alias("cell"), best.alias("d2")
+    )
+    return run_to_memory(out, output_mode="append")
+
+
+@register(
+    "s_dedup_incremental",
+    doc=(
+        "Streaming incremental near-dedup candidates: a file stream of "
+        "new documents is minhash-banded ON THE FLY (the shared shingle "
+        "and band expressions run unchanged on the streaming frame — "
+        "pure expressions, no state) and stream-static joined against "
+        "the session-cached corpus band index; every emitted row is a "
+        "(new_doc, corpus_doc) candidate pair for the verifier. This "
+        "is q_dedup_incremental's probe phase as a continuous "
+        "pipeline: history's index is the static broadcast side, only "
+        "arriving documents hash."
+    ),
+    tags=("streaming", "dedup", "lsh", "llm-pipeline"),
+)
+def s_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    import pyarrow.parquet as papq
+
+    from weather_flink_spark.plans.llm_pipeline import (
+        _minhash_bands,
+        minhash_bands,
+        shingle_hash_col,
+        tokens_col,
+    )
+    from weather_flink_spark.plans.streaming_queries import _configure
+    from weather_flink_spark.streaming.jobs import run_to_memory
+
+    _configure(spark)
+    static_bands = minhash_bands(spark, sf_dir).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("band_id").alias("s_band_id"),
+        F.col("band_key").alias("s_band_key"),
+    )
+
+    t = papq.read_table(
+        sf_dir + "/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = list(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )[-10:]
+    rows = [json.dumps({"doc_id": int(i), "text": s}) for i, s in docs]
+    d = _write_jsonl_fixture(spark, "dedupincr", rows)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    sh = stream.select(
+        "doc_id", shingle_hash_col(tokens_col()).alias("shingle_h28")
+    )
+    new_bands = _minhash_bands_stream(sh)
+    pairs = new_bands.join(
+        static_bands,
+        (F.col("band_id") == F.col("s_band_id"))
+        & (F.col("band_key") == F.col("s_band_key"))
+        & (F.col("doc_id") != F.col("corpus_doc")),
+    ).select(
+        F.col("doc_id").alias("new_doc"), "corpus_doc", "band_id"
+    )
+    return run_to_memory(pairs, output_mode="append")
+
+
+def _minhash_bands_stream(sh: DataFrame) -> DataFrame:
+    """The band projection of llm_pipeline._minhash_bands without its
+    persist (persist is illegal on a streaming DataFrame); expression
+    code is shared via the same helpers so the band keys join the
+    static index exactly."""
+    from weather_flink_spark.plans.llm_pipeline import (
+        N_BANDS,
+        N_MINHASH,
+        _perm_value,
+    )
+
+    def perm_min(i: int):
+        return F.array_min(
+            F.transform(F.col("shingle_h28"), lambda h: _perm_value(h, i))
+        )
+
+    sig = [perm_min(i) for i in range(N_MINHASH)]
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            s.cast("string")
+                            for s in sig[
+                                b * rows_per_band : (b + 1) * rows_per_band
+                            ]
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sh.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )

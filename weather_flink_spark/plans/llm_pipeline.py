@@ -272,6 +272,37 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_hash_col(tok: Column) -> Column:
+    """Distinct 28-bit 3-shingle hashes of a token array — the one
+    shingle expression shared by the batch signature table and the
+    streaming incremental-dedup path (pure expressions, so it runs
+    unchanged on a streaming DataFrame)."""
+    # total on short docs: < 3 tokens → no shingles (no OOB element_at)
+    idx = F.when(F.size(tok) >= 3, F.sequence(F.lit(1), F.size(tok) - 2)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    gram_hash = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(tok, i.cast("int")),
+                        F.element_at(tok, (i + 1).cast("int")),
+                        F.element_at(tok, (i + 2).cast("int")),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.array_distinct(gram_hash)
+
+
 def _shingle_table(d: DataFrame) -> DataFrame:
     """(doc_id, shingle_h28): 28-bit shingle-hash sets, materialized once.
 
@@ -298,32 +329,8 @@ def _shingle_table(d: DataFrame) -> DataFrame:
         .select("doc_id", tokens_col().alias("tok"))
         .persist()
     )
-    tok = F.col("tok")
-    # total on short docs: < 3 tokens → no shingles (no OOB element_at)
-    idx = F.when(F.size(tok) >= 3, F.sequence(F.lit(1), F.size(tok) - 2)).otherwise(
-        F.expr("array()").cast("array<int>")
-    )
-    gram_hash = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at(tok, i.cast("int")),
-                        F.element_at(tok, (i + 1).cast("int")),
-                        F.element_at(tok, (i + 2).cast("int")),
-                    )
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
     res = toks.select(
-        "doc_id", F.array_distinct(gram_hash).alias("shingle_h28")
+        "doc_id", shingle_hash_col(F.col("tok")).alias("shingle_h28")
     ).persist()
     res.count()  # materialize so the token intermediate can be released now
     toks.unpersist()

@@ -87,6 +87,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave17,
         analytics_wave18,
         analytics_wave19,
+        analytics_wave20,
         streaming_queries,
     )
 
