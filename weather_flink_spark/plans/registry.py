@@ -88,6 +88,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave18,
         analytics_wave19,
         analytics_wave20,
+        analytics_wave21,
         streaming_queries,
     )
 
