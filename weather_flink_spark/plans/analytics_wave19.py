@@ -21,7 +21,7 @@ surface (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
