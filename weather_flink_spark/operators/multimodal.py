@@ -154,6 +154,56 @@ def bmp_parse(b: bytes):
     return width, height, bpp, stride, pixel_sum
 
 
+# ---------------------------------------------------------------------------
+# Real WAV codec (RIFF container, 8-bit mono PCM) — like the BMP codec,
+# plain little-endian chunk headers + raw samples: genuine byte
+# arithmetic with no external library, replayable by a SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(sample_rate: int, samples: bytes) -> bytes:
+    """Serialize a valid RIFF/WAVE file: canonical 16-byte PCM fmt
+    chunk (mono, 8-bit unsigned — the WAV convention for 8-bit audio)
+    followed by one data chunk."""
+    n = len(samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_parse(b: bytes):
+    """Parse a WAV: (sample_rate, channels, bits, n_samples, byte_sum)
+    or None. Walks the RIFF chunk list like a real reader — fmt and
+    data chunks may appear in any order with other chunks between."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None
+        if cid == b"fmt " and clen >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # RIFF chunks pad to even length
+    if fmt is None or data is None or fmt[0] != 1:
+        return None
+    _audio_fmt, channels, sample_rate, _byte_rate, _block, bits = fmt
+    return sample_rate, channels, bits, len(data), sum(data)
+
+
 BMP_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -89,6 +89,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave19,
         analytics_wave20,
         analytics_wave21,
+        analytics_wave22,
         streaming_queries,
     )
 
