@@ -235,14 +235,18 @@ _PMI_MIN_COUNT = 5
 )
 def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    big = d.select(
+    # split ONCE into a projected column first: interpreted higher-order
+    # expressions get no CSE, so referencing split(text) inside the
+    # transform lambda would re-split per element access (the measured
+    # recompute trap from the signature-table build)
+    toks = d.select(F.split("text", " ").alias("t"))
+    big = toks.select(
         F.explode(
             F.expr(
-                "case when size(split(text, ' ')) >= 2 then"
-                " transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(element_at(split(text, ' '), i) as w1,"
-                "             element_at(split(text, ' '), i + 1) as w2))"
+                "case when size(t) >= 2 then"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) as w1,"
+                "             element_at(t, i + 1) as w2))"
                 " else array() end"
             )
         ).alias("b")
