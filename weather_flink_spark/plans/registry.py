@@ -90,6 +90,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave20,
         analytics_wave21,
         analytics_wave22,
+        analytics_wave23,
         streaming_queries,
     )
 
