@@ -24,24 +24,22 @@ def test_oracle_coverage():
     # (bounds asserted in unit tests); q_sim_cosine_topk_arrow: BLAS
     # float order differs from the oracle's sequential fold — its
     # equivalence is pinned by tests/test_vector_search.py instead;
-    # q_events_lttb / q_events_holt_forecast: sequential per-series
-    # recursions are not ANSI-SQL-expressible — pinned by
-    # tests/test_downsample.py; q_agg_hll_mergeable /
-    # q_agg_tdigest_mergeable: sketch state has no DuckDB twin —
-    # determinism + error bounds pinned by tests/test_tdigest.py;
-    # q_events_holt_winters: sequential triple recursion — pinned by
-    # tests/test_analytics_wave4.py; q_emb_pca_project: eigensolve is
-    # not SQL-expressible — numpy twin pinned by tests/test_pca.py
+    # q_agg_hll_mergeable / q_agg_tdigest_mergeable: sketch state has
+    # no DuckDB twin — determinism + error bounds pinned by
+    # tests/test_tdigest.py; q_emb_pca_project: eigensolve is not
+    # SQL-expressible — numpy twin pinned by tests/test_pca.py;
+    # q_text_compression_ratio: DEFLATE bytes are library-defined —
+    # pinned against local zlib in tests/test_analytics_wave23.py.
+    # (Holt, Holt-Winters and LTTB left this list in round 4: their
+    # recursions ARE replayed bit-exactly by recursive-CTE oracles.)
     assert no_oracle <= {
         "q_emb_pca_project",
         "q_agg_approx",
         "q_agg_approx_quantile",
         "q_sim_cosine_topk_arrow",
-        "q_events_lttb",
-        "q_events_holt_forecast",
-        "q_events_holt_winters",
         "q_agg_hll_mergeable",
         "q_agg_tdigest_mergeable",
+        "q_text_compression_ratio",
     }, f"unexpected oracle-less queries: {no_oracle}"
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -145,11 +146,19 @@ def write_value_files(spark: SparkSession, dirname: str, values: list[bytes], n_
         shutil.rmtree(dirname)
     os.makedirs(dirname)
     chunks = [values[i::n_files] for i in range(n_files)]
+    base = int(time.time())
     for i, chunk in enumerate(chunks):
         if not chunk:
             continue
+        path = os.path.join(dirname, f"part-{i:05d}.parquet")
         table = pa.table({"value": pa.array(chunk, type=pa.binary())})
-        pq.write_table(table, os.path.join(dirname, f"part-{i:05d}.parquet"))
+        pq.write_table(table, path)
+        # strictly increasing mtimes: Spark's file stream orders new
+        # files by modification time, and files written milliseconds
+        # apart can TIE — the tie-break then decides batch order, which
+        # flips stateful results (observed: s_rate_limit admitting 12
+        # vs 13 rows depending on which half processed first)
+        os.utime(path, (base + i, base + i))
     return dirname
 
 
@@ -160,6 +169,13 @@ def append_value_file(dirname: str, values: list[bytes], name: str) -> str:
 
     path = os.path.join(dirname, name)
     pq.write_table(pa.table({"value": pa.array(values, type=pa.binary())}), path)
+    # strictly later than every existing file (same tie rationale as
+    # write_value_files): the appended file must form the LAST batch
+    mx = max(
+        os.path.getmtime(os.path.join(dirname, f))
+        for f in os.listdir(dirname)
+    )
+    os.utime(path, (mx + 1, mx + 1))
     return path
 
 
