@@ -55,7 +55,7 @@ def test_scd2_intervals_partition_the_changelog(spark, sf_dir):
 def test_approx_quantile_within_bounds(spark, sf_dir):
     row = SPECS["q_agg_approx_quantile"].fn(spark, sf_dir).first()
     assert row["within_bounds"] is True
-    assert row["p50_approx"] <= row["p90_approx"]
+    assert row["p50_exact"] <= row["p90_exact"]
 
 
 def test_minhash_estimator_error_is_bounded(spark, sf_dir):

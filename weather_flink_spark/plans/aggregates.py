@@ -83,15 +83,43 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx",
-    oracle=None,  # nondeterministic vs oracle; driver records rows-only
-    doc="Approximate count-distinct (HyperLogLog++); bounds asserted in unit tests.",
+    oracle="""
+        SELECT
+            l_returnflag,
+            COUNT(*) AS n_rows,
+            COUNT(DISTINCT l_orderkey) AS exact_orders,
+            TRUE AS within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Approximate count-distinct (HyperLogLog++, rsd=0.01) run "
+        "alongside the exact countDistinct; the hashed output carries "
+        "the exact column plus a Spark-computed within_5pct bound flag "
+        "(5 sigma at rsd=0.01), which the oracle replays as literal "
+        "TRUE — the sketch executes in the plan but its estimate stays "
+        "out of the hash-compared columns."
+    ),
     tags=("agg", "approx"),
 )
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.count("*").alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("est_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_orders",
+            (
+                F.abs(F.col("est_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("within_5pct"),
+        )
     )
 
 
@@ -333,6 +361,15 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_hll_mergeable",
+    oracle="""
+        SELECT
+            event_type,
+            COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+            COUNT(DISTINCT user_id) AS exact_users,
+            TRUE AS within_5pct
+        FROM events
+        GROUP BY event_type
+    """,
     doc=(
         "Mergeable HyperLogLog rollup — the continuous-aggregate scale "
         "pattern: per-(event_type, day) HLL sketches of the user set "
@@ -341,9 +378,11 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "countDistinct for error accounting. The sketch table is "
         "O(groups x sketch_size) and re-mergeable to any coarser "
         "grain without touching raw data — countDistinct is not. "
-        "Rows-only: sketch estimates have no DuckDB twin; the "
-        "within_5pct invariant and re-merge determinism are asserted "
-        "in tests/test_operators.py."
+        "Oracle-checked via the bounds pattern: hashed columns are the "
+        "exact user counts plus a Spark-computed within_5pct flag the "
+        "oracle replays as TRUE; the HLL union/estimate executes in "
+        "the plan but its estimate stays out of the hashed columns. "
+        "Re-merge determinism is asserted in tests/test_operators.py."
     ),
     tags=("aggregate", "sketch", "rollup"),
 )
@@ -366,12 +405,7 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_days",
-            "est_users",
             "exact_users",
-            (
-                F.abs(F.col("est_users") - F.col("exact_users"))
-                / F.col("exact_users")
-            ).alias("rel_err"),
             (
                 F.abs(F.col("est_users") - F.col("exact_users"))
                 <= 0.05 * F.col("exact_users")
@@ -382,17 +416,42 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_tdigest_mergeable",
+    oracle="""
+        WITH ex AS (
+            SELECT
+                event_type,
+                COUNT(DISTINCT CAST(ts AS DATE)) AS n_subs,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.9) AS p90,
+                quantile_cont(value, 0.99) AS p99
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT
+            e.event_type,
+            e.n_subs,
+            qv.q,
+            CAST(CAST(
+                CASE qv.q WHEN 0.5 THEN e.p50 WHEN 0.9 THEN e.p90 ELSE e.p99 END
+                AS DECIMAL(18,6)) AS DOUBLE) AS exact_v,
+            TRUE AS within_2pct_rank
+        FROM ex e CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qv(q)
+    """,
     doc=(
         "Mergeable t-digest quantile rollup (operators/tdigest, k1 "
         "scale function, delta=200) — the quantile sibling of "
         "q_agg_hll_mergeable: per-(event_type, day) partial digests of "
         "the value column are the only persisted state, re-merged per "
-        "event_type and interrogated for p50/p90/p99, next to the "
-        "exact F.percentile and the achieved rank (fraction of values "
-        "<= estimate, via a broadcast semi-self-join) for error "
-        "accounting. Rows-only: the sketch has no DuckDB twin; "
-        "determinism, mergeability, and the <=2% rank-error bound are "
-        "pinned in tests/test_tdigest.py."
+        "event_type and interrogated for p50/p90/p99. Oracle-checked "
+        "via the bounds pattern: hashed columns are the exact "
+        "percentiles (DECIMAL-quantized; DuckDB quantile_cont twin) "
+        "plus the Spark-computed within_2pct_rank flag — the achieved "
+        "rank of the sketch estimate (fraction of values <= estimate, "
+        "broadcast join) must sit within 2% of the target rank, which "
+        "the oracle replays as literal TRUE. The digest itself "
+        "executes in the plan; its estimates stay out of the hashed "
+        "columns. Determinism and mergeability are pinned in "
+        "tests/test_tdigest.py."
     ),
     tags=("aggregate", "sketch", "rollup", "pandas-udf"),
 )
@@ -416,16 +475,13 @@ def q_agg_tdigest_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = est.join(exact, ["event_type", "q"])
     achieved = (
         e.join(F.broadcast(joined), "event_type")
-        .groupBy("event_type", "q", "n_subs", "n_centroids", "est", "exact_v")
+        .groupBy("event_type", "q", "n_subs", "est", "exact_v")
         .agg(F.avg((F.col("value") <= F.col("est")).cast("double")).alias("achieved_q"))
     )
     return achieved.select(
         "event_type",
         "n_subs",
-        "n_centroids",
         "q",
-        "est",
-        "exact_v",
-        "achieved_q",
+        F.col("exact_v").cast("decimal(18,6)").cast("double").alias("exact_v"),
         (F.abs(F.col("achieved_q") - F.col("q")) <= 0.02).alias("within_2pct_rank"),
     )

@@ -384,13 +384,23 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_quantile",
-    oracle=None,  # sketch-based; driver records rows-only, bounds asserted below
+    oracle="""
+        SELECT
+            CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50_exact,
+            CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90_exact,
+            TRUE AS within_bounds
+        FROM orders
+    """,
     doc=(
         "Approximate percentiles (Greenwald-Khanna sketch via "
-        "approx_percentile) next to the exact values, with the relative "
-        "rank error surfaced as a checked bound — the pattern for "
+        "approx_percentile) next to the exact values, with the range-"
+        "relative error surfaced as a checked bound — the pattern for "
         "monitoring quantiles at 100 TB where exact percentile would "
-        "need a full sort."
+        "need a full sort. Oracle-checked via the bounds pattern: "
+        "hashed columns are the exact percentiles (DECIMAL-quantized; "
+        "DuckDB quantile_cont twin) plus the Spark-computed "
+        "within_bounds flag the oracle replays as TRUE; the GK sketch "
+        "executes in the plan but stays out of the hashed columns."
     ),
     tags=("agg", "approx"),
 )
@@ -405,12 +415,8 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
     )
     return agg.select(
-        F.round(F.col("approx")[0], 6).alias("p50_approx"),
-        F.round(F.col("exact")[0], 6).alias("p50_exact"),
-        F.round(F.col("approx")[1], 6).alias("p90_approx"),
-        F.round(F.col("exact")[1], 6).alias("p90_exact"),
-        # with accuracy=10000 on fixture scales the sketch is exact; the
-        # boolean pins the contract without hash-comparing sketch output
+        F.col("exact")[0].cast("decimal(18,6)").cast("double").alias("p50_exact"),
+        F.col("exact")[1].cast("decimal(18,6)").cast("double").alias("p90_exact"),
         (
             (F.abs(F.col("approx")[0] - F.col("exact")[0]) <= (F.col("hi") - F.col("lo")) * 0.01)
             & (F.abs(F.col("approx")[1] - F.col("exact")[1]) <= (F.col("hi") - F.col("lo")) * 0.01)
