@@ -368,6 +368,8 @@ def test_session_caches_are_the_only_cached_plans(spark):
         if key_app != app or key_sf != SF:
             continue
         for df in v if isinstance(v, tuple) else (v,):
+            if not hasattr(df, "storageLevel"):
+                continue  # driver-side model dicts (e.g. PCA) cache no plan
             lvl = df.storageLevel
             if lvl.useMemory or lvl.useDisk:
                 whitelisted += 1

@@ -22,18 +22,14 @@ def test_oracle_coverage():
     no_oracle = {n for n, s in specs.items() if s.oracle is None and n.startswith("q_")}
     # q_sim_cosine_topk_arrow: BLAS float order differs from the
     # oracle's sequential fold — its equivalence is pinned by
-    # tests/test_vector_search.py instead; q_emb_pca_project:
-    # eigensolve is not SQL-expressible — numpy twin pinned by
-    # tests/test_pca.py; q_text_compression_ratio: DEFLATE bytes are
-    # library-defined — pinned against local zlib in
+    # tests/test_vector_search.py instead; q_text_compression_ratio:
+    # DEFLATE bytes are library-defined — pinned against local zlib in
     # tests/test_analytics_wave23.py.
     # (Holt, Holt-Winters and LTTB left this list in round 4; the four
-    # sketch aggregates q_agg_approx / q_agg_approx_quantile /
-    # q_agg_hll_mergeable / q_agg_tdigest_mergeable left in round 5 —
-    # converted to the bounds pattern: hashed columns are exact values
-    # plus a Spark-computed bound flag the oracle replays as TRUE.)
+    # sketch aggregates left in round 5 via the bounds pattern, and
+    # q_emb_pca_project left in round 5 via the power-iteration
+    # recursive-CTE replay in operators/pca.py.)
     assert no_oracle <= {
-        "q_emb_pca_project",
         "q_sim_cosine_topk_arrow",
         "q_text_compression_ratio",
     }, f"unexpected oracle-less queries: {no_oracle}"

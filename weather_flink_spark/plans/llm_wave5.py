@@ -21,11 +21,12 @@ curation steps a production pretraining pipeline runs around them:
                                exact-dup rate (the "domain mix" table
                                a data curator reads before weighting).
 - ``q_emb_pca_project``      — distributed PCA (operators/pca.py
-                               Gramian rollup) projecting embeddings
-                               onto top-4 sign-canonical components;
-                               rows-only (eigensolve is not
-                               SQL-expressible) with a numpy-twin
-                               equality unit test.
+                               exact-integer Gramian + power-iteration
+                               path) projecting embeddings onto top-4
+                               sign-canonical components; oracle-exact
+                               (recursive-CTE replay of the quantized
+                               iteration) with a numpy-eigh |cos|≈1
+                               convergence unit test.
 
 Parity discipline as everywhere: seeded md5-derived hashing (never
 rand()), exact integer/decimal accumulation, identical aliases both
@@ -313,24 +314,48 @@ def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _pca_oracle() -> str:
+    from weather_flink_spark.operators.pca import pca_power_oracle_sql
+
+    return pca_power_oracle_sql(dim=64, k=4)
+
+
+def pca_power_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Session-cached power-iteration PCA model over the embeddings
+    table (like the k-means model: fit once, reused by every consumer)."""
+    from weather_flink_spark.operators import pca
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build():
+        e = pca.quantize_embeddings(load(spark, sf_dir, "embeddings"), "embedding", dim=64)
+        return pca.fit_pca_power(e, "embedding", dim=64, k=4)
+
+    return _cached("pca_power_model", spark, sf_dir, build)
+
+
 @register(
     "q_emb_pca_project",
-    oracle=None,  # eigensolve is not SQL-expressible; tests/test_pca.py
+    oracle=_pca_oracle(),
     doc=(
-        "Distributed PCA (operators/pca.py): per-partition Gramian "
-        "partials reduced element-wise on the cluster (driver sees "
-        "exactly d²+d+1 numbers, never n rows), 64×64 eigensolve on the "
-        "driver, sign-canonical top-4 components projected back as pure "
-        "JVM zip_with/aggregate expressions — the n-scaled scoring pass "
-        "is whole-stage codegen with no Python. Verified against an "
-        "all-numpy twin in tests/test_pca.py."
+        "Distributed PCA, oracle-exact (operators/pca.py power path): "
+        "one mapInPandas pass turns 6dp-quantized embeddings into an "
+        "EXACT integer Gramian (per-partition int64 matmuls accumulated "
+        "in arbitrary-precision ints — bit-reproducible under any "
+        "partitioning; driver sees d²+d+1 numbers, never n rows), then "
+        "600-step power iteration with deflation over the 9dp-grid "
+        "covariance runs driver-side in IEEE doubles whose op order the "
+        "DuckDB oracle replays bit-exactly with recursive CTEs; "
+        "sign-canonical top-4 components project back as a pure JVM "
+        "sequential fold — the n-scaled scoring pass is whole-stage "
+        "codegen with no Python. Components match numpy eigh to "
+        "|cos| ≈ 1 (tests/test_pca.py)."
     ),
     tags=("embedding", "pca"),
 )
 def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.operators import pca
 
-    e = load(spark, sf_dir, "embeddings")
-    model = pca.fit_pca(e, "embedding", dim=64, k=4)
-    out = pca.project(e, "embedding", model)
+    model = pca_power_model(spark, sf_dir)
+    e = pca.quantize_embeddings(load(spark, sf_dir, "embeddings"), "embedding", dim=64)
+    out = pca.project_power(e, "embedding", model, dim=64)
     return out.select("vec_id", "label", "pc1", "pc2", "pc3", "pc4")
