@@ -119,3 +119,22 @@ def test_stream_dedup_incremental_candidates_subsume_batch_pairs(spark):
         for new, other in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
             if new in streamed and other not in streamed:
                 assert (new, other) in stream_pairs, (new, other)
+
+
+def test_graph_ann_recall_gates_at_ivf_baseline(spark):
+    """The round-4 verdict's gate: multi-entry graph-ANN recall@k must
+    meet or beat the IVF nprobe=2 searcher on the same query set."""
+    g = {
+        r.query_id: r.recall_at_k
+        for r in all_specs()["q_sim_ann_graph_recall"].fn(spark, SF).collect()
+    }
+    ivf = {
+        r.query_id: r.recall_at_k
+        for r in all_specs()["q_sim_ann_recall"].fn(spark, SF).collect()
+    }
+    assert set(g) == set(ivf)
+    g_mean = sum(g.values()) / len(g)
+    ivf_mean = sum(ivf.values()) / len(ivf)
+    assert g_mean >= ivf_mean - 1e-12, (g_mean, ivf_mean)
+    for qid, rec in g.items():
+        assert 0.0 <= rec <= 1.0, (qid, rec)

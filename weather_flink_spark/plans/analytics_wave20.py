@@ -10,9 +10,9 @@ ANN (NSW-style beam search), and their streaming twins.
   index; only the delta hashes fresh.
 - ``q_sim_ann_graph`` — graph-based ANN (the navigable-small-world
   family, the third major ANN architecture after IVF and hashing):
-  a k-NN edge list (top-3 in-cell neighbors per vector, riding the
+  a k-NN edge list (top-4 in-cell neighbors per vector, riding the
   session-cached IVF assignment) is greedily beam-searched from a
-  fixed entry point — 3 unrolled hops, beam 3, final top-5 of the
+  IVF-medoid entry set — 3 unrolled hops, beam 4, final top-5 of the
   visited set. Hops are pure join+window rounds, replayed by unrolled
   CTEs in the oracle.
 - ``s_stream_ann_assign`` — streaming vector ingestion: a file stream
@@ -219,13 +219,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph ANN: NSW-style beam search over a k-NN edge list
 # ---------------------------------------------------------------------------
 
-_G_KNN = 3  # out-degree of the k-NN graph
-_G_BEAM = 3  # beam width per hop
+_G_KNN = 4  # out-degree of the k-NN graph
+_G_BEAM = 4  # beam width per hop
 _G_HOPS = 3  # unrolled hops
-_G_ENTRY = 0  # fixed entry vector
 
 
 def _graph_oracle() -> str:
+    from weather_flink_spark.plans.analytics_wave4 import KMEANS_ITERS
     from weather_flink_spark.plans.llm_extra import (
         IVF_N_QUERIES,
         IVF_TOP_K,
@@ -276,10 +276,22 @@ def _graph_oracle() -> str:
                   ON n.cell = a.cell AND n.vec_id <> a.vec_id
             ) WHERE rk <= {_G_KNN}
         ),
+        entries AS MATERIALIZED (
+            -- one entry per trained IVF cell: the medoid (closest to
+            -- its centroid, vec_id tie-break) — multi-entry beams so
+            -- no single entry node's neighborhood biases every search
+            SELECT vec_id AS node FROM (
+                SELECT vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY cid ORDER BY d2 ASC, vec_id ASC) AS rk
+                FROM a{KMEANS_ITERS}
+            ) WHERE rk = 1
+        ),
         f0 AS (
-            SELECT q.vec_id AS query_id, {_G_ENTRY} AS node,
+            SELECT q.vec_id AS query_id, en.node AS node,
                    {_cos_duck('q.embedding', 'n.embedding')} AS cosine
-            FROM embeddings q JOIN embeddings n ON n.vec_id = {_G_ENTRY}
+            FROM embeddings q
+            CROSS JOIN entries en
+            JOIN embeddings n ON n.vec_id = en.node
             WHERE q.vec_id < {IVF_N_QUERIES}
         ),
         {",".join(hops)}
@@ -295,7 +307,7 @@ def _graph_oracle() -> str:
 
 
 def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached k-NN edge list (src, dst): top-3 in-cell
+    """Session-cached k-NN edge list (src, dst): top-4 in-cell
     neighbors per vector — the graph-ANN INDEX artifact, built once
     per (session, sf) like the IVF assignment and PQ code tables (a
     production store materializes it at index-build time, not per
@@ -332,6 +344,27 @@ def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached("knn_edges", spark, sf_dir, build)
 
 
+def graph_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached multi-entry set for the graph ANN: one medoid per
+    trained IVF cell (the in-cell vector nearest its centroid,
+    deterministic vec_id tie-break) — k rows, bounded by the k-means k,
+    independent of corpus size."""
+    from weather_flink_spark.plans.analytics_wave4 import kmeans_final_assignment
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        _, final = kmeans_final_assignment(spark, sf_dir)
+        w = Window.partitionBy("cid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        return (
+            final.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("vec_id").alias("node"))
+            .persist()
+        )
+
+    return _cached("graph_entries", spark, sf_dir, build)
+
+
 
 @register(
     "q_sim_ann_graph",
@@ -340,15 +373,18 @@ def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Graph-based ANN — the navigable-small-world family (HNSW's "
         "base layer), the third major ANN architecture in the engine "
         "after IVF (q_sim_ann_ivf*/ivfpq) and hashing "
-        "(q_sim_hamming_topk): a k-NN edge list (top-3 in-cell "
+        "(q_sim_hamming_topk): a k-NN edge list (top-4 in-cell "
         "neighbors per vector, one cell-blocked ranking pass over the "
         "session-cached IVF assignment — never all-pairs) is beam-"
-        "searched from a fixed entry point with 3 unrolled hops of "
-        "beam 3; the answer is the top-5 of everything VISITED. Each "
-        "hop is one edge join + one per-query window over <= "
-        "beam*(1+degree) rows — bounded work per query per hop at any "
-        "corpus size, and the unrolled-CTE oracle replays the exact "
-        "frontier evolution (deterministic cosine-desc/node tie-break)."
+        "searched from MULTI-ENTRY beams — one medoid per trained IVF "
+        "cell (k bounded rows), so no single entry's neighborhood "
+        "biases every search — with 3 unrolled hops of beam 4; the "
+        "answer is the top-5 of everything VISITED. Each hop is one "
+        "edge join + one per-query window over <= beam*(1+degree) rows "
+        "— bounded work per query per hop at any corpus size, and the "
+        "unrolled-CTE oracle replays the exact frontier evolution "
+        "(deterministic cosine-desc/node tie-break). Recall gated by "
+        "q_sim_ann_graph_recall."
     ),
     tags=("similarity", "ann", "graph"),
 )
@@ -377,11 +413,12 @@ def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_nrm") * F.col("n_nrm")
     )
 
-    # --- entry frontier
+    # --- entry frontier: one medoid per trained IVF cell (k rows,
+    # broadcast-bounded) — multi-entry beams reach every region of the
+    # graph regardless of where any single entry's neighborhood sits
+    entries = graph_entry_nodes(spark, sf_dir)
     frontier = (
-        q.crossJoin(
-            F.broadcast(node_vec.filter(F.col("node") == _G_ENTRY))
-        )
+        q.crossJoin(F.broadcast(node_vec.join(entries, "node")))
         .select("query_id", "node", cos_qn.alias("cosine"))
     )
     visited = frontier
@@ -425,6 +462,89 @@ def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", F.col("node").alias("vec_id"), "cosine", "k_rank"
         )
+    )
+
+
+def _graph_recall_oracle() -> str:
+    from weather_flink_spark.plans.llm_extra import (
+        IVF_N_QUERIES,
+        IVF_TOP_K,
+        _cos_duck,
+    )
+
+    return f"""
+        WITH g AS MATERIALIZED ({_graph_oracle()}),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
+                                    v.vec_id ASC
+                       ) AS k_rank
+                FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+                WHERE q.vec_id < {IVF_N_QUERIES}
+            ) WHERE k_rank <= {IVF_TOP_K}
+        )
+        SELECT e.query_id,
+               COUNT(*) AS k,
+               COUNT(i.vec_id) AS n_hit,
+               CAST(COUNT(i.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+        FROM exact e
+        LEFT JOIN g i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY e.query_id
+    """
+
+
+@register(
+    "q_sim_ann_graph_recall",
+    oracle=_graph_recall_oracle(),
+    doc=(
+        "Recall@k of the multi-entry graph-ANN beam search against "
+        "exact brute-force cosine top-k, per query — the production "
+        "gate for the NSW path, mirroring q_sim_ann_ivfpq_recall (the "
+        "round-4 verdict's missing gate for this searcher). The exact "
+        "side broadcasts the bounded query set; the approximate side "
+        "is q_sim_ann_graph verbatim, so the measured recall is "
+        "exactly what that query serves."
+    ),
+    tags=("similarity", "ann", "graph", "evaluation"),
+)
+def q_sim_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES, IVF_TOP_K
+    from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
+
+    e = load(spark, sf_dir, "embeddings")
+    approx = q_sim_ann_graph(spark, sf_dir).select("query_id", "vec_id")
+
+    q = e.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
+        norm_col(F.col("q_emb")) * norm_col(F.col("embedding"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("k_rank", F.row_number().over(w_rank))
+        .filter(F.col("k_rank") <= IVF_TOP_K)
+        .select("query_id", "vec_id")
+    )
+    hit = exact.join(
+        approx.withColumnRenamed("vec_id", "g_vec").withColumnRenamed(
+            "query_id", "g_query"
+        ),
+        (F.col("query_id") == F.col("g_query"))
+        & (F.col("vec_id") == F.col("g_vec")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.count("g_vec").alias("n_hit"),
+        (F.count("g_vec").cast("double") / F.count("*")).alias("recall_at_k"),
     )
 
 
