@@ -558,52 +558,69 @@ def _mmr_tables(spark: SparkSession, sf_dir: str):
 def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam, om = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 6)
     cand, pair = _mmr_tables(spark, sf_dir)
-    # The greedy state is BOUNDED: queries x N candidate rows and
-    # queries x N^2 pair rows, independent of corpus size (the
-    # sanctioned bounded-collect class, cf. the query-vector fetch in
-    # operators/vector_search.py). Everything corpus-sized — the IVF
-    # assignment, the candidate window, the pairwise sims — runs
-    # distributed in the cached builders; only the k greedy argmax
-    # steps run on the driver, with the SAME double ops (lam*sim -
-    # om*max_sel on identical IEEE doubles) and tie-break as the
-    # DuckDB oracle's unrolled stages.
-    crows = cand.select("query_id", "vec_id", "sim_q").collect()
-    prows = pair.select("query_id", "pa", "pb", "sim_ab").collect()
-    sims = {(r.query_id, r.pa, r.pb): r.sim_ab for r in prows}
-    by_q: dict[int, list] = {}
-    for r in crows:
-        by_q.setdefault(r.query_id, []).append((r.vec_id, r.sim_q))
-    picked: list[tuple[int, int, float, int]] = []
-    for qid, cands in by_q.items():
-        first = max(cands, key=lambda c: (c[1], -c[0]))
-        sel = [first[0]]
-        picked.append((qid, first[0], lam * first[1], 1))
-        for k in range(2, _MMR_K + 1):
-            best = None
-            for vid, sim_q in cands:
-                if vid in sel:
-                    continue
-                max_sel = max(sims[(qid, vid, sv)] for sv in sel)
-                mmr = lam * sim_q - om * max_sel
-                if best is None or (mmr, -vid) > (best[1], -best[0]):
-                    best = (vid, mmr)
-            if best is None:
-                break
-            sel.append(best[0])
-            picked.append((qid, best[0], best[1], k))
-    sel_all = spark.createDataFrame(
-        picked, "query_id long, vec_id long, mmr double, sel_rank long"
+    # The k greedy argmax steps are UNROLLED into k-1 DataFrame stages
+    # structurally identical to the oracle's CTE chain: each stage is a
+    # max-over-selected groupBy on the cached pair table, an anti-join
+    # against the picked set, and a per-query argmax window — no driver
+    # loop over data, no collect. Every stage joins the two session-
+    # cached bounded tables (queries x N and queries x N^2 rows), so
+    # stage cost is corpus-independent; the IEEE double expression
+    # (lam*sim_q - om*max_sel) and the (mmr DESC, vec_id ASC) tie-break
+    # match the oracle's unrolled stages bit-for-bit.
+    w_first = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q").desc(), F.col("vec_id").asc()
     )
-    return (
+    sel_all = (
         cand.select("query_id", "vec_id", "sim_q")
-        .join(F.broadcast(sel_all), ["query_id", "vec_id"])
+        .withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
         .select(
             "query_id",
             "vec_id",
-            F.round(F.col("sim_q"), 6).alias("sim_q"),
-            # raw doubles ride the literal; the 6 dp round happens HERE
-            # so it is Spark's HALF_UP (Python round is half-even)
-            F.round(F.col("mmr"), 6).alias("mmr"),
-            F.col("sel_rank").cast("bigint").alias("sel_rank"),
+            "sim_q",
+            (F.lit(lam) * F.col("sim_q")).alias("mmr_raw"),
+            F.lit(1).cast("bigint").alias("sel_rank"),
         )
+    )
+    for k in range(2, _MMR_K + 1):
+        # truncate lineage per stage: sel_all is queries x k rows (a
+        # CONSTANT — IVF_N_QUERIES x _MMR_K regardless of corpus size),
+        # but each stage references the prior sel_all twice (union +
+        # joins), so without truncation the plan tree doubles per stage
+        sel_all = sel_all.localCheckpoint(eager=True)
+        picked = sel_all.select("query_id", F.col("vec_id").alias("sel_vid"))
+        max_sel = (
+            pair.join(
+                F.broadcast(picked),
+                (pair.query_id == picked.query_id) & (pair.pb == picked.sel_vid),
+            )
+            .groupBy(pair.query_id.alias("query_id"), pair.pa.alias("vec_id"))
+            .agg(F.max("sim_ab").alias("max_sel"))
+        )
+        mmr_expr = F.lit(lam) * F.col("sim_q") - F.lit(om) * F.col("max_sel")
+        w_k = Window.partitionBy("query_id").orderBy(
+            mmr_expr.desc(), F.col("vec_id").asc()
+        )
+        sel_k = (
+            cand.select("query_id", "vec_id", "sim_q")
+            .join(max_sel, ["query_id", "vec_id"])
+            .join(F.broadcast(picked.withColumnRenamed("sel_vid", "vec_id")),
+                  ["query_id", "vec_id"], "left_anti")
+            .withColumn("rn", F.row_number().over(w_k))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "sim_q",
+                mmr_expr.alias("mmr_raw"),
+                F.lit(k).cast("bigint").alias("sel_rank"),
+            )
+        )
+        sel_all = sel_all.unionByName(sel_k)
+    return sel_all.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("sim_q"), 6).alias("sim_q"),
+        F.round(F.col("mmr_raw"), 6).alias("mmr"),
+        "sel_rank",
     )
