@@ -577,6 +577,299 @@ def main() -> None:
         "xN": timed(lambda: adamic_adar(scaled(li, ["l_orderkey"], K, STRIDE))),
     }
 
+    def graph_ann_phases(e):
+        """Round-4 probe: graph-ANN index build + beam search, timed as
+        separate phases (probe-local mirror of plans/analytics_wave20.
+        q_sim_ann_graph). The edge INDEX rides bounded cells (cap²-
+        capped in-cell ranking → linear build, same machinery as the
+        SemDeDup pair phase); the SEARCH is per-query bounded — beam ×
+        (1+degree) rows per hop regardless of corpus size — so its
+        factor should be ~flat even at 10× data."""
+        from weather_flink_spark.operators.semdedup import bounded_cells
+        from weather_flink_spark.plans.llm_pipeline import dot_col
+        from pyspark.sql import Window
+
+        assigned = bounded_cells(_fixedk_assigned(e)).persist()
+        assigned.count()
+
+        def build_edges():
+            a, b = assigned.alias("a"), assigned.alias("b")
+            cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+                F.col("a.nrm") * F.col("b.nrm")
+            )
+            w_knn = Window.partitionBy("src").orderBy(
+                F.col("cosine").desc(), F.col("dst").asc()
+            )
+            res = (
+                a.join(
+                    b,
+                    (F.col("b.cell") == F.col("a.cell"))
+                    & (F.col("b.vec_id") != F.col("a.vec_id")),
+                )
+                .select(
+                    F.col("a.vec_id").alias("src"),
+                    F.col("b.vec_id").alias("dst"),
+                    cos_ab.alias("cosine"),
+                )
+                .withColumn("rk", F.row_number().over(w_knn))
+                .filter(F.col("rk") <= 4)
+                .select("src", "dst")
+                .persist()
+            )
+            res.count()
+            return res
+
+        t_build = timed(build_edges)
+        edges = build_edges()  # persisted twin for the search phase
+
+        def search():
+            q = e.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+            )
+            # entries: one per coarse cell of the FIXED-k model (k rows)
+            w_e = Window.partitionBy(F.col("cell")).orderBy(F.col("vec_id").asc())
+            entries = (
+                assigned.withColumn("rk", F.row_number().over(w_e))
+                .filter("rk = 1")
+                .select(F.col("vec_id").alias("node"))
+            )
+            emb_n = assigned.select(
+                F.col("vec_id").alias("node"), "embedding", "nrm"
+            )
+            cos_qn = dot_col(F.col("q_emb"), F.col("embedding")) / (
+                F.sqrt(
+                    F.aggregate(
+                        "q_emb",
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                    )
+                )
+                * F.col("nrm")
+            )
+            frontier = (
+                q.crossJoin(F.broadcast(entries))
+                .join(emb_n, "node")
+                .select("query_id", "q_emb", "node", cos_qn.alias("cosine"))
+            )
+            w_beam = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("node").asc()
+            )
+            visited = frontier.select("query_id", "node", "cosine")
+            for _ in range(3):
+                expanded = (
+                    frontier.join(edges, frontier.node == edges.src)
+                    .select("query_id", "q_emb", F.col("dst").alias("node"))
+                    .join(emb_n, "node")
+                    .select("query_id", "q_emb", "node", cos_qn.alias("cosine"))
+                    .unionByName(frontier)
+                    .dropDuplicates(["query_id", "node"])
+                )
+                frontier = (
+                    expanded.withColumn("rk", F.row_number().over(w_beam))
+                    .filter("rk <= 4")
+                    .drop("rk")
+                    .localCheckpoint(eager=True)
+                )
+                visited = visited.unionByName(
+                    expanded.select("query_id", "node", "cosine")
+                ).dropDuplicates(["query_id", "node"])
+            n = (
+                visited.withColumn("rk", F.row_number().over(w_beam))
+                .filter("rk <= 5")
+                .count()
+            )
+            return n
+
+        t_search = timed(search)
+        edges.unpersist()
+        assigned.unpersist()
+        return t_build, t_search
+
+    b1, s1 = graph_ann_phases(emb)
+    bN, sN = graph_ann_phases(scaled(emb, ["vec_id"], K, STRIDE))
+    results["graph_ann_index_build"] = {"x1": b1, "xN": bN}
+    results["graph_ann_beam_search"] = {"x1": s1, "xN": sN}
+
+    def ivfpq_adc(e):
+        """Round-4 probe: IVF+PQ ADC scan (probe-local mirror of
+        plans/analytics_wave15.q_sim_ann_ivfpq). The code table is the
+        persisted index (built outside the timer in the registered
+        plan's session cache; timed here as one linear map), the ADC
+        phase reads 4 one-byte codes per candidate against a broadcast
+        queries×subspaces×16 LUT, and the exact re-rank touches only
+        the top-15 shortlist — everything is either scan-linear or
+        query-bounded."""
+        from pyspark.sql import Window
+
+        # 4 subspaces × 16 codewords from the first 16 vectors (stand-in
+        # codebook: the probe times the SCAN shape, not training quality)
+        sub = 4
+        cb = e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("code"), "embedding"
+        )
+        codes = e.select("vec_id", "embedding")
+        for s in range(sub):
+            lo, width = s * 16 + 1, 16
+            cb_s = cb.select(
+                "code",
+                F.slice("embedding", lo, width).alias(f"cb{s}"),
+            )
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.slice("embedding", lo, width),
+                    F.col(f"cb{s}"),
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            w_s = Window.partitionBy("vec_id").orderBy(
+                F.col("d2").asc(), F.col("code").asc()
+            )
+            codes = (
+                codes.crossJoin(F.broadcast(cb_s))
+                .withColumn("d2", d2)
+                .withColumn("rn", F.row_number().over(w_s))
+                .filter("rn = 1")
+                .drop("d2", "rn", f"cb{s}")
+                .withColumnRenamed("code", f"c{s}")
+            )
+        code_tab = codes.select(
+            "vec_id", *[f"c{s}" for s in range(sub)]
+        ).persist()
+        n_codes = code_tab.count()
+
+        # ADC: broadcast LUT (queries × sub × 16 distances), sum 4 lookups
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        lut_rows = []
+        for s in range(sub):
+            lo, width = s * 16 + 1, 16
+            d2q = F.aggregate(
+                F.zip_with(
+                    F.slice("q_emb", lo, width),
+                    F.slice("embedding", lo, width),
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            lut_rows.append(
+                q.crossJoin(cb.select(F.col("code"), "embedding"))
+                .select(
+                    "query_id",
+                    F.lit(s).alias("sub"),
+                    "code",
+                    d2q.alias("d2"),
+                )
+            )
+        lut = lut_rows[0]
+        for r in lut_rows[1:]:
+            lut = lut.unionByName(r)
+        lut = lut.persist()
+        lut.count()
+
+        def adc_scan():
+            cand = code_tab.crossJoin(
+                F.broadcast(q.select("query_id"))
+            )
+            for s in range(sub):
+                l_s = lut.filter(F.col("sub") == s).select(
+                    "query_id", F.col("code").alias(f"c{s}"), F.col("d2").alias(f"d{s}")
+                )
+                cand = cand.join(F.broadcast(l_s), ["query_id", f"c{s}"])
+            adc = cand.select(
+                "query_id",
+                "vec_id",
+                sum([F.col(f"d{s}") for s in range(sub)], F.lit(0.0)).alias("adc_d2"),
+            )
+            w_q = Window.partitionBy("query_id").orderBy(
+                F.col("adc_d2").asc(), F.col("vec_id").asc()
+            )
+            return (
+                adc.withColumn("rk", F.row_number().over(w_q))
+                .filter("rk <= 15")
+                .count()
+            )
+
+        t_scan = timed(adc_scan)
+        code_tab.unpersist()
+        lut.unpersist()
+        return t_scan
+
+    results["ivfpq_adc_scan"] = {
+        "x1": ivfpq_adc(emb),
+        "xN": ivfpq_adc(scaled(emb, ["vec_id"], K, STRIDE)),
+    }
+
+    def incremental_dedup(d):
+        """Round-4 probe: delta-batch near-dedup (probe-local mirror of
+        plans/analytics_wave20.q_dedup_incremental). The history band
+        index is the PERSISTED artifact (built outside the timer, as the
+        registered plan's session cache does); the timed phase is what a
+        production ingest pays per delta: hash the newest 20%, probe the
+        band index, verify candidates by shingle Jaccard. NOTE the
+        scaled() corpus duplicates CONTENT 10×, so every band bucket is
+        10× hotter — this measures the duplicate-saturated worst case
+        (same caveat as paragraph_dedup), not typical growth."""
+        from weather_flink_spark.plans.llm_pipeline import (
+            _minhash_bands,
+            _shingle_table,
+        )
+
+        sh = _shingle_table(d)
+        bands = _minhash_bands(sh).persist()
+        bands.count()
+        h = d.agg(F.expr("max(doc_id) * 4 div 5").alias("h"))
+
+        def ingest():
+            new_bands = bands.join(F.broadcast(h)).filter(
+                F.col("doc_id") >= F.col("h")
+            )
+            cand = (
+                new_bands.alias("n")
+                .join(
+                    bands.alias("o"),
+                    (F.col("o.band_id") == F.col("n.band_id"))
+                    & (F.col("o.band_key") == F.col("n.band_key"))
+                    & (F.col("o.doc_id") != F.col("n.doc_id")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_id"),
+                    F.col("o.doc_id").alias("other_id"),
+                )
+                .distinct()
+            )
+            inter = F.size(
+                F.array_intersect(F.col("x.shingle_h28"), F.col("y.shingle_h28"))
+            )
+            union = (
+                F.size(F.col("x.shingle_h28"))
+                + F.size(F.col("y.shingle_h28"))
+                - inter
+            )
+            return (
+                cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("new_id"))
+                .join(sh.alias("y"), F.col("y.doc_id") == F.col("other_id"))
+                .select((inter.cast("double") / union).alias("jaccard"))
+                .filter("jaccard >= 0.5")
+                .count()
+            )
+
+        t = timed(ingest)
+        bands.unpersist()
+        sh.unpersist()
+        return t
+
+    results["incremental_dedup_ingest"] = {
+        "x1": incremental_dedup(docs),
+        "xN": incremental_dedup(scaled(docs, ["doc_id"], K, STRIDE)),
+    }
+
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
     print(json.dumps({"copies": K, "sf": args.sf, "results": results}, indent=2))

@@ -91,6 +91,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave21,
         analytics_wave22,
         analytics_wave23,
+        analytics_wave24,
         streaming_queries,
     )
 
