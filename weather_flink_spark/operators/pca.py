@@ -210,9 +210,29 @@ def exact_gramian(df_q: DataFrame, col: str, dim: int) -> tuple[int, list[int], 
             xi = np.array(
                 [[int(d.scaleb(6)) for d in row] for row in b[col]], dtype=np.int64
             )
+            # int64 matmul overflow guard: a Gramian entry is a sum of
+            # rows products each ≤ (1e6·|x|max)²; decimal(10,6) admits
+            # |x| up to 1e4 (scaled 1e10, squared 1e20 ≫ 2^63), so a
+            # silent wraparound is possible on adversarial data. Chunk
+            # so chunk_rows · max² stays below 2^62 and raise if even a
+            # single row's square overflows — exactness must fail loud.
+            amax = int(np.abs(xi).max()) if xi.size else 0
+            if amax and amax * amax >= 2**62:
+                raise OverflowError(
+                    f"quantized |x|max={amax} (scaled 1e6) squares past "
+                    "2^62; exact int64 Gramian cannot be guaranteed"
+                )
             n += xi.shape[0]
             tc = xi.sum(axis=0, dtype=np.int64).tolist()
-            gc = (xi.T @ xi).ravel().tolist()
+            max_rows = (2**62) // (amax * amax) if amax else xi.shape[0]
+            if xi.shape[0] <= max_rows:
+                gc = (xi.T @ xi).ravel().tolist()
+            else:
+                g64 = [0] * (dim * dim)
+                for s in range(0, xi.shape[0], max_rows):
+                    cc = xi[s : s + max_rows]
+                    g64 = [a + c for a, c in zip(g64, (cc.T @ cc).ravel().tolist())]
+                gc = g64
             t_acc = [a + c for a, c in zip(t_acc, tc)]
             g_acc = [a + c for a, c in zip(g_acc, gc)]
         if n:

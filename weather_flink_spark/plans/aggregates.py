@@ -431,9 +431,9 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.event_type,
             e.n_subs,
             qv.q,
-            CAST(CAST(
-                CASE qv.q WHEN 0.5 THEN e.p50 WHEN 0.9 THEN e.p90 ELSE e.p99 END
-                AS DECIMAL(18,6)) AS DOUBLE) AS exact_v,
+            CAST(CAST(ROUND(
+                CASE qv.q WHEN 0.5 THEN e.p50 WHEN 0.9 THEN e.p90 ELSE e.p99 END,
+                6) AS DECIMAL(18,6)) AS DOUBLE) AS exact_v,
             TRUE AS within_2pct_rank
         FROM ex e CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qv(q)
     """,
@@ -482,6 +482,9 @@ def q_agg_tdigest_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_subs",
         "q",
-        F.col("exact_v").cast("decimal(18,6)").cast("double").alias("exact_v"),
+        # round-then-cast (the quantize_embeddings-measured-safe pattern):
+        # a direct double->decimal cast can disagree across engines in
+        # the final bit; rounding first snaps both sides to one grid.
+        F.round(F.col("exact_v"), 6).cast("decimal(18,6)").cast("double").alias("exact_v"),
         (F.abs(F.col("achieved_q") - F.col("q")) <= 0.02).alias("within_2pct_rank"),
     )

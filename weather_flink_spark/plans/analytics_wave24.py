@@ -158,7 +158,10 @@ def _stream_fixture(spark: SparkSession, sf_dir: str, n_files: int = _N_FILES) -
     per = len(docs) // n_files
     for i in range(n_files):
         chunk = docs[i * per : (i + 1) * per] if i < n_files - 1 else docs[(n_files - 1) * per :]
-        with open(os.path.join(d, f"part-{i}.jsonl"), "w") as f:
+        # zero-padded so lexicographic file order == numeric batch order
+        # even past 10 files (part-10 would otherwise sort before part-2)
+        p = os.path.join(d, f"part-{i:04d}.jsonl")
+        with open(p, "w") as f:
             for doc_id, text, n_chars in chunk:
                 f.write(
                     json.dumps(
@@ -166,6 +169,11 @@ def _stream_fixture(spark: SparkSession, sf_dir: str, n_files: int = _N_FILES) -
                     )
                     + "\n"
                 )
+        # FileStreamSource orders files by MODIFICATION TIME, not name;
+        # same-second writes make batch composition nondeterministic
+        # across runs. Stamp strictly increasing fixed mtimes so
+        # file i == micro-batch i, every run.
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
     return d, int(h)
 
 
@@ -225,6 +233,14 @@ def run_curation_stream(
     deadline = time.time() + 120
     while q.isActive and time.time() < deadline:
         q.awaitTermination(0.02)
+    if q.isActive:
+        # Never fall through to a partial verdict table: stop the query
+        # and fail loudly rather than read an incomplete sink.
+        q.stop()
+        raise TimeoutError(
+            "curation stream still active after 120s deadline; "
+            "refusing to read a partial verdict table"
+        )
 
     result = spark.read.parquet(os.path.join(verdict_dir, "batch-*"))
     out = result.select(

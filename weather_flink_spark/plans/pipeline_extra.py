@@ -386,8 +386,8 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_approx_quantile",
     oracle="""
         SELECT
-            CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50_exact,
-            CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90_exact,
+            CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.5), 6) AS DECIMAL(18,6)) AS DOUBLE) AS p50_exact,
+            CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.9), 6) AS DECIMAL(18,6)) AS DOUBLE) AS p90_exact,
             TRUE AS within_bounds
         FROM orders
     """,
@@ -415,8 +415,10 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
     )
     return agg.select(
-        F.col("exact")[0].cast("decimal(18,6)").cast("double").alias("p50_exact"),
-        F.col("exact")[1].cast("decimal(18,6)").cast("double").alias("p90_exact"),
+        # round-then-cast: snap both engines to a shared 6dp grid before
+        # the decimal cast (direct casts can differ in the final bit)
+        F.round(F.col("exact")[0], 6).cast("decimal(18,6)").cast("double").alias("p50_exact"),
+        F.round(F.col("exact")[1], 6).cast("decimal(18,6)").cast("double").alias("p90_exact"),
         (
             (F.abs(F.col("approx")[0] - F.col("exact")[0]) <= (F.col("hi") - F.col("lo")) * 0.01)
             & (F.abs(F.col("approx")[1] - F.col("exact")[1]) <= (F.col("hi") - F.col("lo")) * 0.01)
