@@ -558,65 +558,72 @@ def _mmr_tables(spark: SparkSession, sf_dir: str):
 def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam, om = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 6)
     cand, pair = _mmr_tables(spark, sf_dir)
-    # The k greedy argmax steps are UNROLLED into k-1 DataFrame stages
-    # structurally identical to the oracle's CTE chain: each stage is a
-    # max-over-selected groupBy on the cached pair table, an anti-join
-    # against the picked set, and a per-query argmax window — no driver
-    # loop over data, no collect. Every stage joins the two session-
-    # cached bounded tables (queries x N and queries x N^2 rows), so
-    # stage cost is corpus-independent; the IEEE double expression
-    # (lam*sim_q - om*max_sel) and the (mmr DESC, vec_id ASC) tie-break
-    # match the oracle's unrolled stages bit-for-bit.
-    w_first = Window.partitionBy("query_id").orderBy(
-        F.col("sim_q").desc(), F.col("vec_id").asc()
-    )
+    # The greedy argmax runs as ONE cogrouped applyInPandas over
+    # query_id — the same distributed-sequential pattern as LTTB, Holt
+    # and Croston: each group holds a BOUNDED pool (<=N candidates,
+    # <=N^2 pairs, corpus-independent), the per-group selection is a
+    # k-step fold over Arrow-delivered doubles, and parallelism is the
+    # query count. This replaced the round-5 k-unrolled window-stage
+    # chain (hash-identical results, ~2.2-2.9 s of per-stage
+    # shuffle/checkpoint scheduling at sf0.1 for 20 output rows); the
+    # running max_sel fold (max_sel_k = max(max_sel_{k-1}, sim to the
+    # newest pick)) is exact in IEEE doubles, so every mmr value,
+    # comparison and (mmr DESC, vec_id ASC) tie-break reproduces the
+    # oracle's unrolled CTE stages bit-for-bit. No driver loop; no
+    # per-row Python — one Arrow batch per query group.
+    import numpy as np
+    import pandas as pd
+
+    k_sel, lam_f, om_f = _MMR_K, float(lam), float(om)
+
+    def greedy(cand_pdf: pd.DataFrame, pair_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "sim_q": [], "mmr_raw": [], "sel_rank": []}
+            )
+        qid = int(cand_pdf["query_id"].iloc[0])
+        vid = cand_pdf["vec_id"].to_numpy()
+        sim_q = cand_pdf["sim_q"].to_numpy()
+        # pairwise sims as a lookup keyed by (pa index, pb vec_id)
+        sim_ab = {
+            (int(a), int(b)): s
+            for a, b, s in zip(pair_pdf["pa"], pair_pdf["pb"], pair_pdf["sim_ab"])
+        }
+        # pick 1: max sim_q, vec_id ASC tie-break
+        order = np.lexsort((vid, -sim_q))
+        first = order[0]
+        out = [(qid, int(vid[first]), float(sim_q[first]), lam_f * float(sim_q[first]), 1)]
+        alive = np.ones(len(vid), dtype=bool)
+        alive[first] = False
+        max_sel = np.array(
+            [sim_ab.get((int(v), int(vid[first])), -2.0) for v in vid], dtype=np.float64
+        )
+        for step in range(2, min(k_sel, len(vid)) + 1):
+            mmr = lam_f * sim_q - om_f * max_sel
+            mmr[~alive] = -np.inf
+            cand_order = np.lexsort((vid, -mmr))
+            pick = cand_order[0]
+            out.append((qid, int(vid[pick]), float(sim_q[pick]), float(mmr[pick]), step))
+            alive[pick] = False
+            sim_new = np.array(
+                [sim_ab.get((int(v), int(vid[pick])), -2.0) for v in vid],
+                dtype=np.float64,
+            )
+            max_sel = np.maximum(max_sel, sim_new)
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "sim_q", "mmr_raw", "sel_rank"]
+        )
+
     sel_all = (
         cand.select("query_id", "vec_id", "sim_q")
-        .withColumn("rn", F.row_number().over(w_first))
-        .where(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "vec_id",
-            "sim_q",
-            (F.lit(lam) * F.col("sim_q")).alias("mmr_raw"),
-            F.lit(1).cast("bigint").alias("sel_rank"),
+        .groupBy("query_id")
+        .cogroup(pair.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            schema="query_id bigint, vec_id bigint, sim_q double, "
+            "mmr_raw double, sel_rank bigint",
         )
     )
-    for k in range(2, _MMR_K + 1):
-        # truncate lineage per stage: sel_all is queries x k rows (a
-        # CONSTANT — IVF_N_QUERIES x _MMR_K regardless of corpus size),
-        # but each stage references the prior sel_all twice (union +
-        # joins), so without truncation the plan tree doubles per stage
-        sel_all = sel_all.localCheckpoint(eager=True)
-        picked = sel_all.select("query_id", F.col("vec_id").alias("sel_vid"))
-        max_sel = (
-            pair.join(
-                F.broadcast(picked),
-                (pair.query_id == picked.query_id) & (pair.pb == picked.sel_vid),
-            )
-            .groupBy(pair.query_id.alias("query_id"), pair.pa.alias("vec_id"))
-            .agg(F.max("sim_ab").alias("max_sel"))
-        )
-        mmr_expr = F.lit(lam) * F.col("sim_q") - F.lit(om) * F.col("max_sel")
-        w_k = Window.partitionBy("query_id").orderBy(
-            mmr_expr.desc(), F.col("vec_id").asc()
-        )
-        sel_k = (
-            cand.select("query_id", "vec_id", "sim_q")
-            .join(max_sel, ["query_id", "vec_id"])
-            .join(F.broadcast(picked.withColumnRenamed("sel_vid", "vec_id")),
-                  ["query_id", "vec_id"], "left_anti")
-            .withColumn("rn", F.row_number().over(w_k))
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "vec_id",
-                "sim_q",
-                mmr_expr.alias("mmr_raw"),
-                F.lit(k).cast("bigint").alias("sel_rank"),
-            )
-        )
-        sel_all = sel_all.unionByName(sel_k)
     return sel_all.select(
         "query_id",
         "vec_id",
