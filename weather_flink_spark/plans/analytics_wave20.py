@@ -511,28 +511,12 @@ def _graph_recall_oracle() -> str:
     tags=("similarity", "ann", "graph", "evaluation"),
 )
 def q_sim_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES, IVF_TOP_K
-    from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
+    from weather_flink_spark.plans.llm_extra import exact_topk_table
 
-    e = load(spark, sf_dir, "embeddings")
     approx = q_sim_ann_graph(spark, sf_dir).select("query_id", "vec_id")
-
-    q = e.filter(F.col("vec_id") < IVF_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
-        norm_col(F.col("q_emb")) * norm_col(F.col("embedding"))
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    exact = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("k_rank", F.row_number().over(w_rank))
-        .filter(F.col("k_rank") <= IVF_TOP_K)
-        .select("query_id", "vec_id")
-    )
+    # shared session-cached ground truth — one build serves all three
+    # recall gates (see exact_topk_table)
+    exact = exact_topk_table(spark, sf_dir)
     hit = exact.join(
         approx.withColumnRenamed("vec_id", "g_vec").withColumnRenamed(
             "query_id", "g_query"

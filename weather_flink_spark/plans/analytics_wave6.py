@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
-from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
+from weather_flink_spark.plans.llm_pipeline import dot_col
 
 # ---------------------------------------------------------------------------
 # Incremental materialized-view maintenance
@@ -249,27 +249,12 @@ from weather_flink_spark.plans.llm_extra import (  # noqa: E402
     tags=("similarity", "ann", "evaluation"),
 )
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_flink_spark.plans.llm_extra import q_sim_ann_ivf
+    from weather_flink_spark.plans.llm_extra import exact_topk_table, q_sim_ann_ivf
 
-    e = load(spark, sf_dir, "embeddings")
     ivf = q_sim_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
-
-    q = e.filter(F.col("vec_id") < IVF_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
-        norm_col(F.col("q_emb")) * norm_col(F.col("embedding"))
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    exact = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("k_rank", F.row_number().over(w_rank))
-        .filter(F.col("k_rank") <= IVF_TOP_K)
-        .select("query_id", "vec_id")
-    )
+    # shared session-cached ground truth — one build serves all three
+    # recall gates (see exact_topk_table)
+    exact = exact_topk_table(spark, sf_dir)
     hit = exact.join(
         ivf.withColumnRenamed("vec_id", "ivf_vec").withColumnRenamed(
             "query_id", "ivf_query"

@@ -432,6 +432,41 @@ def ivf_assigned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached("ivf_assigned", spark, sf_dir, build)
 
 
+def exact_topk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached exact brute-force cosine top-IVF_TOP_K ground
+    truth (query_id, vec_id) for the bounded query set — the shared
+    denominator of ALL THREE recall gates (q_sim_ann_recall,
+    q_sim_ann_ivfpq_recall, q_sim_ann_graph_recall), which each used to
+    rebuild it per call (~2-2.5 s x3 at sf0.1). One broadcast of the
+    bounded query set x one corpus scan, persisted; sharing it also
+    removes one way the gates could silently diverge."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
+            norm_col(F.col("q_emb")) * norm_col(F.col("embedding"))
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        res = (
+            e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", cos.alias("cosine"))
+            .withColumn("k_rank", F.row_number().over(w_rank))
+            .filter(F.col("k_rank") <= IVF_TOP_K)
+            .select("query_id", "vec_id")
+            .persist()
+        )
+        res.count()
+        return res
+
+    return _cached("exact_topk", spark, sf_dir, build)
+
+
 def _ann_ivf_oracle() -> str:
     return f"""
         WITH {ivf_assigned_cte()}
