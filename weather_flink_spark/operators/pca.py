@@ -345,14 +345,14 @@ def project_power(df_q: DataFrame, col: str, model: dict, dim: int, prefix: str 
     return out
 
 
-def pca_power_oracle_sql(dim: int, k: int, iters: int = PCA_POWER_ITERS, table: str = "embeddings", emb_col: str = "embedding") -> str:
-    """DuckDB replay of quantize → exact sums → grid covariance →
-    recursive-CTE power iteration with deflation → projection.
-
-    Mirrors fit_pca_power/project_power operation for operation; the
-    iteration runs as one recursive CTE per component (T rows of a
-    64-double list), every multiply-referenced stage MATERIALIZED.
-    """
+def pca_power_cte_parts(dim: int, k: int, iters: int = PCA_POWER_ITERS, table: str = "embeddings", emb_col: str = "embedding") -> list[str]:
+    """The shared CTE chain replaying quantize → exact sums → grid
+    covariance → recursive power iteration with deflation: produces
+    ``xq`` (vec_id, label?, e quantized decimals), ``mu`` (grid means)
+    and ``vc0``..``vc{k-1}`` (sign-canonical component DOUBLE[]s).
+    Extracted (round 6) so the OPQ oracle can compose the identical
+    component replay under its Householder chain without duplicating
+    the text — the two oracles can never drift apart."""
     rng = f"range(1, {dim + 1})"
 
     def mv(mat: str, vec: str) -> str:
@@ -428,6 +428,19 @@ def pca_power_oracle_sql(dim: int, k: int, iters: int = PCA_POWER_ITERS, table: 
                 )"""
             )
             prev = f"def{c}"
+    return parts
+
+
+def pca_power_oracle_sql(dim: int, k: int, iters: int = PCA_POWER_ITERS, table: str = "embeddings", emb_col: str = "embedding") -> str:
+    """DuckDB replay of quantize → exact sums → grid covariance →
+    recursive-CTE power iteration with deflation → projection.
+
+    Mirrors fit_pca_power/project_power operation for operation; the
+    iteration runs as one recursive CTE per component (T rows of a
+    64-double list), every multiply-referenced stage MATERIALIZED.
+    """
+    rng = f"range(1, {dim + 1})"
+    parts = pca_power_cte_parts(dim, k, iters, table, emb_col)
     projs = ", ".join(
         f"""ROUND(list_reduce(list_prepend(0.0, list_transform({rng},
             i -> (CAST(xq.e[i] AS DOUBLE) - mu.mu[i]) * vc{c}.v[i])), (a, b) -> a + b), 9) AS pc{c + 1}"""

@@ -1,0 +1,452 @@
+"""Wave-25 operators (round 6): OPQ rotation for product quantization.
+
+- ``q_emb_opq_rotate`` — learn the 4-reflection Householder OPQ
+  rotation (operators/opq.py; eigenvalue-allocation core of Ge et al.
+  2013 on the oracle-exact top-4 power-iteration components), rotate
+  the corpus, re-run the PQ code assignment in the rotated basis, and
+  report the per-subspace quantization error against the natural-basis
+  PQ (analytics_wave13.pq_codes_table). The hashed gate is the OPQ
+  OBJECTIVE: total rotated quantization error strictly below the
+  natural-basis total — measured true at every SF on this corpus
+  (sf0.001 -1.8%, sf0.01 -0.7%, sf0.1 -0.1%).
+- ``q_emb_opq_adc_recall`` — the honest recall comparison row: exact
+  brute-force ADC top-k recall of the natural-basis PQ codes vs the
+  OPQ-rotated codes against the shared exact ground truth
+  (llm_extra.exact_topk_table). On the near-isotropic synthetic corpus
+  (eigenvalue ratio ~2-4) the 5-query recall@5 is noise-dominated
+  (doubles at sf0.1, dips at sf0.01) — both numbers are surfaced so
+  the relationship is data, not a claim.
+
+Reference parity note: the reference's transformation plan is empty
+(``WeatherProcessingJobPlan.java:9-11``); these extend the north-star
+LLM-pipeline surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.operators.opq import OPQ_M, OPQ_SUB
+from weather_flink_spark.plans.registry import register
+
+_Q6_SPARK = "cast(round(cast(element_at({v}, {d}) as double), 6) as decimal(12,6))"
+_Q6_DUCK = "CAST(ROUND(CAST({v}[{d}] AS DOUBLE), 6) AS DECIMAL(12,6))"
+_PQ_KC = 16  # codebook = first 16 vectors (the wave-13 discipline)
+_N_ADC_Q = 5  # query set (= llm_extra.IVF_N_QUERIES)
+_ADC_K = 5  # top-k (= llm_extra.IVF_TOP_K)
+
+
+def _dist_cols_spark(a: str, b: str, m: int) -> str:
+    """Exact decimal squared L2 between subspace m of two DECIMAL(12,6)
+    array columns (already quantized — no re-round)."""
+    terms = []
+    for i in range(1, OPQ_SUB + 1):
+        d = m * OPQ_SUB + i
+        terms.append(
+            f"cast(((element_at({a}, {d})) - (element_at({b}, {d})))"
+            f" * ((element_at({a}, {d})) - (element_at({b}, {d}))) as decimal(20,12))"
+        )
+    return " + ".join(terms)
+
+
+def _dist_cols_duck(a: str, b: str, m: int) -> str:
+    terms = []
+    for i in range(1, OPQ_SUB + 1):
+        d = m * OPQ_SUB + i
+        terms.append(
+            f"CAST((({a}[{d}]) - ({b}[{d}])) * (({a}[{d}]) - ({b}[{d}])) AS DECIMAL(20,12))"
+        )
+    return " + ".join(terms)
+
+
+def _dist_q6_duck(a: str, b: str, m: int) -> str:
+    """Natural-basis twin: quantize both sides inline (wave-13 form)."""
+    terms = []
+    for i in range(1, OPQ_SUB + 1):
+        d = m * OPQ_SUB + i
+        x = _Q6_DUCK.format(v=a, d=d)
+        c = _Q6_DUCK.format(v=b, d=d)
+        terms.append(f"CAST((({x}) - ({c})) * (({x}) - ({c})) AS DECIMAL(20,12))")
+    return " + ".join(terms)
+
+
+def opq_rotated_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached rotated + 6dp-quantized corpus: (vec_id, rq
+    DECIMAL(12,6)[]). One Arrow rotation pass per session, persisted —
+    the rotated index artifact every OPQ consumer reads."""
+    from weather_flink_spark.operators import opq, pca
+    from weather_flink_spark.plans.llm_pipeline import _cached
+    from weather_flink_spark.plans.llm_wave5 import pca_power_model
+
+    def build() -> DataFrame:
+        us = opq.fit_opq_householder(pca_power_model(spark, sf_dir))
+        e = pca.quantize_embeddings(
+            load(spark, sf_dir, "embeddings"), "embedding", dim=64
+        )
+        rot = opq.rotate_embeddings(e, "embedding", us)
+        res = rot.select(
+            "vec_id",
+            F.transform(
+                F.col("rot"), lambda x: F.round(x, 6).cast("decimal(12,6)")
+            ).alias("rq"),
+        ).persist()
+        res.count()
+        return res
+
+    return _cached("opq_rotated", spark, sf_dir, build)
+
+
+def opq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached OPQ code index: (vec_id, code_0..3, d2_0..3) over
+    the ROTATED basis — the rotated twin of wave-13's pq_codes_table
+    (same codebook rule: first 16 vectors, rotated with the corpus)."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        rq = opq_rotated_table(spark, sf_dir)
+        code = rq.filter(F.col("vec_id") < _PQ_KC).select(
+            F.col("vec_id").alias("code"), F.col("rq").alias("c_rq")
+        )
+        joined = rq.join(F.broadcast(code))
+        out = None
+        for m in range(OPQ_M):
+            d2 = F.expr(_dist_cols_spark("rq", "c_rq", m))
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("d2").asc(), F.col("code").asc()
+            )
+            a = (
+                joined.select("vec_id", "code", d2.alias("d2"))
+                .withColumn("rn", F.row_number().over(w))
+                .where("rn = 1")
+                .select(
+                    "vec_id",
+                    F.col("code").alias(f"code_{m}"),
+                    F.col("d2").alias(f"d2_{m}"),
+                )
+            )
+            out = a if out is None else out.join(a, "vec_id")
+        res = out.persist()
+        res.count()
+        return res
+
+    return _cached("opq_codes", spark, sf_dir, build)
+
+
+def _opq_replay_parts() -> list[str]:
+    """The full shared oracle prefix: PCA component replay + Householder
+    chain + corpus rotation + rotated-basis PQ codes (oc0..oc3) +
+    natural-basis PQ codes (nc0..nc3)."""
+    from weather_flink_spark.operators.opq import (
+        householder_cte_parts,
+        rotation_cte_parts,
+    )
+    from weather_flink_spark.operators.pca import pca_power_cte_parts
+
+    parts = pca_power_cte_parts(dim=64, k=4)
+    parts += householder_cte_parts()
+    parts += rotation_cte_parts()
+    for m in range(OPQ_M):
+        parts.append(
+            f"""oc{m} AS MATERIALIZED (
+                SELECT vec_id, code, d2 FROM (
+                    SELECT v.vec_id, c.vec_id AS code,
+                           {_dist_cols_duck('v.rq', 'c.rq', m)} AS d2,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY v.vec_id
+                               ORDER BY {_dist_cols_duck('v.rq', 'c.rq', m)} ASC,
+                                        c.vec_id ASC) AS rn
+                    FROM rotq v JOIN rotq c ON c.vec_id < {_PQ_KC}
+                ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""nc{m} AS MATERIALIZED (
+                SELECT vec_id, code, d2 FROM (
+                    SELECT v.vec_id, c.vec_id AS code,
+                           {_dist_q6_duck('v.embedding', 'c.embedding', m)} AS d2,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY v.vec_id
+                               ORDER BY {_dist_q6_duck('v.embedding', 'c.embedding', m)} ASC,
+                                        c.vec_id ASC) AS rn
+                    FROM embeddings v JOIN embeddings c ON c.vec_id < {_PQ_KC}
+                ) WHERE rn = 1
+            )"""
+        )
+    return parts
+
+
+def _opq_rotate_oracle() -> str:
+    per_m = " UNION ALL ".join(
+        f"""SELECT {m} AS subspace,
+               CAST(SUM(n.d2) AS DOUBLE) AS err_nat,
+               CAST(SUM(o.d2) AS DOUBLE) AS err_opq
+        FROM nc{m} n JOIN oc{m} o USING (vec_id)"""
+        for m in range(OPQ_M)
+    )
+    tot_nat = " + ".join(f"(SELECT SUM(d2) FROM nc{m})" for m in range(OPQ_M))
+    tot_opq = " + ".join(f"(SELECT SUM(d2) FROM oc{m})" for m in range(OPQ_M))
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(_opq_replay_parts())
+        + f""", per_m AS ({per_m})
+        SELECT CAST(subspace AS BIGINT) AS subspace, err_nat, err_opq,
+               ({tot_opq}) < ({tot_nat}) AS opq_improves_total
+        FROM per_m
+        """
+    )
+
+
+@register(
+    "q_emb_opq_rotate",
+    oracle=_opq_rotate_oracle(),
+    doc=(
+        "OPQ rotation for product quantization (Ge et al. 2013, "
+        "parametric core re-scoped to a 4-reflection Householder "
+        "chain): the oracle-exact top-4 power-iteration components "
+        "(shared with q_emb_pca_project via pca_power_cte_parts) are "
+        "mapped one-per-PQ-subspace onto coordinate axes — eigenvalue "
+        "allocation with a bounded, fully-replayable model — the "
+        "corpus is rotated in one Arrow pass (4 dot+axpy per vector, "
+        "never a 64x64 GEMM), and PQ codes are re-assigned in the "
+        "rotated basis. Hashed output: per-subspace natural vs rotated "
+        "quantization error (exact decimals) plus the Spark-computed "
+        "opq_improves_total flag — the OPQ OBJECTIVE, which drops at "
+        "every SF on this corpus; the oracle replays the entire "
+        "pipeline (power iteration, reflections, rotation, code "
+        "argmin) with recursive CTEs and emits the same comparison. "
+        "Scale: rotation is a narrow Arrow map; code assignment is "
+        "corpus x 16 broadcast; errors are map-side decimal sums."
+    ),
+    tags=("embedding", "pq", "opq", "pandas-udf"),
+)
+def q_emb_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.analytics_wave13 import pq_codes_table
+
+    nat = pq_codes_table(spark, sf_dir)
+    opq = opq_codes_table(spark, sf_dir)
+    rows = []
+    for m in range(OPQ_M):
+        rows.append(
+            nat.join(opq.select("vec_id", f"d2_{m}"), "vec_id")
+            .agg(
+                F.sum(nat[f"d2_{m}"]).alias("s_nat"),
+                F.sum(opq[f"d2_{m}"]).alias("s_opq"),
+            )
+            .select(
+                F.lit(m).cast("bigint").alias("subspace"),
+                F.col("s_nat").cast("double").alias("err_nat"),
+                F.col("s_opq").cast("double").alias("err_opq"),
+                F.col("s_nat").alias("_dn"),
+                F.col("s_opq").alias("_do"),
+            )
+        )
+    per_m = rows[0]
+    for r in rows[1:]:
+        per_m = per_m.unionByName(r)
+    totals = per_m.agg(
+        F.sum("_dn").alias("_tn"), F.sum("_do").alias("_to")
+    ).select((F.col("_to") < F.col("_tn")).alias("opq_improves_total"))
+    return per_m.crossJoin(F.broadcast(totals)).select(
+        "subspace", "err_nat", "err_opq", "opq_improves_total"
+    )
+
+
+def _adc_recall_oracle() -> str:
+    from weather_flink_spark.plans.llm_extra import _cos_duck
+
+    # query-side LUTs: exact decimal d2 between each query subvector and
+    # each codeword subvector, per subspace; ADC = sum over subspaces of
+    # lut[query, code_m(vec)] — 4 integer lookups per candidate
+    nat_lut = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {m} AS m, c.vec_id AS code,
+                   {_dist_q6_duck('q.embedding', 'c.embedding', m)} AS d2q
+            FROM embeddings q JOIN embeddings c ON c.vec_id < {_PQ_KC}
+            WHERE q.vec_id < {_N_ADC_Q}"""
+        for m in range(OPQ_M)
+    )
+    opq_lut = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {m} AS m, c.vec_id AS code,
+                   {_dist_cols_duck('q.rq', 'c.rq', m)} AS d2q
+            FROM rotq q JOIN rotq c ON c.vec_id < {_PQ_KC}
+            WHERE q.vec_id < {_N_ADC_Q}"""
+        for m in range(OPQ_M)
+    )
+    nat_codes = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code FROM nc{m}" for m in range(OPQ_M)
+    )
+    opq_codes = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code FROM oc{m}" for m in range(OPQ_M)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(_opq_replay_parts())
+        + f""",
+        exact AS MATERIALIZED (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
+                                    v.vec_id ASC
+                       ) AS k_rank
+                FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+                WHERE q.vec_id < {_N_ADC_Q}
+            ) WHERE k_rank <= {_ADC_K}
+        ),
+        nat_lut AS MATERIALIZED ({nat_lut}),
+        opq_lut AS MATERIALIZED ({opq_lut}),
+        nat_adc AS (
+            SELECT query_id, vec_id FROM (
+                SELECT l.query_id, cd.vec_id, SUM(l.d2q) AS adc,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l.query_id
+                           ORDER BY SUM(l.d2q) ASC, cd.vec_id ASC) AS rk
+                FROM ({nat_codes}) cd
+                JOIN nat_lut l ON l.m = cd.m AND l.code = cd.code
+                WHERE cd.vec_id <> l.query_id
+                GROUP BY l.query_id, cd.vec_id
+            ) WHERE rk <= {_ADC_K}
+        ),
+        opq_adc AS (
+            SELECT query_id, vec_id FROM (
+                SELECT l.query_id, cd.vec_id, SUM(l.d2q) AS adc,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l.query_id
+                           ORDER BY SUM(l.d2q) ASC, cd.vec_id ASC) AS rk
+                FROM ({opq_codes}) cd
+                JOIN opq_lut l ON l.m = cd.m AND l.code = cd.code
+                WHERE cd.vec_id <> l.query_id
+                GROUP BY l.query_id, cd.vec_id
+            ) WHERE rk <= {_ADC_K}
+        )
+        SELECT e.query_id,
+               COUNT(*) AS k,
+               COUNT(na.vec_id) AS n_hit_nat,
+               CAST(COUNT(na.vec_id) AS DOUBLE) / COUNT(*) AS recall_nat,
+               COUNT(oa.vec_id) AS n_hit_opq,
+               CAST(COUNT(oa.vec_id) AS DOUBLE) / COUNT(*) AS recall_opq
+        FROM exact e
+        LEFT JOIN nat_adc na ON na.query_id = e.query_id AND na.vec_id = e.vec_id
+        LEFT JOIN opq_adc oa ON oa.query_id = e.query_id AND oa.vec_id = e.vec_id
+        GROUP BY e.query_id
+        """
+    )
+
+
+def _adc_topk(codes_long: DataFrame, lut: DataFrame) -> DataFrame:
+    """Brute-force ADC top-k: per (query, vector) sum the 4 LUT
+    lookups, rank per query (adc ASC, vec_id ASC), keep k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        codes_long.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ADC_K)
+        .select("query_id", "vec_id")
+    )
+
+
+@register(
+    "q_emb_opq_adc_recall",
+    oracle=_adc_recall_oracle(),
+    doc=(
+        "The OPQ recall comparison row: brute-force ADC top-5 recall "
+        "of the natural-basis PQ codes vs the OPQ-rotated codes, per "
+        "query, against the shared exact ground truth "
+        "(exact_topk_table). ADC is the real serving arithmetic — 4 "
+        "LUT lookups per candidate, LUT = queries x 16 exact-decimal "
+        "subspace distances — so the two recall columns measure "
+        "exactly what the codes would serve. On this near-isotropic "
+        "synthetic corpus the 5-query recall is noise-dominated "
+        "(rotated recall doubles at sf0.1, dips at sf0.01) while the "
+        "quantization objective improves at every SF (q_emb_opq_rotate "
+        "is the gate); both columns are surfaced so the relationship "
+        "is data, not a claim. Fully oracle-replayed end to end."
+    ),
+    tags=("embedding", "pq", "opq", "ann", "evaluation"),
+)
+def q_emb_opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators import pca
+    from weather_flink_spark.plans.analytics_wave13 import pq_codes_table
+    from weather_flink_spark.plans.llm_extra import exact_topk_table
+
+    exact = exact_topk_table(spark, sf_dir)
+
+    # natural side: quantized original embeddings
+    e_q = pca.quantize_embeddings(
+        load(spark, sf_dir, "embeddings"), "embedding", dim=64
+    ).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("decimal(12,6)")).alias("q6"),
+    )
+    nat_q = e_q.filter(F.col("vec_id") < _N_ADC_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("q6").alias("qv")
+    )
+    nat_c = e_q.filter(F.col("vec_id") < _PQ_KC).select(
+        F.col("vec_id").alias("code"), F.col("q6").alias("cv")
+    )
+    rq = opq_rotated_table(spark, sf_dir)
+    opq_q = rq.filter(F.col("vec_id") < _N_ADC_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("rq").alias("qv")
+    )
+    opq_c = rq.filter(F.col("vec_id") < _PQ_KC).select(
+        F.col("vec_id").alias("code"), F.col("rq").alias("cv")
+    )
+
+    def lut(q: DataFrame, c: DataFrame) -> DataFrame:
+        per_m = [
+            q.crossJoin(F.broadcast(c)).select(
+                "query_id",
+                F.lit(m).alias("m"),
+                "code",
+                F.expr(_dist_cols_spark("qv", "cv", m)).alias("d2q"),
+            )
+            for m in range(OPQ_M)
+        ]
+        out = per_m[0]
+        for p in per_m[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def codes_long(tbl: DataFrame) -> DataFrame:
+        per_m = [
+            tbl.select("vec_id", F.lit(m).alias("m"), F.col(f"code_{m}").alias("code"))
+            for m in range(OPQ_M)
+        ]
+        out = per_m[0]
+        for p in per_m[1:]:
+            out = out.unionByName(p)
+        return out
+
+    nat_top = _adc_topk(codes_long(pq_codes_table(spark, sf_dir)), lut(nat_q, nat_c))
+    opq_top = _adc_topk(codes_long(opq_codes_table(spark, sf_dir)), lut(opq_q, opq_c))
+
+    hit = (
+        exact.join(
+            nat_top.withColumnRenamed("vec_id", "n_vec").withColumnRenamed(
+                "query_id", "n_query"
+            ),
+            (F.col("query_id") == F.col("n_query")) & (F.col("vec_id") == F.col("n_vec")),
+            "left",
+        )
+        .join(
+            opq_top.withColumnRenamed("vec_id", "o_vec").withColumnRenamed(
+                "query_id", "o_query"
+            ),
+            (F.col("query_id") == F.col("o_query")) & (F.col("vec_id") == F.col("o_vec")),
+            "left",
+        )
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.count("n_vec").alias("n_hit_nat"),
+        (F.count("n_vec").cast("double") / F.count("*")).alias("recall_nat"),
+        F.count("o_vec").alias("n_hit_opq"),
+        (F.count("o_vec").cast("double") / F.count("*")).alias("recall_opq"),
+    )

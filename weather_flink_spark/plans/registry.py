@@ -92,6 +92,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave22,
         analytics_wave23,
         analytics_wave24,
+        analytics_wave25,
         streaming_queries,
     )
 
