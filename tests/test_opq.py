@@ -114,3 +114,23 @@ def test_adc_recall_row_shape(spark, sf_dir):
         assert 0 <= r["n_hit_nat"] <= 5 and 0 <= r["n_hit_opq"] <= 5
         assert r["recall_nat"] == r["n_hit_nat"] / 5.0
         assert r["recall_opq"] == r["n_hit_opq"] / 5.0
+
+
+def test_stream_ann_search_equals_batch_searcher(spark, sf_dir):
+    """The streaming query path answers exactly what the batch IVF
+    searcher answers on the same vectors (round-6 verdict #7 gate)."""
+    from weather_flink_spark.plans.analytics_wave25 import run_ann_search_stream
+    from weather_flink_spark.plans.llm_extra import q_sim_ann_ivf
+    from pyspark.sql import functions as F
+
+    streamed = {
+        (r["query_id"], r["k_rank"]): (r["vec_id"], r["cell"], r["cosine"])
+        for r in run_ann_search_stream(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["query_id"], r["k_rank"]): (r["vec_id"], r["cell"], r["cosine"])
+        for r in q_sim_ann_ivf(spark, sf_dir)
+        .select("query_id", "vec_id", "cell", F.round("cosine", 6).alias("cosine"), "k_rank")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0

@@ -554,6 +554,27 @@ def _write_jsonl_fixture(spark: SparkSession, kind: str, rows: list[str]) -> str
     return d
 
 
+def ivf_cell_exprs(model: list[tuple[int, list[float]]], col: str = "embedding"):
+    """(cell, best_d2) expressions assigning a vector column to its
+    nearest trained centroid — the SAME L2 argmin + first-match
+    tie-break as the batch ivf_assigned_table. Shared by
+    s_stream_ann_assign and the round-6 s_stream_ann_search so the
+    streaming write path and the streaming query path can never use
+    different assignment rules."""
+
+    def dist2(c_vals: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in c_vals])
+        prod = F.zip_with(F.col(col), arr, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    d2s = [(cid, dist2(c)) for cid, c in model]
+    best = F.least(*[d for _, d in d2s])
+    cell = F.when(d2s[0][1] == best, F.lit(d2s[0][0]))
+    for cid, d2 in d2s[1:]:
+        cell = cell.when(d2 == best, F.lit(cid))
+    return cell, best
+
+
 @register(
     "s_stream_ann_assign",
     doc=(
@@ -609,18 +630,7 @@ def s_stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(d)
     )
 
-    def dist2(c_vals: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in c_vals])
-        prod = F.zip_with(
-            F.col("embedding"), arr, lambda a, b: (a - b) * (a - b)
-        )
-        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
-
-    d2s = [(cid, dist2(c)) for cid, c in model]
-    best = F.least(*[d for _, d in d2s])
-    cell = F.when(d2s[0][1] == best, F.lit(d2s[0][0]))
-    for cid, d2 in d2s[1:]:
-        cell = cell.when(d2 == best, F.lit(cid))
+    cell, best = ivf_cell_exprs(model)
     out = stream.select(
         "vec_id", cell.alias("cell"), best.alias("d2")
     )

@@ -450,3 +450,146 @@ def q_emb_opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_vec").alias("n_hit_opq"),
         (F.count("o_vec").cast("double") / F.count("*")).alias("recall_opq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN search (round-6 verdict #7): the query path as a stream
+# ---------------------------------------------------------------------------
+
+
+def ivf_search_frame(batch_df: DataFrame, assigned: DataFrame, model) -> DataFrame:
+    """One micro-batch of query vectors -> top-k ANN answers.
+
+    The incoming vector is assigned to its nearest trained cell with
+    the SHARED ivf_cell_exprs rule (analytics_wave20 — the same
+    expressions the streaming write path uses), then searches ONLY
+    that cell of the static session-cached index: broadcast the
+    bounded query batch, cell-equi-join, cosine with the established
+    float fold, per-query top-k window. Batch-sized work against a
+    persisted index — never batch x corpus."""
+    from weather_flink_spark.plans.analytics_wave20 import ivf_cell_exprs
+    from weather_flink_spark.plans.llm_extra import IVF_TOP_K
+    from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
+
+    cell, _ = ivf_cell_exprs(model)
+    q = batch_df.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_nrm"),
+        cell.alias("q_cell"),
+    )
+    cos_qv = dot_col(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "cell", cos_qv.alias("cosine"))
+        .withColumn("k_rank", F.row_number().over(w_rank))
+        .filter(F.col("k_rank") <= IVF_TOP_K)
+    )
+
+
+def run_ann_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the bounded query set (2 jsonl files, deterministic
+    mtimes => 2 micro-batches), answer each micro-batch inside
+    foreachBatch via ivf_search_frame against the static cached index,
+    and return the accumulated answers. Results carry no batch_id —
+    an answer depends only on (index, query vector), so batch
+    composition cannot change it (the curation-verdict monotonicity
+    property applied to the read path)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as papq
+
+    from weather_flink_spark.plans.analytics_wave4 import kmeans_final_assignment
+    from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES, ivf_assigned_table
+    from weather_flink_spark.plans.streaming_queries import _configure
+
+    _configure(spark)
+    assigned = ivf_assigned_table(spark, sf_dir)
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    # bounded collect: the trained model is k=8 rows by construction
+    model = sorted(((r["cid"], list(r["c"])) for r in cent.collect()), key=lambda x: x[0])
+
+    t = papq.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = [
+        json.dumps({"vec_id": int(v), "embedding": [float(x) for x in e]})
+        for v, e in zip(
+            t.column("vec_id").to_pylist()[:IVF_N_QUERIES],
+            t.column("embedding").to_pylist()[:IVF_N_QUERIES],
+        )
+    ]
+    d = os.path.join(tempfile.gettempdir(), f"wfs_stream_annsearch_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    mid = len(rows) // 2
+    for i, chunk in enumerate((rows[:mid], rows[mid:])):
+        p = os.path.join(d, f"part-{i:04d}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(chunk) + "\n")
+        # file sources order by mtime; pin it so file i == batch i
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    acc: list = []
+
+    def answer_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # bounded collect: <= |batch queries| x IVF_TOP_K rows
+        acc.extend(ivf_search_frame(batch_df, assigned, model).collect())
+
+    ckpt = os.path.join(d, "_ckpt")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(answer_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(0.02)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("ANN search stream still active after 120s deadline")
+
+    out = spark.createDataFrame(
+        acc, schema="query_id bigint, vec_id bigint, cell bigint, cosine double, k_rank int"
+    )
+    return out.select(
+        "query_id", "vec_id", "cell", F.round("cosine", 6).alias("cosine"), "k_rank"
+    ).orderBy("query_id", "k_rank")
+
+
+@register(
+    "s_stream_ann_search",
+    doc=(
+        "Streaming ANN QUERY path (the round-6 composition closing the "
+        "write-path-only gap of s_stream_ann_assign): a file stream of "
+        "query vectors is, per micro-batch inside foreachBatch, "
+        "assigned to its nearest trained IVF cell (the SHARED "
+        "ivf_cell_exprs rule) and answered with cell-local cosine "
+        "top-k against the static session-cached index — stream-static "
+        "join against a persisted index, batch-sized work, never "
+        "batch x corpus. Answers depend only on (index, query vector), "
+        "so batch composition cannot change them; the test proves the "
+        "streamed answers equal q_sim_ann_ivf's batch answers on the "
+        "same vectors row for row."
+    ),
+    tags=("streaming", "similarity", "ann", "ivf"),
+)
+def s_stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ann_search_stream(spark, sf_dir)
