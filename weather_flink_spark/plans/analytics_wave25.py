@@ -593,3 +593,200 @@ def run_ann_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ann_search_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sessionized funnel attribution (round-6 verdict #8)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min — the q_session_batch gap rule
+
+
+@register(
+    "q_events_funnel_attribution",
+    oracle=f"""
+        WITH staged AS (
+            SELECT user_id, event_id, ts,  event_type,
+                   CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS kindr,
+                   epoch_us(ts) AS t_us
+            FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        lagd AS (
+            SELECT *, LAG(t_us) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, kindr ASC, event_id ASC
+            ) AS prev_us
+            FROM staged
+        ),
+        sess AS (
+            SELECT *, SUM(CASE WHEN prev_us IS NULL
+                                 OR t_us - prev_us > {SESSION_GAP_US}
+                               THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, kindr ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING
+            ) AS session_id
+            FROM lagd
+        ),
+        runs AS (
+            SELECT *, MAX(CASE WHEN event_type = 'view' THEN t_us END) OVER ws AS view_run
+            FROM sess
+            WINDOW ws AS (PARTITION BY user_id, session_id
+                          ORDER BY ts ASC, kindr ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING)
+        ),
+        q AS (
+            SELECT *, MAX(CASE WHEN event_type = 'click' AND view_run IS NOT NULL
+                               THEN [t_us, event_id] END) OVER ws AS qclick
+            FROM runs
+            WINDOW ws AS (PARTITION BY user_id, session_id
+                          ORDER BY ts ASC, kindr ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING)
+        ),
+        conv AS (
+            SELECT user_id, session_id, t_us, event_id,
+                   qclick[2] AS credit_click_id,
+                   t_us - qclick[1] AS lag_us
+            FROM q WHERE event_type = 'purchase' AND qclick IS NOT NULL
+        ),
+        sess_roll AS (
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start,
+                   COUNT(*) AS session_events,
+                   BOOL_OR(event_type = 'view') AS has_view,
+                   COUNT(CASE WHEN event_type = 'click'
+                               AND view_run IS NOT NULL THEN 1 END) AS n_qualified_clicks
+            FROM q GROUP BY user_id, session_id
+        ),
+        conv_roll AS (
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_conversions,
+                   MAX([t_us, event_id, credit_click_id, lag_us])[3] AS credit_click_id,
+                   ROUND(CAST(MAX([t_us, event_id, credit_click_id, lag_us])[4] AS DOUBLE)
+                         / 1000000.0, 6) AS credit_lag_s
+            FROM conv GROUP BY user_id, session_id
+        )
+        SELECT s.user_id, CAST(s.session_id AS BIGINT) AS session_id, s.session_start, s.session_events,
+               s.has_view, s.n_qualified_clicks,
+               COALESCE(c.n_conversions, 0) AS n_conversions,
+               c.credit_click_id, c.credit_lag_s
+        FROM sess_roll s
+        LEFT JOIN conv_roll c
+          ON c.user_id = s.user_id AND c.session_id = s.session_id
+    """,
+    doc=(
+        "Sessionized funnel attribution (round-6 verdict #8): "
+        "q_session_batch's 30-minute gaps-and-islands sessionization, "
+        "q_events_funnel_windowed's chained running-frame funnel, and "
+        "q_events_attribution's last-touch credit composed over ONE "
+        "user_id sort. Sessions form from the lag-gap running sum; "
+        "within each (user, session) window a running MAX carries the "
+        "latest view, a running MAX over [t_us, event_id] pairs "
+        "carries the latest view-qualified click (the struct max IS "
+        "the last-touch argmax — no self-join), and every purchase "
+        "with a qualified click converts, crediting that click. "
+        "Per-session rollup: funnel depth counters plus the LAST "
+        "conversion's credited click and lag (max_by/ARG_MAX on the "
+        "unique [t_us, event_id] purchase key — deterministic). "
+        "Scale: one shuffle on user_id for the windows, one "
+        "session-keyed groupBy; no joins over the event stream."
+    ),
+    tags=("window", "timeseries", "funnel", "session", "attribution"),
+)
+def q_events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    kindr = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+    )
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("kindr").asc(), F.col("event_id").asc()
+    )
+    w_user_run = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        kindr.alias("kindr"), F.unix_micros("ts").alias("t_us"),
+    )
+    sess = (
+        staged.withColumn("prev_us", F.lag("t_us").over(w_user))
+        .withColumn(
+            "session_id",
+            F.sum(
+                F.when(
+                    F.col("prev_us").isNull()
+                    | (F.col("t_us") - F.col("prev_us") > SESSION_GAP_US),
+                    1,
+                ).otherwise(0)
+            ).over(w_user_run),
+        )
+    )
+    w_sess = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy(F.col("ts").asc(), F.col("kindr").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = sess.withColumn(
+        "view_run",
+        F.max(F.when(F.col("event_type") == "view", F.col("t_us"))).over(w_sess),
+    )
+    q = runs.withColumn(
+        "qclick",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & F.col("view_run").isNotNull(),
+                F.struct(F.col("t_us").alias("t"), F.col("event_id").alias("id")),
+            )
+        ).over(w_sess),
+    )
+    conv = q.filter(
+        (F.col("event_type") == "purchase") & F.col("qclick").isNotNull()
+    ).select(
+        "user_id", "session_id", "t_us", "event_id",
+        F.col("qclick.id").alias("credit_click_id"),
+        (F.col("t_us") - F.col("qclick.t")).alias("lag_us"),
+    )
+    # last conversion's credit via one lexicographic MAX over the
+    # composite (t_us, event_id, payload...) — event_id is unique, so
+    # the payload positions never decide the ordering (the arg_max
+    # shape DuckDB's ARG_MAX cannot take for a LIST key)
+    lastc = F.max(
+        F.struct(
+            F.col("t_us").alias("t"),
+            F.col("event_id").alias("id"),
+            F.col("credit_click_id").alias("cc"),
+            F.col("lag_us").alias("lg"),
+        )
+    )
+    sess_roll = q.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("session_events"),
+        F.max(F.col("event_type") == "view").alias("has_view"),
+        F.count(
+            F.when(
+                (F.col("event_type") == "click") & F.col("view_run").isNotNull(), 1
+            )
+        ).alias("n_qualified_clicks"),
+    )
+    conv_roll = conv.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_conversions"),
+        lastc.getField("cc").alias("credit_click_id"),
+        F.round(lastc.getField("lg").cast("double") / 1_000_000.0, 6).alias(
+            "credit_lag_s"
+        ),
+    )
+    return (
+        sess_roll.alias("s")
+        .join(conv_roll.alias("c"), ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_events",
+            "has_view",
+            "n_qualified_clicks",
+            F.coalesce(F.col("c.n_conversions"), F.lit(0)).alias("n_conversions"),
+            F.col("c.credit_click_id").alias("credit_click_id"),
+            F.col("c.credit_lag_s").alias("credit_lag_s"),
+        )
+    )
