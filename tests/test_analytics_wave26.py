@@ -1,0 +1,97 @@
+"""Wave-26 semantics beyond the oracle hash: hierarchical (HNSW) ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_flink_spark.plans import analytics_wave26 as w26
+from weather_flink_spark.plans.llm_extra import (
+    IVF_N_QUERIES,
+    IVF_TOP_K,
+    ivf_assigned_table,
+)
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_coarse_layer_is_the_seeded_subsample(spark):
+    """Coarse membership is exactly the md5 predicate over the corpus —
+    deterministic, ~25%, and a strict subset of the assigned table."""
+    a = ivf_assigned_table(spark, SF)
+    n_all = a.count()
+    l1 = w26.l1_nodes_table(spark, SF)
+    n_l1 = l1.count()
+    assert 0 < n_l1 < n_all
+    # binomial(1/4) over n_all trials: allow a generous band
+    assert 0.15 * n_all < n_l1 < 0.35 * n_all
+    expected = {r.vec_id for r in a.filter(F.expr(w26._L1_PRED_SPARK)).collect()}
+    assert {r.vec_id for r in l1.select("vec_id").collect()} == expected
+
+
+def test_medoids_one_per_nonempty_cell_and_are_coarse(spark):
+    l1_cells = {r.cell for r in w26.l1_nodes_table(spark, SF).select("cell").collect()}
+    l1_nodes = {r.vec_id for r in w26.l1_nodes_table(spark, SF).select("vec_id").collect()}
+    med = w26.l1_medoids_table(spark, SF).collect()
+    assert len(med) == len({m.cell for m in med})  # one per cell
+    assert {m.cell for m in med} == l1_cells
+    assert all(m.node in l1_nodes for m in med)
+
+
+def test_entry_is_a_medoid(spark):
+    entry = w26.hnsw_entry_table(spark, SF).collect()
+    assert len(entry) == 1
+    medoids = {m.node for m in w26.l1_medoids_table(spark, SF).collect()}
+    assert entry[0].node in medoids
+
+
+def test_coarse_edges_contain_highway_and_to_medoid(spark):
+    """The cross-cell families must be present: the full medoid clique
+    and one edge from every coarse node to its cell's medoid."""
+    edges = {(r.src, r.dst) for r in w26.l1_edges_table(spark, SF).collect()}
+    med = {m.cell: m.node for m in w26.l1_medoids_table(spark, SF).collect()}
+    nodes = [(r.vec_id, r.cell) for r in w26.l1_nodes_table(spark, SF).collect()]
+    for c1, m1 in med.items():
+        for c2, m2 in med.items():
+            if m1 != m2:
+                assert (m1, m2) in edges, ("highway", m1, m2)
+    for vec_id, cell in nodes:
+        if vec_id != med[cell]:
+            assert (vec_id, med[cell]) in edges, ("to_medoid", vec_id, cell)
+
+
+def test_hnsw_shape_and_determinism(spark):
+    res = all_specs()["q_sim_ann_hnsw"].fn(spark, SF)
+    rows = res.collect()
+    assert {r.query_id for r in rows} == set(range(IVF_N_QUERIES))
+    for qid in range(IVF_N_QUERIES):
+        ranks = sorted(r.k_rank for r in rows if r.query_id == qid)
+        assert ranks == list(range(1, IVF_TOP_K + 1))
+    for r in rows:
+        assert r.vec_id != r.query_id
+    again = all_specs()["q_sim_ann_hnsw"].fn(spark, SF).collect()
+    assert {(r.query_id, r.vec_id, r.k_rank) for r in rows} == {
+        (r.query_id, r.vec_id, r.k_rank) for r in again
+    }
+
+
+def test_hnsw_recall_gates_at_ivfpq_baseline(spark):
+    """The hierarchical searcher must meet or beat the quantized
+    (IVFPQ) searcher's recall on the same query set. (It ties the
+    multi-entry flat graph at sf0.01; at this 500-row fixture the
+    single-entry routing pays a documented tax, so the flat graph is
+    not the gate here.)"""
+    h = {
+        r.query_id: r.recall_at_k
+        for r in all_specs()["q_sim_ann_hnsw_recall"].fn(spark, SF).collect()
+    }
+    pq = {
+        r.query_id: r.recall_at_k
+        for r in all_specs()["q_sim_ann_ivfpq_recall"].fn(spark, SF).collect()
+    }
+    assert set(h) == set(pq)
+    h_mean = sum(h.values()) / len(h)
+    pq_mean = sum(pq.values()) / len(pq)
+    assert h_mean >= pq_mean - 1e-12, (h_mean, pq_mean)
+    for qid, rec in h.items():
+        assert 0.0 <= rec <= 1.0, (qid, rec)

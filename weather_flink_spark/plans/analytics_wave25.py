@@ -790,3 +790,99 @@ def q_events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.credit_lag_s").alias("credit_lag_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (the multi-source LLM sampling rule)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA_SQRT = True  # alpha = 0.5 (temperature 2): w_s ∝ sqrt(n_s)
+MIX_FRAC = 0.2  # total sample budget = 20% of the corpus
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(n_source) AS n_total,
+                   list_reduce(list_prepend(0.0,
+                       LIST(sqrt(CAST(n_source AS DOUBLE)) ORDER BY source ASC)),
+                       (a, b) -> a + b) AS z
+            FROM counts
+        ),
+        targets AS (
+            SELECT c.source, c.n_source,
+                   CAST(FLOOR(({MIX_FRAC} * CAST(t.n_total AS DOUBLE))
+                        * (sqrt(CAST(c.n_source AS DOUBLE)) / t.z)) AS BIGINT)
+                       AS k_target
+            FROM counts c CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5('temp_mix:' || CAST(d.doc_id AS VARCHAR)) ASC,
+                                d.doc_id ASC
+                   ) AS sel_rank
+            FROM documents d
+        )
+        SELECT r.doc_id, r.source, t.n_source, t.k_target,
+               CAST(r.sel_rank AS BIGINT) AS sel_rank
+        FROM ranked r JOIN targets t ON t.source = r.source
+        WHERE r.sel_rank <= t.k_target
+    """,
+    doc=(
+        "Temperature-based multi-source sampling — the mixing rule LLM "
+        "data pipelines use to up-weight small sources (alpha=0.5, "
+        "'temperature 2'): per-source weights w_s = sqrt(n_s) / Z, "
+        "per-source budgets k_s = floor(frac * N * w_s), and a "
+        "DETERMINISTIC within-source selection by seeded md5 rank (the "
+        "never-rand() discipline, same as q_sample_stratified) so the "
+        "sample is reproducible and oracle-checkable. The weight "
+        "normalizer Z folds sqrt terms in source-ASC order on BOTH "
+        "engines (the array_sort-collect-fold idiom), so every double "
+        "op is order-pinned. Scale: one groupBy for counts, a bounded "
+        "broadcast of per-source targets, one md5 rank window per "
+        "source partition — no global sort, no rand()."
+    ),
+    tags=("sampling", "llm-pipeline", "text"),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_source"))
+    tot = counts.agg(
+        F.sum("n_source").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("source", F.sqrt(F.col("n_source").cast("double")).alias("sq")))
+                ),
+                lambda x: x["sq"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z"),
+    )
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_source",
+        F.floor(
+            (F.lit(MIX_FRAC) * F.col("n_total").cast("double"))
+            * (F.sqrt(F.col("n_source").cast("double")) / F.col("z"))
+        )
+        .cast("bigint")
+        .alias("k_target"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.expr("md5(concat('temp_mix:', cast(doc_id as string)))").asc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w_src).cast("bigint").alias("sel_rank")
+    )
+    return ranked.join(F.broadcast(targets), "source").where(
+        F.col("sel_rank") <= F.col("k_target")
+    ).select("doc_id", "source", "n_source", "k_target", "sel_rank")

@@ -93,6 +93,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave23,
         analytics_wave24,
         analytics_wave25,
+        analytics_wave26,
         streaming_queries,
     )
 
