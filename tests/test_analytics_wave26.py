@@ -95,3 +95,41 @@ def test_hnsw_recall_gates_at_ivfpq_baseline(spark):
     assert h_mean >= pq_mean - 1e-12, (h_mean, pq_mean)
     for qid, rec in h.items():
         assert 0.0 <= rec <= 1.0, (qid, rec)
+
+
+def test_hybrid_rrf_semantics(spark):
+    """RRF invariants: ranks are contiguous from 1; every fused doc
+    appears in at least one retriever's top-10; a doc ranked by both
+    retrievers outscores a doc with the same best single rank."""
+    rows = all_specs()["q_sim_hybrid_rrf"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    assert sorted(r.rank_hybrid for r in rows) == list(range(1, 11))
+    for r in rows:
+        assert r.rank_lex is not None or r.rank_dense is not None
+        expected = (1.0 / (60 + r.rank_lex) if r.rank_lex is not None else 0.0) + (
+            1.0 / (60 + r.rank_dense) if r.rank_dense is not None else 0.0
+        )
+        assert abs(r.rrf - expected) < 1e-15, (r.id, r.rrf, expected)
+    # ordering respects the fused score
+    by_rank = sorted(rows, key=lambda r: r.rank_hybrid)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.rrf > b.rrf or (a.rrf == b.rrf and a.id < b.id)
+
+
+def test_doremi_upweights_lossy_domains(spark):
+    """The mirror-descent fixed point must (a) keep weights a proper
+    distribution, (b) move weight toward above-average-loss domains
+    and away from below-average ones, (c) preserve budget bounds."""
+    rows = all_specs()["q_sample_doremi"].fn(spark, SF).collect()
+    assert len(rows) >= 2
+    total_w = sum(r.w_final for r in rows)
+    assert abs(total_w - 1.0) < 1e-6
+    for r in rows:
+        assert 0.0 < r.w_final < 1.0
+        assert r.k_budget <= r.n_docs  # budget never exceeds the domain
+    # the max-loss domain must not lose weight; the min-loss domain
+    # must not gain weight (monotone multiplicative-weights property)
+    hi = max(rows, key=lambda r: (r.loss_mean, r.source))
+    lo = min(rows, key=lambda r: (r.loss_mean, r.source))
+    assert hi.w_final >= hi.w_init - 1e-9, (hi.source, hi.w_init, hi.w_final)
+    assert lo.w_final <= lo.w_init + 1e-9, (lo.source, lo.w_init, lo.w_final)

@@ -628,3 +628,309 @@ def q_sim_ann_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("h_vec").alias("n_hit"),
         (F.count("h_vec").cast("double") / F.count("*")).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical (BM25) + dense (cosine) fused by RRF
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+_HYBRID_TOPK = 10
+_HYBRID_QVEC = 0  # dense query = corpus vector 0 (ids parallel doc_id)
+
+
+def _dense_topk_cte() -> str:
+    from weather_flink_spark.plans.llm_extra import _cos_duck
+
+    return f"""
+        dense AS MATERIALIZED (
+            SELECT vec_id, cosine,
+                   ROW_NUMBER() OVER (
+                       ORDER BY cosine DESC, vec_id ASC) AS rank_dense
+            FROM (
+                SELECT v.vec_id,
+                       {_cos_duck('q.embedding', 'v.embedding')} AS cosine
+                FROM embeddings v
+                CROSS JOIN (SELECT embedding FROM embeddings
+                            WHERE vec_id = {_HYBRID_QVEC}) q
+                WHERE v.vec_id <> {_HYBRID_QVEC}
+            )
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT {_HYBRID_TOPK}
+        )"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    from weather_flink_spark.plans.analytics_wave16 import _bm25_topk_oracle
+
+    return f"""
+        WITH lex AS MATERIALIZED ({_bm25_topk_oracle()}),
+        {_dense_topk_cte()},
+        fused AS (
+            SELECT COALESCE(l.doc_id, d.vec_id) AS id,
+                   l.rank AS rank_lex,
+                   d.rank_dense AS rank_dense,
+                   COALESCE(1.0 / ({_RRF_K} + l.rank), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + d.rank_dense), 0.0) AS rrf
+            FROM lex l FULL OUTER JOIN dense d ON d.vec_id = l.doc_id
+        )
+        SELECT id, rank_lex, rank_dense, rrf, rank_hybrid FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY rrf DESC, id ASC) AS rank_hybrid
+            FROM fused
+        ) WHERE rank_hybrid <= {_HYBRID_TOPK}
+    """
+
+
+@register(
+    "q_sim_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    doc=(
+        "Hybrid retrieval — the modern RAG-serving shape: the lexical "
+        "BM25 top-10 (composes q_text_bm25_topk verbatim, so the "
+        "scorer cannot drift) and the dense cosine top-10 for a fixed "
+        "query vector are fused by reciprocal-rank fusion "
+        "(rrf = sum 1/(60+rank), the Cormack et al. 2009 constant), "
+        "full-outer-joined on the shared id space so a document "
+        "ranked by only one retriever still scores. Every ranking is "
+        "rank-based (no score-scale calibration between BM25 and "
+        "cosine — RRF's whole point), and all rank derivations run as "
+        "bounded better-than self-joins over <= 2k fused rows, never "
+        "a partitionless window. Scale: each retriever is the "
+        "already-audited top-k shape (TakeOrderedAndProject over a "
+        "corpus-linear scan); fusion touches <= 2k rows."
+    ),
+    tags=("similarity", "text", "search", "ranking", "hybrid"),
+)
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.io import load
+    from weather_flink_spark.plans.analytics_wave16 import q_text_bm25_topk
+    from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
+
+    lex = q_text_bm25_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("l_id"), F.col("rank").alias("rank_lex")
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == _HYBRID_QVEC).select(
+        F.col("embedding").alias("q_emb"), norm_col(F.col("embedding")).alias("q_nrm")
+    )
+    cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * norm_col(F.col("embedding"))
+    )
+    dtop = (
+        e.filter(F.col("vec_id") != _HYBRID_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(_HYBRID_TOPK)
+    )
+    da, db = dtop.alias("da"), dtop.alias("db")
+    d_better = (F.col("db.cosine") > F.col("da.cosine")) | (
+        (F.col("db.cosine") == F.col("da.cosine"))
+        & (F.col("db.vec_id") < F.col("da.vec_id"))
+    )
+    dense = (
+        da.join(db, d_better, "left")
+        .groupBy(F.col("da.vec_id"))
+        .agg((F.count(F.col("db.vec_id")) + 1).alias("rank_dense"))
+        .select(F.col("vec_id").alias("d_id"), F.col("rank_dense").cast("bigint"))
+    )
+
+    fused = (
+        lex.join(dense, F.col("l_id") == F.col("d_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("l_id"), F.col("d_id")).alias("id"),
+            "rank_lex",
+            "rank_dense",
+            (
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_dense")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    ftop = fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(_HYBRID_TOPK)
+    fa, fb = ftop.alias("fa"), ftop.alias("fb")
+    f_better = (F.col("fb.rrf") > F.col("fa.rrf")) | (
+        (F.col("fb.rrf") == F.col("fa.rrf")) & (F.col("fb.id") < F.col("fa.id"))
+    )
+    return (
+        fa.join(fb, f_better, "left")
+        .groupBy(
+            F.col("fa.id"),
+            F.col("fa.rank_lex"),
+            F.col("fa.rank_dense"),
+            F.col("fa.rrf"),
+        )
+        .agg((F.count(F.col("fb.id")) + 1).alias("rank_hybrid"))
+        .select(
+            F.col("fa.id").alias("id"),
+            F.col("fa.rank_lex").alias("rank_lex"),
+            F.col("fa.rank_dense").alias("rank_dense"),
+            F.col("fa.rrf").alias("rrf"),
+            F.col("rank_hybrid").cast("bigint").alias("rank_hybrid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (multiplicative weights, linearized)
+# ---------------------------------------------------------------------------
+
+_DRM_ETA = 0.5  # multiplicative-weights step size
+_DRM_ITERS = 4  # unrolled fixed-point iterations
+_DRM_FRAC = 0.2  # sampling budget as a fraction of the corpus
+_DRM_DENOM = 268435456.0  # 16^7: md5 7-hex-digit prefix -> uniform [0,1)
+
+_DRM_LOSS_SPARK = (
+    "cast(round(cast(conv(substring(md5(concat('drm:', cast(doc_id as string))), 1, 7),"
+    f" 16, 10) as double) / {_DRM_DENOM}, 9) as decimal(12,9))"
+)
+_DRM_LOSS_DUCK = (
+    "CAST(ROUND(CAST(('0x' || substring(md5('drm:' || CAST(doc_id AS VARCHAR)), 1, 7))"
+    f"::UBIGINT AS DOUBLE) / {_DRM_DENOM}, 9) AS DECIMAL(12,9))"
+)
+
+
+def _doremi_oracle() -> str:
+    parts = [
+        f"""
+        dom0 AS MATERIALIZED (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(ROUND(CAST(SUM({_DRM_LOSS_DUCK}) AS DOUBLE)
+                        / COUNT(*), 9) AS DECIMAL(12,9)) AS loss_mean
+            FROM documents GROUP BY source
+        ),
+        init AS (
+            SELECT d.*, CAST(ROUND(1.0 / s.ns, 9) AS DECIMAL(12,9)) AS w
+            FROM dom0 d CROSS JOIN (SELECT COUNT(*) AS ns FROM dom0) s
+        )"""
+    ]
+    prev = "init"
+    for t in range(_DRM_ITERS):
+        parts.append(
+            f"""
+        mu{t} AS (SELECT SUM(w * loss_mean) AS mu FROM {prev}),
+        raw{t} AS (
+            SELECT p.source, p.n_docs, p.loss_mean,
+                   CAST(ROUND(CAST(p.w AS DOUBLE)
+                        * (1.0 + {_DRM_ETA} * ROUND(GREATEST(
+                              CAST(p.loss_mean AS DOUBLE) - CAST(m.mu AS DOUBLE),
+                              0.0), 9)), 9) AS DECIMAL(12,9)) AS raw
+            FROM {prev} p CROSS JOIN mu{t} m
+        ),
+        it{t} AS (
+            SELECT r.source, r.n_docs, r.loss_mean,
+                   CAST(ROUND(CAST(r.raw AS DOUBLE) / CAST(z.z AS DOUBLE), 9)
+                        AS DECIMAL(12,9)) AS w
+            FROM raw{t} r CROSS JOIN (SELECT SUM(raw) AS z FROM raw{t}) z
+        )"""
+        )
+        prev = f"it{t}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT f.source, f.n_docs,
+               CAST(f.loss_mean AS DOUBLE) AS loss_mean,
+               CAST(i.w AS DOUBLE) AS w_init,
+               CAST(f.w AS DOUBLE) AS w_final,
+               CAST(FLOOR({_DRM_FRAC} * CAST(n.nt AS DOUBLE)
+                    * CAST(f.w AS DOUBLE)) AS BIGINT) AS k_budget
+        FROM {prev} f
+        JOIN init i ON i.source = f.source
+        CROSS JOIN (SELECT SUM(n_docs) AS nt FROM dom0) n
+    """
+    )
+
+
+@register(
+    "q_sample_doremi",
+    oracle=_doremi_oracle(),
+    doc=(
+        "DoReMi-style domain reweighting (Xie et al. 2023, the "
+        "multiplicative-weights core with a LINEARIZED update so the "
+        "whole iteration replays exactly): per-domain proxy loss = "
+        "seeded-md5 uniform per doc (never rand()), domain mean on "
+        "the 9dp decimal grid; then 4 unrolled mirror-descent steps "
+        "where the baseline is the CURRENT mixture's expected loss "
+        "(mu_t = sum w_s * m_s, exact decimal sum), each domain's "
+        "weight multiplies by (1 + eta * excess_t) and renormalizes — "
+        "domains above the mixture average get upweighted, shifting "
+        "the average, a genuine interacting fixed point (not a static "
+        "rank). exp() is deliberately replaced by its first-order "
+        "form: both engines' libm exp can differ in the last ulp, the "
+        "linear update stays IEEE-identical; every step re-grids to "
+        "9dp via double ROUND (the quantize_embeddings discipline). "
+        "Output: per-domain mean loss, initial and final mixture "
+        "weights, and the floor(frac*N*w) token budget. Scale: the "
+        "domain table is |sources| rows (bounded); the only "
+        "corpus-sized work is one groupBy for the loss means — the "
+        "per-iteration cost is independent of corpus size."
+    ),
+    tags=("sampling", "llm-pipeline", "iterative"),
+)
+def q_sample_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.io import load
+
+    d = load(spark, sf_dir, "documents")
+    # the ONLY corpus-sized stage; eager-checkpoint the bounded
+    # |sources|-row result so the unrolled iteration chain (which
+    # references it many times) never re-scans the corpus
+    dom0 = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            f"cast(round(cast(sum({_DRM_LOSS_SPARK}) as double) / count(*), 9)"
+            " as decimal(12,9))"
+        ).alias("loss_mean"),
+    ).localCheckpoint()
+    ns = dom0.agg(F.count("*").alias("ns"))
+    cur = dom0.crossJoin(F.broadcast(ns)).select(
+        "source",
+        "n_docs",
+        "loss_mean",
+        F.expr("cast(round(1.0 / ns, 9) as decimal(12,9))").alias("w"),
+    )
+    init = cur.select("source", F.col("w").alias("w_init"))
+    for _ in range(_DRM_ITERS):
+        mu = cur.agg(F.sum(F.col("w") * F.col("loss_mean")).alias("mu"))
+        raw = cur.crossJoin(F.broadcast(mu)).select(
+            "source",
+            "n_docs",
+            "loss_mean",
+            F.expr(
+                "cast(round(cast(w as double) * (1.0 + "
+                f"{_DRM_ETA} * round(greatest("
+                "cast(loss_mean as double) - cast(mu as double), 0.0d), 9)), 9)"
+                " as decimal(12,9))"
+            ).alias("raw"),
+        )
+        z = raw.agg(F.sum("raw").alias("z"))
+        # per-step truncation keeps each micro-job's plan flat (the
+        # table is |sources| rows; without it the nested agg+crossJoin
+        # chain re-evaluates every prior step per reference)
+        cur = raw.crossJoin(F.broadcast(z)).select(
+            "source",
+            "n_docs",
+            "loss_mean",
+            F.expr(
+                "cast(round(cast(raw as double) / cast(z as double), 9)"
+                " as decimal(12,9))"
+            ).alias("w"),
+        ).localCheckpoint()
+    nt = dom0.agg(F.sum("n_docs").alias("nt"))
+    return (
+        cur.join(F.broadcast(init), "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "n_docs",
+            F.col("loss_mean").cast("double").alias("loss_mean"),
+            F.col("w_init").cast("double").alias("w_init"),
+            F.col("w").cast("double").alias("w_final"),
+            F.expr(
+                f"cast(floor({_DRM_FRAC} * cast(nt as double)"
+                " * cast(w as double)) as bigint)"
+            ).alias("k_budget"),
+        )
+    )
