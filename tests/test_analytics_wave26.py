@@ -133,3 +133,74 @@ def test_doremi_upweights_lossy_domains(spark):
     lo = min(rows, key=lambda r: (r.loss_mean, r.source))
     assert hi.w_final >= hi.w_init - 1e-9, (hi.source, hi.w_init, hi.w_final)
     assert lo.w_final <= lo.w_init + 1e-9, (lo.source, lo.w_init, lo.w_final)
+
+
+def test_stream_hnsw_insert_matches_batch_and_brute_force(spark):
+    """(a) The streamed insert edges equal the batch computation of the
+    same frame on the same vectors (plumbing equality); (b) structural
+    invariants hold; (c) one node's base edges match an independent
+    numpy brute-force over its cell prefix (semantic oracle)."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from weather_flink_spark.plans.analytics_wave4 import kmeans_final_assignment
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_table
+
+    streamed = all_specs()["s_stream_hnsw_insert"].fn(spark, SF).collect()
+    assert streamed, "no insert edges produced"
+
+    # (a) batch twin on the same 10 tail vectors
+    t = papq.read_table(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = sorted(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))[-10:]
+    batch_df = spark.createDataFrame(
+        [(int(v), [float(x) for x in e]) for v, e in pairs],
+        schema="vec_id long, embedding array<double>",
+    )
+    assigned = ivf_assigned_table(spark, SF)
+    cent, _ = kmeans_final_assignment(spark, SF)
+    model = sorted(((r["cid"], list(r["c"])) for r in cent.collect()), key=lambda x: x[0])
+    batch = w26.hnsw_insert_frame(batch_df, assigned, model).collect()
+    key = lambda r: (r.node, r.layer, r.edge_rank, r.dst, round(r.cosine, 6))
+    assert sorted(map(key, streamed)) == sorted(
+        (r.node, r.layer, r.edge_rank, r.dst, round(r.cosine, 6)) for r in batch
+    )
+
+    # (b) invariants: prefix rule, per-layer caps, contiguous ranks
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in streamed:
+        assert r.dst < r.node, (r.node, r.dst)
+        per[(r.node, r.layer)].append(r)
+    for (node, layer), rs in per.items():
+        cap = 4 if layer == "base" else 3
+        ranks = sorted(r.edge_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (node, layer, ranks)
+        assert len(rs) <= cap, (node, layer, len(rs))
+        coss = [r.cosine for r in sorted(rs, key=lambda r: r.edge_rank)]
+        assert coss == sorted(coss, reverse=True)
+
+    # (c) numpy brute force for the largest node's base edges
+    cells = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    allv = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    node = max(r.node for r in streamed)
+    nv = np.array(allv[node], dtype=float)
+    nv = nv / np.linalg.norm(nv)
+    # the node's insert cell is the nearest trained centroid — for a
+    # corpus member that IS its assigned cell
+    ncell = cells[node]
+    cand = [
+        (v, np.dot(nv, np.array(allv[v], dtype=float) / np.linalg.norm(np.array(allv[v], dtype=float))))
+        for v in allv
+        if v < node and cells[v] == ncell
+    ]
+    expect = sorted(cand, key=lambda x: (-x[1], x[0]))[:4]
+    got = sorted(
+        ((r.dst, r.cosine) for r in streamed if r.node == node and r.layer == "base"),
+        key=lambda x: -x[1],
+    )
+    assert [d for d, _ in got] == [d for d, _ in expect], (got, expect)
+    for (gd, gc), (ed, ec) in zip(got, expect):
+        assert abs(gc - ec) < 1e-6, (gd, gc, ec)

@@ -934,3 +934,195 @@ def q_sample_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k_budget"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming index maintenance: per-batch HNSW insert
+# ---------------------------------------------------------------------------
+
+
+def _probe2_cells(model: list[tuple[int, list[float]]], col: str = "embedding"):
+    """(cell1, cell2) expressions: the two nearest trained centroids
+    (d2 ASC, cid ASC tie-break — the multi-probe rule the batch coarse
+    kNN build uses), computed by sorting the bounded k-row (d2, cid)
+    struct array."""
+
+    def dist2(c_vals: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in c_vals])
+        prod = F.zip_with(F.col(col), arr, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    pairs = F.array_sort(
+        F.array(
+            *[
+                F.struct(dist2(c).alias("d2"), F.lit(cid).alias("cid"))
+                for cid, c in model
+            ]
+        )
+    )
+    return pairs[0]["cid"], pairs[1]["cid"]
+
+
+def hnsw_insert_frame(
+    batch_df: DataFrame, assigned: DataFrame, model: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """The edges a new vector receives on insert into the 2-layer
+    graph, computed against the STATIC index restricted to the node's
+    strict vec_id-prefix (so the result depends only on (node, prefix)
+    — batch composition can never change it, the curation-verdict
+    monotonicity property applied to index writes):
+    - base layer: top-_L0_BEAM cosine among prefix vectors in the
+      node's own cell (the knn_edges_table rule);
+    - coarse layer (only if the node passes the seeded-md5 layer
+      predicate): top-_L1_KNN among prefix COARSE vectors in the
+      node's top-2 probe cells (the multi-probe build rule).
+    Medoid/highway refresh is deliberately out of scope — like
+    production graph-ANN services, structural rebalance runs as
+    periodic compaction (the batch build), not per insert."""
+    from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
+
+    c1, c2 = _probe2_cells(model)
+    new = batch_df.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("n_emb"),
+        norm_col(F.col("embedding")).alias("n_nrm"),
+        F.expr(_L1_PRED_SPARK).alias("is_coarse"),
+        c1.alias("c1"),
+        c2.alias("c2"),
+    )
+    cos = dot_col(F.col("n_emb"), F.col("embedding")) / (F.col("n_nrm") * F.col("nrm"))
+    w_edge = Window.partitionBy("node", "layer").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    base = (
+        assigned.join(
+            F.broadcast(new),
+            (F.col("cell") == F.col("c1")) & (F.col("vec_id") < F.col("node")),
+        )
+        .select(
+            "node",
+            F.lit("base").alias("layer"),
+            F.col("vec_id").alias("dst"),
+            cos.alias("cosine"),
+        )
+    )
+    coarse = (
+        assigned.filter(F.expr(_L1_PRED_SPARK))
+        .join(
+            F.broadcast(new.filter(F.col("is_coarse"))),
+            ((F.col("cell") == F.col("c1")) | (F.col("cell") == F.col("c2")))
+            & (F.col("vec_id") < F.col("node")),
+        )
+        .select(
+            "node",
+            F.lit("coarse").alias("layer"),
+            F.col("vec_id").alias("dst"),
+            cos.alias("cosine"),
+        )
+    )
+    lim = F.when(F.col("layer") == "base", F.lit(_L0_BEAM)).otherwise(F.lit(_L1_KNN))
+    return (
+        base.unionByName(coarse)
+        .withColumn("edge_rank", F.row_number().over(w_edge))
+        .filter(F.col("edge_rank") <= lim)
+        .select(
+            "node", "layer", "dst", F.round("cosine", 6).alias("cosine"), "edge_rank"
+        )
+    )
+
+
+def run_hnsw_insert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the 10 highest-vec_id vectors (2 jsonl files, pinned
+    mtimes => 2 deterministic micro-batches) and compute each one's
+    insert edges inside foreachBatch against the static session-cached
+    index — batch x (cell prefix) work, never batch x corpus."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as papq
+
+    from weather_flink_spark.plans.analytics_wave4 import kmeans_final_assignment
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_table
+    from weather_flink_spark.plans.streaming_queries import _configure
+
+    _configure(spark)
+    assigned = ivf_assigned_table(spark, sf_dir)
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    # bounded collect: the trained model is k=8 rows by construction
+    model = sorted(((r["cid"], list(r["c"])) for r in cent.collect()), key=lambda x: x[0])
+
+    t = papq.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = sorted(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )[-10:]
+    rows = [
+        json.dumps({"vec_id": int(v), "embedding": [float(x) for x in e]})
+        for v, e in pairs
+    ]
+    d = os.path.join(tempfile.gettempdir(), f"wfs_stream_hnswins_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    mid = len(rows) // 2
+    for i, chunk in enumerate((rows[:mid], rows[mid:])):
+        p = os.path.join(d, f"part-{i:04d}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(chunk) + "\n")
+        # file sources order by mtime; pin it so file i == batch i
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    acc: list = []
+
+    def insert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # bounded collect: <= |batch| x (_L0_BEAM + _L1_KNN) rows
+        acc.extend(hnsw_insert_frame(batch_df, assigned, model).collect())
+
+    ckpt = os.path.join(d, "_ckpt")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(insert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(0.02)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("HNSW insert stream still active after 120s deadline")
+
+    out = spark.createDataFrame(
+        acc,
+        schema="node bigint, layer string, dst bigint, cosine double, edge_rank int",
+    )
+    return out.orderBy("node", "layer", "edge_rank")
+
+
+@register(
+    "s_stream_hnsw_insert",
+    doc=(
+        "Streaming index MAINTENANCE for the hierarchical graph ANN "
+        "(closes the write-path gap of the wave-26 searcher the way "
+        "s_stream_ann_search closed the IVF read path): a file stream "
+        "of new vectors is, per micro-batch inside foreachBatch, given "
+        "the edges it would receive on insert — base-layer top-4 "
+        "in-cell kNN and (for seeded-md5 coarse members) top-3 "
+        "multi-probe coarse kNN, both against the node's strict "
+        "vec_id-prefix of the static session-cached index, so results "
+        "depend only on (node, prefix) and batch composition can never "
+        "change them. Medoid/highway refresh runs as periodic "
+        "compaction (the batch build), mirroring production graph-ANN "
+        "services. Per-batch work is batch x (prefix cell), never "
+        "batch x corpus."
+    ),
+    tags=("streaming", "similarity", "ann", "graph", "hnsw"),
+)
+def s_stream_hnsw_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_hnsw_insert_stream(spark, sf_dir)
