@@ -93,7 +93,11 @@ def test_ivfpq_plan_no_cartesian_and_broadcast_lut(spark):
     """Plan shape: the candidate join is cell-keyed (broadcast of the
     bounded probe table), the 4 LUT joins broadcast, and nothing in the
     batch plan is an unbounded CartesianProduct."""
-    df = all_specs()["q_sim_ann_ivfpq"].fn(spark, SF_SMOKE)
+    from weather_flink_spark.plans.analytics_wave15 import _ivfpq_search
+
+    # the registered entry returns the session-cached (lineage-
+    # truncated) result; the plan under audit is the searcher's
+    df = _ivfpq_search(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan

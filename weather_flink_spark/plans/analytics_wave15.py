@@ -232,6 +232,19 @@ def _ivfpq_oracle() -> str:
     tags=("similarity", "ann", "ivf", "pq", "llm-pipeline"),
 )
 def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    # queries x k result reused by the recall gate — session-cache
+    # with truncated lineage (see q_sim_ann_graph)
+    return _cached(
+        "ivfpq_ann_result",
+        spark,
+        sf_dir,
+        lambda: _ivfpq_search(spark, sf_dir).localCheckpoint(),
+    )
+
+
+def _ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.analytics_wave4 import (
         _kmeans_dist_col,
         kmeans_final_assignment,

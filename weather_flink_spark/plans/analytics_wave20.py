@@ -389,6 +389,22 @@ def graph_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "graph"),
 )
 def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    # the searcher result is queries x k rows and the recall gate
+    # consumes it verbatim — session-cache it with TRUNCATED lineage
+    # (the wave-26 lesson: persist alone re-pays the full unrolled
+    # plan's Catalyst analysis on every action; localCheckpoint does
+    # not)
+    return _cached(
+        "graph_ann_result",
+        spark,
+        sf_dir,
+        lambda: _graph_search(spark, sf_dir).localCheckpoint(),
+    )
+
+
+def _graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.llm_extra import (
         IVF_N_QUERIES,
         IVF_TOP_K,
