@@ -397,8 +397,11 @@ _AA_MIN_CO = 2
     tags=("graph", "similarity"),
 )
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    from weather_flink_spark.plans.analytics_wave4 import order_part_edges_table
+
+    op = order_part_edges_table(spark, sf_dir).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
     sz = (
         op.groupBy("ok")
         .agg(F.count("*").alias("basket"))

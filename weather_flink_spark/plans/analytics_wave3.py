@@ -341,8 +341,9 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "analytics", "mining"),
 )
 def q_basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    from weather_flink_spark.plans.analytics_wave4 import order_part_edges_table
+
+    basket = order_part_edges_table(spark, sf_dir)
     n_ord = basket.agg(F.countDistinct("l_orderkey").alias("n"))
     item = basket.groupBy("l_partkey").agg(F.count("*").alias("c"))
     a = basket.alias("a")
