@@ -94,6 +94,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave24,
         analytics_wave25,
         analytics_wave26,
+        analytics_wave27,
         streaming_queries,
     )
 
