@@ -77,6 +77,53 @@ _DSIR_BUCKET_SPARK = (
 _DSIR_BUCKET_DUCK = f"CAST('0x' || md5(g)[1:15] AS BIGINT) % {_DSIR_B}"
 
 
+def dsir_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, g, bucket): the exploded hashed-bigram stream —
+    shared by the weight query, the collision audit, and (expression-
+    wise) the streaming scorer."""
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("tok"),
+    ).where(F.expr("size(tok) >= 2"))
+    return tok.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tok) - 1),"
+                " i -> concat(element_at(tok, cast(i as int)), ' ',"
+                " element_at(tok, cast(i + 1 as int))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "lang", "g", F.expr(_DSIR_BUCKET_SPARK).alias("bucket"))
+
+
+def dsir_lr_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The B-row (bucket, lr9) distribution model — the broadcastable
+    artifact a production DSIR pass trains once and ships to scorers
+    (including the streaming twin in analytics_wave28)."""
+    grams = dsir_grams(load(spark, sf_dir, "documents"))
+    bstats = grams.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    tot = bstats.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    return bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + _DSIR_B))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + _DSIR_B)),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lr9"),
+    )
+
+
+
 @register(
     "q_text_dsir_weights",
     oracle=f"""
@@ -148,40 +195,8 @@ _DSIR_BUCKET_DUCK = f"CAST('0x' || md5(g)[1:15] AS BIGINT) % {_DSIR_B}"
     tags=("text", "llm-pipeline", "sampling", "importance"),
 )
 def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        "lang",
-        F.expr("filter(split(text, ' '), t -> t <> '')").alias("tok"),
-    ).where(F.expr("size(tok) >= 2"))
-    grams = tok.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tok) - 1),"
-                " i -> concat(element_at(tok, cast(i as int)), ' ',"
-                " element_at(tok, cast(i + 1 as int))))"
-            )
-        ).alias("g"),
-    ).select("doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("bucket"))
-    bstats = grams.groupBy("bucket").agg(
-        F.count("*").alias("cr"),
-        F.sum(
-            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("ct"),
-    )
-    tot = bstats.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
-    lr = bstats.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.round(
-            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + _DSIR_B))
-            - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + _DSIR_B)),
-            9,
-        )
-        .cast("decimal(18,9)")
-        .alias("lr9"),
-    )
+    grams = dsir_grams(load(spark, sf_dir, "documents"))
+    lr = dsir_lr_table(spark, sf_dir)
     per_doc = (
         grams.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")

@@ -95,6 +95,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave25,
         analytics_wave26,
         analytics_wave27,
+        analytics_wave28,
         streaming_queries,
     )
 
