@@ -416,9 +416,6 @@ def _lpa_labels(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
     labels = ivf_assigned_table(spark, sf_dir).select(
         F.col("vec_id").alias("node"), F.col("vec_id").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for _ in range(rounds):
         neigh = (
             und.join(
@@ -430,11 +427,14 @@ def _lpa_labels(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
-        labels = (
-            neigh.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
-        )
+        # argmax by (count DESC, label ASC) as ONE lexicographic struct
+        # MAX — partial-aggregated, no sort-based window per round (the
+        # q_events_funnel_attribution composite-MAX idiom)
+        labels = neigh.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias(
+                "best"
+            )
+        ).select("node", (-F.col("best.nl")).alias("label"))
     return labels
 
 

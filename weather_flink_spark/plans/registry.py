@@ -96,6 +96,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave26,
         analytics_wave27,
         analytics_wave28,
+        analytics_wave29,
         streaming_queries,
     )
 
