@@ -97,6 +97,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave27,
         analytics_wave28,
         analytics_wave29,
+        analytics_wave30,
         streaming_queries,
     )
 
