@@ -96,3 +96,45 @@ def test_ts_similarity_excludes_query_and_bounds(spark):
     assert qid not in set(res.user_id)
     assert (res["corr"].abs() <= 1.0 + 1e-9).all()
     assert len(res) == 5
+
+
+def test_rag_retrieval_matches_numpy(spark):
+    """Recompute chunking + hashed BOW + cosine top-k in plain Python
+    and assert identical ranking."""
+    import hashlib
+
+    from weather_flink_spark.plans import analytics_wave30 as w30
+
+    res = (
+        all_specs()["q_rag_e2e_retrieval"].fn(spark, SF).toPandas()
+    )
+    docs = load(spark, SF, "documents").toPandas()
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % w30._RAG_B
+
+    vecs = {}
+    for _, r in docs.iterrows():
+        tok = [t for t in r.text.split(" ") if t]
+        if len(tok) < w30._RAG_CHUNK:
+            continue
+        for s in range(0, max(len(tok) - w30._RAG_CHUNK + 1, 1), w30._RAG_STRIDE):
+            v = np.zeros(w30._RAG_B, dtype=np.int64)
+            for t in tok[s : s + w30._RAG_CHUNK]:
+                v[bucket(t)] += 1
+            vecs[(r.doc_id, s + 1)] = v
+    qdoc = min(k[0] for k in vecs)
+    qv = vecs[(qdoc, 1)]
+    scored = []
+    for (d, s), v in vecs.items():
+        if d == qdoc:
+            continue
+        cos = float(v @ qv) / np.sqrt(float(v @ v) * float(qv @ qv))
+        scored.append((d, s, round(cos, 9)))
+    scored.sort(key=lambda t: (-t[2], t[0], t[1]))
+    exp = scored[: w30._RAG_TOPK]
+    got = list(zip(res.doc_id, res.chunk_start, res.cosine))
+    assert [(d, s) for d, s, _ in got] == [(d, s) for d, s, _ in exp]
+    assert np.abs(
+        np.array([c for _, _, c in got]) - np.array([c for _, _, c in exp])
+    ).max() < 1e-9

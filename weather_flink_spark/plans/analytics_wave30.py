@@ -21,6 +21,14 @@ assembly and time-series similarity search.
   profiles are fixed-dim vectors — the LSH/IVF searchers
   (q_sim_ann_*) index them; this entry is the exact scoring kernel
   those indexes approximate.
+- ``q_rag_e2e_retrieval`` — the RAG ingest+serve kernel in one plan:
+  overlapping token chunks → hashed bag-of-words INTEGER vectors →
+  cosine top-k for a query chunk, exact integer dot/norm sums with
+  one double per candidate at the end. The norm is deliberately the
+  candidate's FULL norm (the dot's join restricts to the query's
+  bucket support; the norm must not — caught by the numpy twin test,
+  not the oracle, since both engines agreed on the wrong formula:
+  oracles prove parity, twins prove semantics).
 
 Parity discipline as plans/registry.py; reference parity note: the
 reference's transformation plan is empty
@@ -258,4 +266,168 @@ def q_ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         moments.select("user_id", corr.alias("corr"))
         .orderBy(F.col("corr").desc(), F.col("user_id").asc())
         .limit(_TSS_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end RAG retrieval kernel (chunk -> vectorize -> top-k)
+# ---------------------------------------------------------------------------
+
+_RAG_CHUNK = 32  # tokens per chunk
+_RAG_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+_RAG_B = 16  # hashed bag-of-words dimensionality
+_RAG_TOPK = 5
+
+_RAG_TOKB_SPARK = (
+    "pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), "
+    f"{_RAG_B})"
+)
+_RAG_TOKB_DUCK = f"CAST('0x' || md5(t)[1:15] AS BIGINT) % {_RAG_B}"
+
+
+@register(
+    "q_rag_e2e_retrieval",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tok
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, s AS chunk_start,
+                   tok[s : s + {_RAG_CHUNK} - 1] AS ctok
+            FROM tok,
+                 UNNEST(range(1, GREATEST(len(tok) - {_RAG_CHUNK} + 2, 2),
+                              {_RAG_STRIDE})) AS r(s)
+            WHERE len(tok) >= {_RAG_CHUNK}
+        ),
+        tvec AS (
+            -- hashed bag-of-words: integer counts per bucket
+            SELECT doc_id, chunk_start, {_RAG_TOKB_DUCK} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, chunk_start, UNNEST(ctok) AS t FROM chunks)
+            GROUP BY 1, 2, 3
+        ),
+        q AS MATERIALIZED (
+            SELECT b, c FROM tvec
+            WHERE doc_id = (SELECT MIN(doc_id) FROM chunks)
+              AND chunk_start = 1
+        ),
+        qn AS (SELECT SUM(c * c) AS qq FROM q),
+        norms AS (
+            -- FULL candidate norm over all its buckets — the dot's
+            -- inner join restricts to the query's support, the norm
+            -- must not
+            SELECT doc_id, chunk_start, SUM(c * c) AS vv
+            FROM tvec GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT v.doc_id, v.chunk_start,
+                   SUM(v.c * q.c) AS dot
+            FROM tvec v JOIN q ON q.b = v.b
+            WHERE v.doc_id <> (SELECT MIN(doc_id) FROM chunks)
+            GROUP BY 1, 2
+        )
+        SELECT s.doc_id, s.chunk_start,
+               ROUND(CAST(s.dot AS DOUBLE)
+                     / SQRT(CAST(n.vv AS DOUBLE) * CAST(qn.qq AS DOUBLE)),
+                     9) AS cosine
+        FROM scored s
+        JOIN norms n ON n.doc_id = s.doc_id AND n.chunk_start = s.chunk_start
+        CROSS JOIN qn
+        ORDER BY cosine DESC, s.doc_id ASC, s.chunk_start ASC
+        LIMIT {_RAG_TOPK}
+    """,
+    doc=(
+        "End-to-end RAG retrieval kernel — chunk, vectorize, retrieve "
+        "in one plan: documents split into "
+        f"{_RAG_CHUNK}-token chunks at stride {_RAG_STRIDE} (the "
+        "q_text_chunk_overlap shape), each chunk collapses to a "
+        f"{_RAG_B}-bucket hashed bag-of-words of INTEGER counts, and "
+        "the query chunk (min-doc first chunk, own doc excluded) "
+        f"retrieves its top-{_RAG_TOPK} chunks by cosine — integer "
+        "dot/norm sums end to end, ONE double expression per "
+        "candidate at the end, (cosine DESC, doc, chunk) "
+        "deterministic tie-break. This wires the ingest+serve path "
+        "the dedicated entries cover piecewise (chunking, hashing "
+        "trick, cosine top-k, ANN indexes): at 100 TB the tvec table "
+        "is the persisted chunk index, the query side is B broadcast "
+        "rows, and the scan is an equi-join on the bucket key — the "
+        "IVF/LSH searchers replace the linear scan, nothing else "
+        "changes."
+    ),
+    tags=("text", "similarity", "rag", "llm-pipeline"),
+)
+def q_rag_e2e_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("tok"),
+    ).where(F.expr(f"size(tok) >= {_RAG_CHUNK}"))
+    chunks = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(size(tok) - {_RAG_CHUNK} + 1, 1),"
+                f" {_RAG_STRIDE})"
+            )
+        ).alias("chunk_start"),
+        "tok",
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.expr(f"slice(tok, chunk_start, {_RAG_CHUNK})").alias("ctok"),
+    )
+    tvec = (
+        chunks.select(
+            "doc_id", "chunk_start", F.explode("ctok").alias("t")
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.expr(_RAG_TOKB_SPARK).alias("b"),
+        )
+        .groupBy("doc_id", "chunk_start", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    qdoc = chunks.agg(F.min("doc_id").alias("qdoc"))
+    q = (
+        tvec.join(
+            F.broadcast(qdoc),
+            (tvec.doc_id == F.col("qdoc")) & (tvec.chunk_start == 1),
+        )
+        .select(F.col("b").alias("qb"), F.col("c").alias("qc"))
+    )
+    qn = q.agg(F.sum(F.col("qc") * F.col("qc")).alias("qq"))
+    # full candidate norms — the dot's join restricts to the query's
+    # bucket support, the norm must not
+    norms = tvec.groupBy("doc_id", "chunk_start").agg(
+        F.sum(F.col("c") * F.col("c")).alias("vv")
+    )
+    scored = (
+        tvec.join(F.broadcast(qdoc), tvec.doc_id == F.col("qdoc"), "left_anti")
+        .join(F.broadcast(q), F.col("b") == F.col("qb"))
+        .groupBy("doc_id", "chunk_start")
+        .agg(F.sum(F.col("c") * F.col("qc")).alias("dot"))
+        .join(norms, ["doc_id", "chunk_start"])
+    )
+    return (
+        scored.crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("vv").cast("double") * F.col("qq").cast("double")
+                ),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy(
+            F.col("cosine").desc(),
+            F.col("doc_id").asc(),
+            F.col("chunk_start").asc(),
+        )
+        .limit(_RAG_TOPK)
     )
