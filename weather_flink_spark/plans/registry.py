@@ -98,6 +98,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave28,
         analytics_wave29,
         analytics_wave30,
+        analytics_wave31,
         streaming_queries,
     )
 
