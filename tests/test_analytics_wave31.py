@@ -55,3 +55,28 @@ def test_ols_multi_matches_numpy_lstsq(spark):
         assert row.n == len(g)
         got = np.array([row.intercept, row.beta_hod, row.beta_weekend])
         assert np.abs(got - beta).max() < 1e-6, (t, got, beta)
+
+
+def test_t_closeness_matches_numpy_emd(spark):
+    """Recompute the 1-D EMD per QI group with numpy cumulative sums
+    and assert agreement (the engine's all-integer numerators must
+    equal the float recompute to rounding tolerance)."""
+    res = (
+        all_specs()["q_privacy_t_closeness"]
+        .fn(spark, SF)
+        .toPandas()
+        .set_index(["c_nationkey", "c_mktsegment"])
+        .sort_index()
+    )
+    c = load(spark, SF, "customer").toPandas()
+    c["band"] = np.floor(c.c_acctbal / 1000.0).astype(int)
+    bands = np.sort(c.band.unique())
+    n = len(c)
+    p = np.array([(c.band == b).sum() / n for b in bands])
+    for (nk, seg), g in c.groupby(["c_nationkey", "c_mktsegment"]):
+        q = np.array([(g.band == b).sum() / len(g) for b in bands])
+        emd = float(np.abs(np.cumsum(q - p)).sum())
+        row = res.loc[(nk, seg)]
+        assert row.group_size == len(g)
+        assert abs(row.t_emd - emd) < 1e-8, (nk, seg)
+        assert row.t_ok == (emd <= 0.2 + 1e-12)

@@ -242,3 +242,135 @@ def q_stats_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b1, 9).alias("beta_hod"),
         F.round(b2, 9).alias("beta_weekend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (1-D EMD over the ordered sensitive bands)
+# ---------------------------------------------------------------------------
+
+_TC_T = 0.2  # closeness threshold
+
+
+@register(
+    "q_privacy_t_closeness",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS INT) AS band
+            FROM customer
+        ),
+        gdist AS (
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS cb FROM c GROUP BY band
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+        grp AS (
+            SELECT c_nationkey, c_mktsegment, band,
+                   CAST(COUNT(*) AS BIGINT) AS cgb
+            FROM c GROUP BY 1, 2, 3
+        ),
+        gsize AS (
+            SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ng
+            FROM c GROUP BY 1, 2
+        ),
+        grid AS (
+            -- dense (group x global band) grid: absent bands count 0
+            SELECT gs.c_nationkey, gs.c_mktsegment, gs.ng, gl.band, gl.cb,
+                   COALESCE(gr.cgb, 0) AS cgb
+            FROM gsize gs
+            CROSS JOIN gdist gl
+            LEFT JOIN grp gr
+              ON gr.c_nationkey = gs.c_nationkey
+             AND gr.c_mktsegment = gs.c_mktsegment
+             AND gr.band = gl.band
+        ),
+        cum AS (
+            -- (Q_g - P) numerator over the common denominator ng*N is
+            -- EXACT BIGINT: cgb*N - cb*ng; EMD = sum |cumsum| / (ng*N)
+            SELECT c_nationkey, c_mktsegment, ng,
+                   SUM(cgb * t.n - cb * ng) OVER (
+                       PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY band
+                       ROWS UNBOUNDED PRECEDING) AS cum_num,
+                   t.n
+            FROM grid CROSS JOIN tot t
+        )
+        SELECT c_nationkey, c_mktsegment, ng AS group_size,
+               ROUND(CAST(SUM(ABS(cum_num)) AS DOUBLE) / (ng * n), 9)
+                   AS t_emd,
+               CAST(SUM(ABS(cum_num)) AS DOUBLE) / (ng * n) <= {_TC_T}
+                   AS t_ok
+        FROM cum
+        GROUP BY c_nationkey, c_mktsegment, ng, n
+    """,
+    doc=(
+        "t-closeness audit (Li et al. 2007 — completes the privacy "
+        "trio with q_privacy_k_anonymity and q_privacy_l_diversity): "
+        "per (nation, mktsegment) QI group, the 1-D earth-mover's "
+        "distance between the group's sensitive-band distribution and "
+        "the global one. EXACT arithmetic throughout: the per-band "
+        "(Q_g - P) difference over the common denominator ng*N has "
+        "BIGINT numerator cgb*N - cb*ng, the ordered-band cumulative "
+        "sum stays integer (partitioned window), and EMD = sum of "
+        "|cumulative| with ONE double division at the end — no float "
+        "drift possible before the final op. Scale: two partial-"
+        "aggregated groupBys + a model-sized (groups x bands) grid; "
+        f"t_ok flags groups within t = {_TC_T}."
+    ),
+    tags=("privacy", "aggregate", "distribution"),
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("band"),
+    )
+    glob = cust.groupBy("band").agg(F.count("*").cast("bigint").alias("cb"))
+    tot = cust.agg(F.count("*").cast("bigint").alias("n"))
+    grp = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").cast("bigint").alias("cgb")
+    )
+    gsize = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("ng")
+    )
+    grid = (
+        gsize.crossJoin(F.broadcast(glob))
+        .join(grp, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "ng",
+            "band",
+            "cb",
+            F.coalesce(F.col("cgb"), F.lit(0).cast("bigint")).alias("cgb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        "n",
+        F.sum(F.col("cgb") * F.col("n") - F.col("cb") * F.col("ng"))
+        .over(w)
+        .alias("cum_num"),
+    )
+    emd = F.sum(F.abs(F.col("cum_num"))).cast("double") / (
+        F.col("ng") * F.col("n")
+    )
+    return cum.groupBy("c_nationkey", "c_mktsegment", "ng", "n").agg(
+        F.round(emd, 9).alias("t_emd"),
+        (emd <= _TC_T).alias("t_ok"),
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("ng").alias("group_size"),
+        "t_emd",
+        "t_ok",
+    )
