@@ -99,6 +99,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave29,
         analytics_wave30,
         analytics_wave31,
+        analytics_wave32,
         streaming_queries,
     )
 
