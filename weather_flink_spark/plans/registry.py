@@ -100,6 +100,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave30,
         analytics_wave31,
         analytics_wave32,
+        analytics_wave33,
         streaming_queries,
     )
 
