@@ -101,6 +101,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave31,
         analytics_wave32,
         analytics_wave33,
+        analytics_wave34,
         streaming_queries,
     )
 
