@@ -102,6 +102,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave32,
         analytics_wave33,
         analytics_wave34,
+        analytics_wave35,
         streaming_queries,
     )
 
