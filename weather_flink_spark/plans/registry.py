@@ -103,6 +103,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave33,
         analytics_wave34,
         analytics_wave35,
+        analytics_wave36,
         streaming_queries,
     )
 
