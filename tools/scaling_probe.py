@@ -1040,6 +1040,77 @@ def main() -> None:
         "xN": hnsw_coarse_build(scaled(emb, ["vec_id"], K, STRIDE)),
     }
 
+    # --- wave-31 shape: DAU/WAU bounded range join ----------------------
+    # scale by user_id (more users, same day span): the activity-matrix
+    # dedup grows ~K×, the <=7-bucket range-join fan-out is a constant —
+    # expect ~linear.
+    events = load(spark, args.sf, "events")
+
+    def dau_wau(ev):
+        def run():
+            act = ev.select(
+                F.col("ts").cast("date").alias("d"), "user_id"
+            ).distinct()
+            days = act.select("d").distinct()
+            a = act.select(F.col("d").alias("ad"), "user_id")
+            return (
+                days.join(
+                    a,
+                    F.col("ad").between(
+                        F.date_sub(F.col("d"), 6), F.col("d")
+                    ),
+                )
+                .groupBy("d")
+                .agg(F.countDistinct("user_id"))
+                .count()
+            )
+
+        return timed(run)
+
+    results["dau_wau_range_join"] = {
+        "x1": dau_wau(events),
+        "xN": dau_wau(scaled(events, ["user_id"], K, STRIDE)),
+    }
+
+    # --- wave-29 shape: one k-center greedy round ------------------------
+    # scale by vec_id: the round is one struct-MAX aggregate + one
+    # broadcast-1-row distance map over the corpus — expect ~linear.
+    def kcenter_round(e):
+        def run():
+            pts = e.select(
+                "vec_id",
+                F.expr(
+                    "transform(embedding, x -> cast(cast(round(cast(x as"
+                    " double), 6) as decimal(12,6)) * 1000000 as bigint))"
+                ).alias("n"),
+            )
+            seed = pts.orderBy(F.col("vec_id").asc()).limit(1)
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("n"), F.col("cn"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            md = pts.crossJoin(
+                F.broadcast(seed.select(F.col("n").alias("cn")))
+            ).select("vec_id", d2.alias("md"))
+            return (
+                md.agg(
+                    F.max(
+                        F.struct(F.col("md"), (-F.col("vec_id")).alias("nv"))
+                    )
+                ).collect()
+                and 1
+            )
+
+        return timed(run)
+
+    results["kcenter_greedy_round"] = {
+        "x1": kcenter_round(emb),
+        "xN": kcenter_round(scaled(emb, ["vec_id"], K, STRIDE)),
+    }
+
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
     print(json.dumps({"copies": K, "sf": args.sf, "results": results}, indent=2))
