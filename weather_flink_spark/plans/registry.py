@@ -104,6 +104,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave34,
         analytics_wave35,
         analytics_wave36,
+        analytics_wave37,
         streaming_queries,
     )
 
