@@ -105,6 +105,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave35,
         analytics_wave36,
         analytics_wave37,
+        analytics_wave38,
         streaming_queries,
     )
 
