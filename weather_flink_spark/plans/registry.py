@@ -106,6 +106,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave36,
         analytics_wave37,
         analytics_wave38,
+        analytics_wave39,
         streaming_queries,
     )
 
