@@ -107,6 +107,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave37,
         analytics_wave38,
         analytics_wave39,
+        analytics_wave40,
         streaming_queries,
     )
 
