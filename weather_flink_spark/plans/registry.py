@@ -108,6 +108,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave38,
         analytics_wave39,
         analytics_wave40,
+        analytics_wave41,
         streaming_queries,
     )
 
