@@ -582,6 +582,17 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"query_id": [], "vec_id": [], "sim_q": [], "mmr_raw": [], "sel_rank": []}
             )
         qid = int(cand_pdf["query_id"].iloc[0])
+        # the greedy below relies on _mmr_tables delivering the COMPLETE
+        # n*(n-1) pair matrix — a silently-missing pair would hit the
+        # dict default and bias selection instead of failing; if the
+        # pair build ever gains a filter/cap, fail loudly here
+        n_cand = len(cand_pdf)
+        if len(pair_pdf) != n_cand * (n_cand - 1):
+            raise ValueError(
+                f"MMR pair matrix incomplete for query {qid}: "
+                f"{len(pair_pdf)} pairs for {n_cand} candidates "
+                f"(expected {n_cand * (n_cand - 1)})"
+            )
         vid = cand_pdf["vec_id"].to_numpy()
         sim_q = cand_pdf["sim_q"].to_numpy()
         # pairwise sims as a lookup keyed by (pa index, pb vec_id)

@@ -66,8 +66,12 @@ from weather_flink_spark.plans.registry import register
                ROUND(-(CAST(SUM(s.term9) AS DOUBLE) / 1000000000.0) / t.t,
                      9) AS entropy_rate,
                ROUND(LN(CAST(t.n_states AS DOUBLE)), 9) AS max_entropy,
+               -- NULLIF: with one distinct prev_type ln(n_states)=0 and
+               -- Spark/DuckDB disagree on double 0/0 (NULL vs NaN) —
+               -- both engines emit NULL instead
                ROUND((-(CAST(SUM(s.term9) AS DOUBLE) / 1000000000.0) / t.t)
-                     / LN(CAST(t.n_states AS DOUBLE)), 6) AS efficiency
+                     / NULLIF(LN(CAST(t.n_states AS DOUBLE)), 0),
+                     6) AS efficiency
         FROM terms s CROSS JOIN tot t
         GROUP BY t.n_states, t.t
     """,
@@ -122,5 +126,9 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("n_transitions"),
         F.round(h, 9).alias("entropy_rate"),
         F.round(hmax, 9).alias("max_entropy"),
-        F.round(h / hmax, 6).alias("efficiency"),
+        # single-state chain: hmax = ln(1) = 0 and Spark's 0/0 is NaN
+        # where DuckDB's is NULL — guard so both engines emit NULL
+        F.round(F.when(hmax != F.lit(0.0), h / hmax), 6).alias(
+            "efficiency"
+        ),
     )

@@ -8,7 +8,8 @@
   quantizes to exact integer cents, the global ascending rank comes
   from the two-pass range-partitioned primitive
   (operators/global_order.attach_global_row_number — no
-  single-task sort), and the rank-weighted sum is exact BIGINT with
+  single-task sort), and the rank-weighted sum is exact
+  DECIMAL(38,0) (it grows ~n²·avg_cents, past int64 near sf10) with
   one double division at the end.
 
 Parity discipline as plans/registry.py; reference parity note: the
@@ -43,7 +44,11 @@ from weather_flink_spark.plans.registry import register
         )
         SELECT MAX(n) AS n_customers,
                CAST(SUM(cents) AS BIGINT) AS total_cents,
-               ROUND(CAST(SUM((2 * i - n - 1) * cents) AS DOUBLE)
+               -- wsum grows ~n^2*avg_cents (> int64 around sf10):
+               -- accumulate in DECIMAL(38,0) on BOTH engines so the
+               -- 'exact integer numerator' claim holds at any SF
+               ROUND(CAST(SUM(CAST(2 * i - n - 1 AS DECIMAL(19,0))
+                               * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
                      / (MAX(n) * CAST(SUM(cents) AS DOUBLE)), 9) AS gini
         FROM ranked
     """,
@@ -54,7 +59,9 @@ from weather_flink_spark.plans.registry import register
         "complementing q_orders_abc_pareto's banded view. Parity: "
         "per-customer revenue is an exact DECIMAL sum quantized to "
         "integer CENTS (a bigint), the rank weight (2i−n−1) is "
-        "integer, so the whole numerator is exact BIGINT with ONE "
+        "integer, so the whole numerator is exact DECIMAL(38,0) — not "
+        "BIGINT, which Σ(2i−n−1)·cents (~n²·avg_cents) would silently "
+        "wrap around sf10 — with ONE "
         "double division at the end. Scale: the global ascending rank "
         "uses the two-pass range-partitioned row-number primitive "
         "(operators/global_order) — the oracle's partitionless window "
@@ -86,11 +93,14 @@ def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = ranked.crossJoin(F.broadcast(tot)).agg(
         F.max("n").alias("n_customers"),
         F.max("total_cents").alias("total_cents"),
+        # DECIMAL(19,0)x(19,0) -> (38,0): the rank-weighted sum grows
+        # ~n^2*avg_cents, past int64 near sf10; decimal-38 holds to ~1e38
         F.sum(
-            (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)) * F.col("cents")
-        )
-        .cast("bigint")
-        .alias("wsum"),
+            (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)).cast(
+                "decimal(19,0)"
+            )
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("wsum"),
     )
     return num.select(
         "n_customers",
