@@ -1,0 +1,60 @@
+"""The deterministic perf gate (round-7 verdict task #1).
+
+Regenerates physical-plan node-type counts for every registered batch
+query at sf0.001 and compares them to the committed PLAN_METRICS.json.
+ANY drift fails: regressions (added shuffle, broadcast->SMJ flip, new
+Python eval node) are labeled as such; improvements fail too so they
+are re-committed deliberately via `python tools/plan_metrics.py
+--update`. Structure is deterministic where wall-clock is not — this
+replaces the sf0.1 wall-clock suite as the primary regression gate
+(BASELINE.md; wall-clock is demoted to a sanity band checked by
+tools/bench_budget.py).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+from plan_metrics import (  # noqa: E402
+    SNAPSHOT_PATH,
+    collect_metrics,
+    diff_metrics,
+)
+
+# session confs the plan shapes depend on; pin them in case an earlier
+# test in the shared session changed one
+_PINNED_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024) + "b",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def test_plan_metrics_snapshot(spark, sf_dir):
+    saved = {k: spark.conf.get(k) for k in _PINNED_CONFS}
+    for k, v in _PINNED_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        current = collect_metrics(spark, sf_dir)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    committed = json.loads(SNAPSHOT_PATH.read_text())
+    regressions, drift = diff_metrics(committed, current)
+    msg = "\n".join(regressions + drift)
+    assert not regressions, (
+        "structural plan REGRESSIONS vs committed PLAN_METRICS.json "
+        "(added shuffle / join-strategy downgrade / new Python eval):\n"
+        + msg
+    )
+    assert not drift, (
+        "plan structure drifted from committed PLAN_METRICS.json — if "
+        "intentional, run `python tools/plan_metrics.py --update`, "
+        "review the diff, and commit it:\n" + msg
+    )

@@ -1,0 +1,110 @@
+"""Per-query wall-clock budget checker (round-7 verdict task #2).
+
+BASELINE_PERQ.json is the committed machine-readable per-query
+baseline: ``{entry: {"seconds": s, "round": "rN", "protocol": ...}}``.
+This script compares a bench table (default the repo's BENCH_SELF.json)
+against it and exits nonzero iff any entry exceeds the regression
+budget: ratio > 2x AND absolute delta > 0.3 s (the absolute floor keeps
+millisecond-scale entries from flagging on scheduler jitter — the
+±10-31 s ambient band BASELINE.md documents shows up as +0.1-0.5 s per
+entry on an idle machine).
+
+Usage:
+    python tools/bench_budget.py                       # check BENCH_SELF.json
+    python tools/bench_budget.py --bench /tmp/run.json # check another table
+    python tools/bench_budget.py --rebaseline f1.json f2.json ... --round r7
+        # rewrite BASELINE_PERQ.json as the per-query MIN over the given
+        # bench tables (the merged best-of protocol BASELINE.md defines)
+
+Wall-clock is the SANITY BAND here, not the primary gate — structural
+regressions are caught deterministically by tools/plan_metrics.py +
+tests/test_plan_metrics.py (round-7 verdict task #1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+BASELINE_PATH = REPO / "BASELINE_PERQ.json"
+
+RATIO_LIMIT = 2.0
+ABS_FLOOR_SEC = 0.3
+
+
+def load_queries(path: Path) -> dict[str, float]:
+    # bench.py emits the full table first and a truncated tail summary
+    # last — take the line with the largest query table
+    best: dict[str, float] = {}
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        d = json.loads(line)
+        q = d["queries"] if "queries" in d else d
+        if len(q) > len(best):
+            best = q
+    return best
+
+
+def rebaseline(files: list[str], round_tag: str, protocol: str) -> None:
+    best: dict[str, float] = {}
+    for f in files:
+        for k, v in load_queries(Path(f)).items():
+            best[k] = min(best.get(k, v), v)
+    out = {
+        k: {"seconds": round(v, 3), "round": round_tag, "protocol": protocol}
+        for k, v in sorted(best.items())
+    }
+    BASELINE_PATH.write_text(json.dumps(out, indent=1) + "\n")
+    total = round(sum(v for v in best.values()), 1)
+    print(
+        f"wrote {BASELINE_PATH.name}: {len(out)} entries, "
+        f"merged-best total {total} s ({total / len(out):.3f} s/q)"
+    )
+
+
+def check(bench_file: Path) -> int:
+    baseline = json.loads(BASELINE_PATH.read_text())
+    bench = load_queries(bench_file)
+    over: list[tuple[str, float, float, float]] = []
+    missing = [k for k in baseline if k not in bench]
+    for k, v in bench.items():
+        base = baseline.get(k)
+        if base is None:
+            continue  # new entry since the baseline: no budget yet
+        b = base["seconds"]
+        if v > RATIO_LIMIT * b and v - b > ABS_FLOOR_SEC:
+            over.append((k, b, v, v / b if b else float("inf")))
+    for k, b, v, r in sorted(over, key=lambda t: -t[3]):
+        print(f"OVER-BUDGET {k}: baseline {b:.3f} s -> {v:.3f} s ({r:.2f}x)")
+    n_new = len([k for k in bench if k not in baseline])
+    print(
+        f"{len(bench)} benched / {len(baseline)} baselined "
+        f"({n_new} new, {len(missing)} missing from bench): "
+        f"{len(over)} over-budget (> {RATIO_LIMIT}x and > {ABS_FLOOR_SEC}s)"
+    )
+    return 1 if over else 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", default=str(REPO / "BENCH_SELF.json"))
+    ap.add_argument("--rebaseline", nargs="+", metavar="BENCH_JSON")
+    ap.add_argument("--round", default="r7")
+    ap.add_argument(
+        "--protocol",
+        default="per-query min over idle sf0.1 local[32] best-of-2 runs",
+    )
+    args = ap.parse_args()
+    if args.rebaseline:
+        rebaseline(args.rebaseline, args.round, args.protocol)
+        return
+    sys.exit(check(Path(args.bench)))
+
+
+if __name__ == "__main__":
+    main()

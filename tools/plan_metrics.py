@@ -1,0 +1,185 @@
+"""Deterministic physical-plan metrics snapshot (round-7 verdict task #1).
+
+Wall-clock at sf0.1 cost rounds 4-6 a verdict task each, re-adjudicating
+a ±10-31 s ambient band. Plan STRUCTURE is deterministic where
+wall-clock is not, and it is exactly the "is this the plan you'd want
+at 100x" signal: an added shuffle, a broadcast->SortMergeJoin flip, or
+a Python eval node sneaking into a hot path shows up here as a diff,
+on every machine, every run.
+
+For every registered BATCH query at sf0.001 this tool plans (never
+executes) the DataFrame and counts physical node types into
+``PLAN_METRICS.json``: ``{entry: {node_kind: count, ...}}``. Node
+COUNTS only — no expression IDs, partition numbers, or file paths, so
+the snapshot is stable across sessions. Streaming ``s_*`` entries are
+excluded: their registry fns RUN a micro-batch stream and return its
+materialized sink, whose batch plan is a fixture scan, not the
+streaming topology.
+
+tests/test_plan_metrics.py regenerates the metrics and fails on ANY
+drift from the committed snapshot — regressions (exchange added, SMJ
+appeared, UDF introduced) are called out as such; improvements still
+fail so they get re-committed deliberately:
+
+    python tools/plan_metrics.py --update    # accept current plans
+    python tools/plan_metrics.py             # check against committed
+
+Caching note: shared session-cached tables (llm_pipeline._SIG_CACHE &
+co.) persist() lazily at first use, so a plan shows InMemoryTableScan
+whether or not another entry materialized the cache first — the counts
+are call-order-independent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SNAPSHOT_PATH = REPO / "PLAN_METRICS.json"
+SF_DIR = "/root/testdata/sf0.001"
+
+# node kind -> regex over the physical plan string. Word boundaries keep
+# "Exchange" from matching inside "BroadcastExchange"/"ReusedExchange"
+# and "Sort" from matching inside "SortMergeJoin"/"SortAggregate".
+NODE_PATTERNS: dict[str, str] = {
+    "shuffle_exchange": r"\bExchange\b",
+    "broadcast_exchange": r"\bBroadcastExchange\b",
+    "reused_exchange": r"\bReusedExchange\b",
+    "sort_merge_join": r"\bSortMergeJoin\b",
+    "broadcast_hash_join": r"\bBroadcastHashJoin\b",
+    "shuffled_hash_join": r"\bShuffledHashJoin\b",
+    "broadcast_nested_loop_join": r"\bBroadcastNestedLoopJoin\b",
+    "cartesian_product": r"\bCartesianProduct\b",
+    "sort": r"\bSort\b",
+    "window": r"\bWindow\b",
+    "window_group_limit": r"\bWindowGroupLimit\b",
+    "python_batch_eval": r"\bBatchEvalPython\b",
+    "python_arrow_eval": r"\bArrowEvalPython\b",
+    "apply_in_pandas": r"\bFlatMapGroupsInPandas\b",
+    "cogroup_in_pandas": r"\bFlatMapCoGroupsInPandas\b",
+    "map_in_pandas": r"\bMapInPandas\b",
+    "agg_in_pandas": r"\bAggregateInPandas\b",
+    "in_memory_scan": r"\bInMemoryTableScan\b",
+    "parquet_scan": r"\bFileScan parquet\b|\bScan parquet\b",
+    "take_ordered": r"\bTakeOrderedAndProject\b",
+    "generate": r"\bGenerate\b",
+    "global_limit": r"\bGlobalLimit\b",
+}
+
+# kinds whose INCREASE is a structural regression by definition
+REGRESSION_KINDS = (
+    "shuffle_exchange",
+    "sort_merge_join",
+    "shuffled_hash_join",
+    "broadcast_nested_loop_join",
+    "cartesian_product",
+    "python_batch_eval",
+    "python_arrow_eval",
+    "apply_in_pandas",
+    "cogroup_in_pandas",
+    "map_in_pandas",
+    "agg_in_pandas",
+    "sort",
+)
+
+
+def plan_string(df) -> str:
+    """Physical plan text WITHOUT executing (AQE initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def extract(plan: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for kind, pat in NODE_PATTERNS.items():
+        n = len(re.findall(pat, plan))
+        if n:
+            out[kind] = n
+    # whole-stage codegen spans: distinct *(id) markers
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    if ids:
+        out["codegen_spans"] = len(ids)
+    return out
+
+
+def collect_metrics(spark, sf_dir: str = SF_DIR, names=None) -> dict[str, dict[str, int]]:
+    from weather_flink_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    out: dict[str, dict[str, int]] = {}
+    for name in sorted(names or specs):
+        if name.startswith("s_"):
+            continue
+        out[name] = extract(plan_string(specs[name].fn(spark, sf_dir)))
+    return out
+
+
+def diff_metrics(
+    committed: dict[str, dict[str, int]], current: dict[str, dict[str, int]]
+) -> tuple[list[str], list[str]]:
+    """Returns (regressions, other_drift) as human-readable lines."""
+    regressions: list[str] = []
+    drift: list[str] = []
+    for name in sorted(set(committed) | set(current)):
+        old, new = committed.get(name), current.get(name)
+        if old is None:
+            drift.append(f"{name}: NEW entry (no committed snapshot)")
+            continue
+        if new is None:
+            drift.append(f"{name}: entry REMOVED from registry")
+            continue
+        if old == new:
+            continue
+        for kind in sorted(set(old) | set(new)):
+            o, n = old.get(kind, 0), new.get(kind, 0)
+            if o == n:
+                continue
+            line = f"{name}: {kind} {o} -> {n}"
+            if kind in REGRESSION_KINDS and n > o:
+                regressions.append("REGRESSION " + line)
+            else:
+                drift.append(line)
+    return regressions, drift
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true")
+    ap.add_argument("--sf", default=SF_DIR)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from weather_flink_spark.session import get_spark
+
+    spark = get_spark("plan-metrics")
+    current = collect_metrics(spark, args.sf, args.names or None)
+
+    if args.update:
+        if args.names:  # partial update: merge into the committed snapshot
+            merged = json.loads(SNAPSHOT_PATH.read_text()) if SNAPSHOT_PATH.exists() else {}
+            merged.update(current)
+            current = dict(sorted(merged.items()))
+        SNAPSHOT_PATH.write_text(json.dumps(current, indent=1, sort_keys=True) + "\n")
+        print(f"wrote {SNAPSHOT_PATH.name}: {len(current)} entries")
+        return
+
+    committed = json.loads(SNAPSHOT_PATH.read_text())
+    if args.names:
+        committed = {k: v for k, v in committed.items() if k in current}
+    regressions, drift = diff_metrics(committed, current)
+    for line in regressions + drift:
+        print(line)
+    print(
+        f"{len(current)} entries checked: {len(regressions)} regressions, "
+        f"{len(drift)} other drift"
+    )
+    sys.exit(1 if (regressions or drift) else 0)
+
+
+if __name__ == "__main__":
+    main()
