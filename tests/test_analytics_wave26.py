@@ -38,11 +38,20 @@ def test_medoids_one_per_nonempty_cell_and_are_coarse(spark):
     assert all(m.node in l1_nodes for m in med)
 
 
-def test_entry_is_a_medoid(spark):
-    entry = w26.hnsw_entry_table(spark, SF).collect()
-    assert len(entry) == 1
+def test_entry_seeds_are_topm_medoids_per_query(spark):
+    from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES
+
+    seeds = w26.hnsw_entry_seeds(spark, SF).collect()
     medoids = {m.node for m in w26.l1_medoids_table(spark, SF).collect()}
-    assert entry[0].node in medoids
+    by_q: dict[int, list] = {}
+    for r in seeds:
+        assert r.node in medoids, (r.query_id, r.node)
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(IVF_N_QUERIES))
+    m = min(w26._ENTRY_M, len(medoids))
+    for qid, rows in by_q.items():
+        assert len(rows) == m, (qid, len(rows))
+        assert len({r.node for r in rows}) == m  # distinct seeds
 
 
 def test_coarse_edges_contain_highway_and_to_medoid(spark):
@@ -75,12 +84,13 @@ def test_hnsw_shape_and_determinism(spark):
     }
 
 
-def test_hnsw_recall_gates_at_ivfpq_baseline(spark):
-    """The hierarchical searcher must meet or beat the quantized
-    (IVFPQ) searcher's recall on the same query set. (It ties the
-    multi-entry flat graph at sf0.01; at this 500-row fixture the
-    single-entry routing pays a documented tax, so the flat graph is
-    not the gate here.)"""
+def test_hnsw_recall_gates_at_ivfpq_and_flat_graph(spark):
+    """The hierarchical searcher must meet or beat BOTH the quantized
+    (IVFPQ) searcher and the multi-entry flat graph on mean recall at
+    this fixture — the flat-graph gate is the round-7 close of the r6
+    verdict's task #3 (the single-apex entry paid 0.64 vs the flat
+    graph's 0.84 here; the per-query top-m medoid entry removes that
+    routing tax)."""
     h = {
         r.query_id: r.recall_at_k
         for r in all_specs()["q_sim_ann_hnsw_recall"].fn(spark, SF).collect()
@@ -89,10 +99,16 @@ def test_hnsw_recall_gates_at_ivfpq_baseline(spark):
         r.query_id: r.recall_at_k
         for r in all_specs()["q_sim_ann_ivfpq_recall"].fn(spark, SF).collect()
     }
-    assert set(h) == set(pq)
+    fg = {
+        r.query_id: r.recall_at_k
+        for r in all_specs()["q_sim_ann_graph_recall"].fn(spark, SF).collect()
+    }
+    assert set(h) == set(pq) == set(fg)
     h_mean = sum(h.values()) / len(h)
     pq_mean = sum(pq.values()) / len(pq)
+    fg_mean = sum(fg.values()) / len(fg)
     assert h_mean >= pq_mean - 1e-12, (h_mean, pq_mean)
+    assert h_mean >= fg_mean - 1e-12, (h_mean, fg_mean)
     for qid, rec in h.items():
         assert 0.0 <= rec <= 1.0, (qid, rec)
 
