@@ -1,0 +1,122 @@
+"""Wave-42: executable compaction/OPTIMIZE — the filesystem facts the
+oracle cannot see (file counts, one file per directory, tight parquet
+row-group statistics, file-level skipping profile)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+
+from weather_flink_spark.plans import analytics_wave42 as w42
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _parquet_files(d: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+
+
+def test_compaction_binpacks_48_fragments_into_target_files(spark):
+    profile = {r.file_id: r for r in all_specs()["q_layout_compact_optimize"].fn(spark, SF).collect()}
+    frag_dir, opt_dir = w42.compact_dirs(SF)
+
+    # the fixture really is fragmented: 48 small files in
+    assert len(_parquet_files(frag_dir)) == w42.N_FRAGMENTS
+
+    # compacted: one file_id directory per profile row, exactly ONE
+    # parquet file per directory (each file_id hashes to one task)
+    dirs = sorted(
+        d for d in os.listdir(opt_dir) if d.startswith("file_id=")
+    )
+    assert len(dirs) == len(profile)
+    assert len(profile) <= w42.N_TARGET_FILES + 1  # packing slack: <= 1 extra
+    for d in dirs:
+        files = _parquet_files(os.path.join(opt_dir, d))
+        assert len(files) == 1, (d, files)
+
+    # bin-pack balance: every file but the last holds >= rows_per_file
+    # rows only via cell granularity — assert no file exceeds
+    # rows_per_file by more than the largest single cell could force
+    total = sum(r.n_rows for r in profile.values())
+    rows_per_file = max(1, -(-total // w42.N_TARGET_FILES))
+    for fid, r in profile.items():
+        assert r.n_rows <= 2 * rows_per_file, (fid, r.n_rows, rows_per_file)
+
+    # nothing lost or duplicated
+    con = duckdb.connect()
+    src = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert total == src
+
+
+def test_compacted_layout_prunes_files_and_row_groups(spark):
+    """The read-back benefit, both layers:
+    - FILE skipping: the per-file px/sx spans (parquet footer min/max,
+      cross-checked via duckdb parquet_metadata) let a point predicate
+      on EITHER dimension skip a strict subset of files;
+    - ROW-GROUP skipping: files carry multiple row groups (1 KiB
+      blocks at this test scale) whose zval stats are non-overlapping
+      within a file (curve-sorted writes), so a pushed-down predicate
+      skips groups.
+    """
+    all_specs()["q_layout_compact_optimize"].fn(spark, SF).count()
+    _, opt_dir = w42.compact_dirs(SF)
+    files = _parquet_files(opt_dir)
+    con = duckdb.connect()
+    quoted = ", ".join(f"'{f}'" for f in files)
+
+    # duckdb sees the real parquet column-chunk stats
+    meta = con.execute(
+        f"""
+        SELECT file_name, row_group_id, path_in_schema,
+               CAST(stats_min_value AS BIGINT) AS mn,
+               CAST(stats_max_value AS BIGINT) AS mx
+        FROM parquet_metadata([{quoted}])
+        WHERE path_in_schema IN ('px', 'sx', 'zval')
+        """
+    ).fetchall()
+    assert meta, "no parquet stats found"
+
+    # file-level spans per dimension
+    span: dict[tuple[str, str], tuple[int, int]] = {}
+    n_groups: dict[str, set[int]] = {}
+    for fname, rg, col, mn, mx in meta:
+        assert mn is not None and mx is not None, (fname, rg, col)
+        k = (fname, col)
+        cur = span.get(k)
+        span[k] = (mn, mx) if cur is None else (min(cur[0], mn), max(cur[1], mx))
+        n_groups.setdefault(fname, set()).add(rg)
+
+    # FILE skipping: for px=3 (and sx=3) only a strict subset of files
+    # can contain matches — the z-order property on both dimensions
+    for col in ("px", "sx"):
+        covering = [
+            f for f in files if span[(f, col)][0] <= 3 <= span[(f, col)][1]
+        ]
+        assert 0 < len(covering) < len(files), (col, len(covering), len(files))
+
+    # ROW-GROUP skipping: at least one file has several row groups and
+    # its zval group-stats are pairwise non-overlapping (sorted write),
+    # so a zval range predicate reads a strict subset of groups
+    multi = [f for f in files if len(n_groups[f]) > 1]
+    assert multi, "1 KiB blocks should force multiple row groups"
+    checked = 0
+    for f in multi:
+        zstats = sorted(
+            (mn, mx)
+            for fname, rg, col, mn, mx in meta
+            if fname == f and col == "zval"
+        )
+        for (mn1, mx1), (mn2, mx2) in zip(zstats, zstats[1:]):
+            assert mx1 <= mn2, (f, zstats)  # curve-sorted: no overlap
+        checked += 1
+    assert checked > 0
+
+    # and Spark pushes the predicate down to that scan
+    back = spark.read.parquet(opt_dir).filter("zval = 77")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "zval" in plan.split("PushedFilters")[1].split("]")[0], plan[:800]

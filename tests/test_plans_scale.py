@@ -437,3 +437,84 @@ def test_partitioned_write_prunes_partitions_on_read(spark):
     )[1].split("]")[0], plan[:800]
     n = back.count()
     assert n == o.filter("o_orderstatus = 'F'").count() and n > 0
+
+
+def test_sorted_write_skips_row_groups_via_minmax_stats(spark):
+    """The other half of the 100 TB scan-pruning story (r6 verdict
+    task #7): partition pruning is proven above; this proves ROW-GROUP
+    skipping via parquet column min/max statistics. events written
+    SORTED by ts with small blocks yields many row groups per file
+    whose ts stats are pairwise non-overlapping, so a narrow time
+    predicate (a) is pushed down to the scan and (b) can only match a
+    strict subset of row groups — cross-checked against the real
+    footer stats duckdb's parquet_metadata exposes."""
+    import glob
+    import os
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.io import load
+
+    out = os.path.join(tempfile.gettempdir(), "wfs_rowgroup_probe")
+    e = load(spark, SF, "events").select("event_id", "ts", "user_id")
+    # Spark's default INT96 timestamp encoding carries NO column stats
+    # (checked: duckdb parquet_metadata shows NULL min/max) — the
+    # modern TIMESTAMP_MICROS is both the 100 TB posture and the one
+    # that makes row-group skipping possible on time columns at all
+    before_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            e.repartition(1)
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", "2048")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", before_tt)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert files
+    con = duckdb.connect()
+    quoted = ", ".join(f"'{f}'" for f in files)
+    stats = con.execute(
+        f"""
+        SELECT file_name, row_group_id,
+               CAST(stats_min_value AS TIMESTAMP) AS mn,
+               CAST(stats_max_value AS TIMESTAMP) AS mx
+        FROM parquet_metadata([{quoted}])
+        WHERE path_in_schema = 'ts'
+        ORDER BY file_name, row_group_id
+        """
+    ).fetchall()
+    assert len(stats) > 3, f"expected many row groups, got {len(stats)}"
+    spans = [(mn, mx) for _, _, mn, mx in stats]
+    assert all(mn is not None and mx is not None for mn, mx in spans)
+    # sorted write => pairwise non-overlapping group stats
+    for (_, mx1), (mn2, _) in zip(spans, spans[1:]):
+        assert mx1 <= mn2, (mx1, mn2)
+
+    # a narrow predicate: the middle row group's exact span
+    mid_mn, mid_mx = spans[len(spans) // 2]
+    matching = [1 for mn, mx in spans if not (mx < mid_mn or mn > mid_mx)]
+    assert 0 < len(matching) < len(spans), (len(matching), len(spans))
+
+    # and Spark pushes that predicate down to the parquet scan
+    back = spark.read.parquet(out).filter(
+        (F.col("ts") >= mid_mn) & (F.col("ts") <= mid_mx)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "ts" in pushed, plan[:800]
+    # correctness of the pruned read
+    n = back.count()
+    want = con.execute(
+        f"""
+        SELECT COUNT(*) FROM read_parquet([{quoted}])
+        WHERE ts >= ? AND ts <= ?
+        """,
+        [mid_mn, mid_mx],
+    ).fetchone()[0]
+    assert n == want and n > 0

@@ -1,0 +1,155 @@
+"""Wave-42 operator (round 7): executable compaction / OPTIMIZE job.
+
+- ``q_layout_compact_optimize`` — the ops-grade counterpart of the
+  round-4 design analyses (``q_layout_zorder`` profiles a layout;
+  nothing rewrote files — the r6 verdict's gap #3): a deliberately
+  small-file-fragmented copy of lineitem (48 unsorted shards, the
+  "streaming ingest aftermath" fixture) is compacted by
+  ``operators/layout.optimize_zorder`` — greedy cumulative bin-packing
+  of Morton-curve cells into ~12 target files, one curve-sorted
+  parquet file per ``file_id=N`` directory — and the entry returns the
+  READ-BACK table's skipping profile (per file: rows, distinct cells,
+  px/sx spans). The profile is fully oracle-checkable because the
+  bin-pack is deterministic integer math over the bounded cell
+  histogram; the filesystem facts the oracle cannot see (48 files in,
+  ~12 files out, exactly one file per directory, tight parquet
+  row-group stats) are asserted in tests/test_analytics_wave42.py.
+
+Scale posture: the only driver-side step is the <= 256-row cell
+histogram (bounded by curve resolution, not data); rows move in ONE
+shuffle (repartition by file_id) + in-partition sort. At 100 TB the
+same job runs per table partition with n_target_files sized from
+bytes / target file size.
+
+Parity discipline as plans/registry.py; reference parity note: the
+reference manages no storage layout (empty plan body,
+``WeatherProcessingJobPlan.java:9-11``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.analytics_wave14 import _z_value_sql
+from weather_flink_spark.plans.registry import register
+
+N_TARGET_FILES = 12
+N_FRAGMENTS = 48  # the small-file mess the job cleans up
+
+_Z_DUCK = _z_value_sql("l_partkey % 16", "l_suppkey % 16", "//")
+
+
+def compact_dirs(sf_dir: str) -> tuple[str, str]:
+    """(fragmented_dir, compacted_dir) for this process + sf."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"wfs_compact_{os.getpid()}_{abs(hash(sf_dir)) % 10_000}",
+    )
+    return base + "_frag", base + "_opt"
+
+
+def run_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable job: fragment -> compact -> return read-back."""
+    from weather_flink_spark.operators.layout import optimize_zorder
+
+    frag_dir, opt_dir = compact_dirs(sf_dir)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        (F.col("l_partkey") % 16).alias("px"),
+        (F.col("l_suppkey") % 16).alias("sx"),
+    )
+    if os.path.exists(frag_dir):
+        shutil.rmtree(frag_dir)
+    # the fixture: 48 unsorted small files (round-robin shards)
+    li.repartition(N_FRAGMENTS).write.mode("overwrite").parquet(frag_dir)
+    fragmented = spark.read.parquet(frag_dir)
+    # Small parquet blocks force multiple row groups per file even at
+    # test scale (~5 KiB files at sf0.001), so the row-group-stats
+    # assertions exercise the real mechanism. Scaled with row count
+    # (deterministic per sf): a FIXED 1 KiB block at sf0.1 costs
+    # hundreds of flushes per file (measured ~3.3 s warm); rows//8
+    # keeps ~5-10 groups per file at every sf. A production run would
+    # leave the default 128 MiB.
+    n_rows = fragmented.count()
+    block = min(max(1024, n_rows // 8), 4 * 1024 * 1024)
+    return optimize_zorder(
+        spark,
+        fragmented,
+        opt_dir,
+        "px",
+        "sx",
+        N_TARGET_FILES,
+        parquet_block_bytes=block,
+    )
+
+
+@register(
+    "q_layout_compact_optimize",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey % 16 AS px, l_suppkey % 16 AS sx,
+                   {_Z_DUCK} AS zval
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT zval, COUNT(*) AS c FROM z GROUP BY zval
+        ),
+        rpf AS (
+            SELECT GREATEST(1, (SUM(c) + {N_TARGET_FILES - 1}) // {N_TARGET_FILES})
+                   AS rows_per_file
+            FROM cells
+        ),
+        fmap AS (
+            -- greedy cumulative bin-pack along the curve: a cell opens
+            -- in the file its predecessor row count falls into
+            SELECT zval,
+                   CAST(COALESCE(SUM(c) OVER (
+                            ORDER BY zval ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        // r.rows_per_file AS INT) AS file_id
+            FROM cells CROSS JOIN rpf r
+        )
+        SELECT f.file_id,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT z.zval) AS n_cells,
+               MIN(z.px) AS px_min, MAX(z.px) AS px_max,
+               MIN(z.sx) AS sx_min, MAX(z.sx) AS sx_max
+        FROM z JOIN fmap f USING (zval)
+        GROUP BY f.file_id
+    """,
+    doc=(
+        "Executable compaction/OPTIMIZE: 48 unsorted small files are "
+        "bin-packed along the Morton curve into ~12 curve-sorted "
+        "parquet files (one per file_id directory) by "
+        "operators/layout.optimize_zorder, and the returned skipping "
+        "profile is computed from the READ-BACK table — per file: "
+        "rows, distinct curve cells, px/sx spans (narrow on BOTH "
+        "dimensions, which is what file-level min/max pruning needs). "
+        "Parity: the greedy pack is deterministic integer math over "
+        "the bounded (<= 256-row) cell histogram, replayed by the "
+        "oracle's cumulative-window SQL; file counts, one-file-per-"
+        "directory, and tight row-group stats are filesystem facts "
+        "asserted in tests. Scale: one shuffle (repartition by "
+        "file_id) + in-partition sort; the driver touches only the "
+        "cell histogram."
+    ),
+    tags=("layout", "sink", "scan", "scale"),
+)
+def q_layout_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = run_compaction(spark, sf_dir)
+    return back.groupBy(F.col("file_id").cast("int").alias("file_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("zval").alias("n_cells"),
+        F.min("px").alias("px_min"),
+        F.max("px").alias("px_max"),
+        F.min("sx").alias("sx_min"),
+        F.max("sx").alias("sx_max"),
+    )

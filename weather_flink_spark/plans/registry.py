@@ -109,6 +109,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave39,
         analytics_wave40,
         analytics_wave41,
+        analytics_wave42,
         streaming_queries,
     )
 
