@@ -211,6 +211,12 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "timeseries", "stateful", "filter"),
 )
 def s_stream_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kalman_stream_run(spark, sf_dir)
+
+
+def _kalman_stream_run(
+    spark: SparkSession, sf_dir: str, progress_sink: list | None = None
+) -> DataFrame:
     import json
     import os
     import tempfile
@@ -303,4 +309,6 @@ def s_stream_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_memory(out, output_mode="append")
+    return run_to_memory(
+        out, output_mode="append", progress_sink=progress_sink
+    )

@@ -181,9 +181,17 @@ def s_stateful_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def s_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rate_limit_run(spark)
+
+
+def _rate_limit_run(
+    spark: SparkSession, progress_sink: list | None = None
+) -> DataFrame:
     with _small_state(spark):
         return run_to_memory(
-            rate_limit_stream(_json_stream(spark)), output_mode="append"
+            rate_limit_stream(_json_stream(spark)),
+            output_mode="append",
+            progress_sink=progress_sink,
         )
 
 
@@ -499,6 +507,12 @@ def s_foreachbatch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ddww_run(spark)
+
+
+def _ddww_run(
+    spark: SparkSession, progress_sink: list | None = None
+) -> DataFrame:
     from weather_flink_spark.streaming.jobs import dedup_stream_within_watermark
 
     _configure(spark)
@@ -538,4 +552,5 @@ def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with_event_time(decode_framed_json(raw, known_magics=(0, 1)))
             ),
             output_mode="append",
+            progress_sink=progress_sink,
         )

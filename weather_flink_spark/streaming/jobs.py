@@ -275,12 +275,18 @@ def run_to_memory(
     result: DataFrame,
     output_mode: str = "append",
     timeout_s: float = 120.0,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory sink.
 
     Returns the sink contents as a batch DataFrame. availableNow
     processes everything the source currently has, then stops — the
     deterministic way to test unbounded plans on bounded fixtures.
+
+    ``progress_sink``: when given, the query's per-micro-batch progress
+    dicts (recentProgress) are appended to it before return — the
+    state-size observability hook (stateOperators rows/bytes per batch)
+    the bounded-state tests assert on.
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
@@ -300,6 +306,8 @@ def run_to_memory(
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError("streaming query did not finish in time")
+    if progress_sink is not None:
+        progress_sink.extend(q.recentProgress)
     spark = result.sparkSession
     return spark.table(name)
 
