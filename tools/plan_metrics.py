@@ -90,11 +90,45 @@ REGRESSION_KINDS = (
 
 
 def plan_string(df) -> str:
-    """Physical plan text WITHOUT executing (AQE initial plan)."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Physical plan text WITHOUT executing.
+
+    sparkPlan() (pre-AQE), not executedPlan(): an executed
+    AdaptiveSparkPlan mutates its printed plan (QueryStage wrappers,
+    final-plan re-optimization), so executedPlan() would make the
+    snapshot depend on what ran earlier in the session.
+    """
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def strip_cached_subtrees(plan: str) -> str:
+    """Drop every InMemoryRelation line AND its subtree.
+
+    A MATERIALIZED cached relation prints its full build plan under
+    the InMemoryRelation node (an un-materialized one does not), so
+    counting nodes through it would make the metrics depend on
+    execution history — the round-7 full-suite flake. The cache
+    BOUNDARY (InMemoryTableScan) stays counted; what's behind it is
+    the cached build's business, already snapshotted via the entry
+    that owns it. Depth = column of the first letter on the line
+    (Spark's tree art is spaces/:/+/-/*/digits)."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        m = re.search(r"[A-Za-z]", line)
+        depth = m.start() if m else 0
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
 
 
 def extract(plan: str) -> dict[str, int]:
+    plan = strip_cached_subtrees(plan)
     out: dict[str, int] = {}
     for kind, pat in NODE_PATTERNS.items():
         n = len(re.findall(pat, plan))
@@ -108,14 +142,34 @@ def extract(plan: str) -> dict[str, int]:
 
 
 def collect_metrics(spark, sf_dir: str = SF_DIR, names=None) -> dict[str, dict[str, int]]:
+    """Collect node-type counts for every batch entry.
+
+    Starts from a PRISTINE cache state (clearCache + _SIG_CACHE reset)
+    and walks entries in sorted order: what a plan prints depends on
+    which shared caches exist and whether they were executed (a
+    materialized InMemoryRelation prints its build subtree, and
+    executing some entries even flips later plans' cache
+    substitution — the round-7 full-suite flake), so determinism
+    comes from pinning the STATE and the ORDER, not from hoping the
+    session is fresh. Callers' caches rebuild lazily afterwards.
+    """
+    from weather_flink_spark.plans import llm_pipeline
     from weather_flink_spark.plans.registry import all_specs
 
+    spark.catalog.clearCache()
+    llm_pipeline._SIG_CACHE.clear()
     specs = all_specs()
     out: dict[str, dict[str, int]] = {}
-    for name in sorted(names or specs):
+    for name in sorted(specs):
         if name.startswith("s_"):
             continue
-        out[name] = extract(plan_string(specs[name].fn(spark, sf_dir)))
+        # ALWAYS plan the entry (cache builds run inside fn), even when
+        # only a subset is requested — a partial run must walk the same
+        # state sequence as a full run or its counts won't match the
+        # full snapshot
+        df = specs[name].fn(spark, sf_dir)
+        if not names or name in names:
+            out[name] = extract(plan_string(df))
     return out
 
 

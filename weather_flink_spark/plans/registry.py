@@ -110,6 +110,9 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave40,
         analytics_wave41,
         analytics_wave42,
+        analytics_wave43,
+        analytics_wave44,
+        analytics_wave45,
         streaming_queries,
     )
 
