@@ -113,6 +113,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave43,
         analytics_wave44,
         analytics_wave45,
+        analytics_wave46,
         streaming_queries,
     )
 
