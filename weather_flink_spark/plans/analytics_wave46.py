@@ -143,55 +143,65 @@ def _dlit(v: float) -> str:
     tags=("events", "timeseries", "anomaly", "pandas-udf"),
 )
 def q_events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.col("ts").cast("timestamp").alias("ts"),
+    e = load(spark, sf_dir, "events")
+    # ONE row per user (ordered timestamp list) BEFORE the Python
+    # crossing: per-user applyInPandas groups cost ~ms of Arrow
+    # round-trip each (1500 users = seconds of pure overhead); the
+    # wave-39 pattern — collapse to a row per key, then mapInPandas
+    # over 32 hash partitions — keeps the Python side at 32 calls.
+    # sort_array on (t_us, event_id) structs == ORDER BY ts, event_id.
+    ser = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t_us"), F.col("event_id")
+            ).alias("te"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("te")).alias("seq"))
+        .select("user_id", F.col("seq.t_us").alias("ts_us"))
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-        n = len(ts_us)
-        if n < _BURST_MIN_EVENTS or ts_us[-1] <= ts_us[0]:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_events": pd.Series([], dtype="int64"),
-                    "lambda0_raw": pd.Series([], dtype="float64"),
-                    "n_burst_events": pd.Series([], dtype="int64"),
-                    "n_episodes": pd.Series([], dtype="int64"),
-                }
+        out = []
+        for _, row in pdf.iterrows():
+            ts_us = row.ts_us
+            n = len(ts_us)
+            if n < _BURST_MIN_EVENTS or ts_us[-1] <= ts_us[0]:
+                continue
+            lam0 = (float(n - 1) * 1000000.0) / float(
+                int(ts_us[-1]) - int(ts_us[0])
             )
-        lam0 = (float(n - 1) * 1000000.0) / float(ts_us[-1] - ts_us[0])
-        # T snapped once to 9 dp like the oracle's ROUND(LN(n)*gamma, 9)
-        t_pen = round(_BURST_GAMMA * math.log(float(n)), 9)
-        d = _D0
-        n_burst = 0
-        n_epi = 0
-        prev = False
-        for i in range(1, n):
-            g = float(ts_us[i] - ts_us[i - 1]) / 1000000.0
-            d = (min(t_pen, d) - min(0.0, d)) + (lam0 * g - _LN_S)
-            if d < 0:
-                n_burst += 1
-                if not prev:
-                    n_epi += 1
-                prev = True
-            else:
-                prev = False
+            # T snapped once to 9 dp like the oracle's ROUND(LN(n), 9)
+            t_pen = round(_BURST_GAMMA * math.log(float(n)), 9)
+            d = _D0
+            n_burst = 0
+            n_epi = 0
+            prev = False
+            for i in range(1, n):
+                g = float(int(ts_us[i]) - int(ts_us[i - 1])) / 1000000.0
+                d = (min(t_pen, d) - min(0.0, d)) + (lam0 * g - _LN_S)
+                if d < 0:
+                    n_burst += 1
+                    if not prev:
+                        n_epi += 1
+                    prev = True
+                else:
+                    prev = False
+            out.append((int(row.user_id), n, lam0, n_burst, n_epi))
         return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [n],
-                "lambda0_raw": [lam0],
-                "n_burst_events": [n_burst],
-                "n_episodes": [n_epi],
-            }
+            out,
+            columns=[
+                "user_id",
+                "n_events",
+                "lambda0_raw",
+                "n_burst_events",
+                "n_episodes",
+            ],
         )
 
-    folded = e.groupBy("user_id").applyInPandas(
-        kernel,
+    folded = ser.repartition(32, "user_id").mapInPandas(
+        lambda it: (kernel(pdf) for pdf in it),
         schema="user_id bigint, n_events bigint, lambda0_raw double,"
         " n_burst_events bigint, n_episodes bigint",
     )
@@ -287,34 +297,32 @@ def _sc_oracle() -> str:
 def q_multimodal_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
 
+    c1, c2, c3, c4 = (_SC_C[k] for k in _SC_BINS)
+    f1, f2, f3, f4 = (_SC_F[k] for k in _SC_BINS)
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, row in pdf.iterrows():
-            xs = [
-                (b if b < 128 else b - 256)
-                for b in (ord(ch) for ch in row.text)
-            ]
-            st = {k: (0.0, 0.0) for k in _SC_BINS}
-            for x in xs:
-                fx = float(x)
-                for k in _SC_BINS:
-                    a, b = st[k]
-                    st[k] = ((fx + _SC_C[k] * a) - b, a)
-            p = {
-                k: (a * a + b * b) - _SC_C[k] * a * b
-                for k, (a, b) in st.items()
-            }
-            psum = p[1] + p[2] + p[3] + p[4]
-            fpsum = (
-                _SC_F[1] * p[1]
-                + _SC_F[2] * p[2]
-                + _SC_F[3] * p[3]
-                + _SC_F[4] * p[4]
-            )
+            # scalar locals, no per-sample dict/tuple churn: the dict
+            # variant measured 2.4 s of pure Python at sf0.1
+            a1 = b1 = a2 = b2 = a3 = b3 = a4 = b4 = 0.0
+            n = 0
+            for ch in row.text:
+                b = ord(ch)
+                fx = float(b if b < 128 else b - 256)
+                a1, b1 = (fx + c1 * a1) - b1, a1
+                a2, b2 = (fx + c2 * a2) - b2, a2
+                a3, b3 = (fx + c3 * a3) - b3, a3
+                a4, b4 = (fx + c4 * a4) - b4, a4
+                n += 1
+            p1 = (a1 * a1 + b1 * b1) - c1 * a1 * b1
+            p2 = (a2 * a2 + b2 * b2) - c2 * a2 * b2
+            p3 = (a3 * a3 + b3 * b3) - c3 * a3 * b3
+            p4 = (a4 * a4 + b4 * b4) - c4 * a4 * b4
+            psum = p1 + p2 + p3 + p4
+            fpsum = f1 * p1 + f2 * p2 + f3 * p3 + f4 * p4
             centroid = fpsum / psum if psum != 0 else None
-            out.append(
-                (int(row.doc_id), len(xs), p[1], p[2], p[3], p[4], centroid)
-            )
+            out.append((int(row.doc_id), n, p1, p2, p3, p4, centroid))
         return pd.DataFrame(
             out,
             columns=[
@@ -328,8 +336,8 @@ def q_multimodal_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFram
             ],
         )
 
-    folded = d.groupBy("doc_id").applyInPandas(
-        kernel,
+    folded = d.repartition(32, "doc_id").mapInPandas(
+        lambda it: (kernel(pdf) for pdf in it),
         schema="doc_id bigint, n_samples bigint, p1_raw double,"
         " p2_raw double, p3_raw double, p4_raw double, centroid_raw double",
     )
