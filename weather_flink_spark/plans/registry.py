@@ -114,6 +114,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave44,
         analytics_wave45,
         analytics_wave46,
+        analytics_wave47,
         streaming_queries,
     )
 
