@@ -1113,6 +1113,195 @@ def main() -> None:
 
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
+    # ------------------------------------------------------------------
+    # round-7 shapes (waves 42-47)
+    # ------------------------------------------------------------------
+
+    # wave-43: packed sign-bit codes + exhaustive Hamming scan (the
+    # binary-quantization tier's whole point: 16 bytes/vector moved)
+    def bq_scan(e):
+        from pyspark.sql import Window
+
+        lo = (
+            "aggregate(transform(slice(embedding, 1, 32),"
+            " (x, i) -> IF(cast(x as double) > 0d, shiftleft(1L, i), 0L)),"
+            " 0L, (a, b) -> a + b)"
+        )
+        hi = lo.replace("slice(embedding, 1, 32)", "slice(embedding, 33, 32)")
+        codes = e.select(
+            "vec_id", F.expr(lo).alias("b_lo"), F.expr(hi).alias("b_hi")
+        )
+        q = codes.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("b_lo").alias("q_lo"),
+            F.col("b_hi").alias("q_hi"),
+        )
+        ham = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("b_lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("b_hi")))
+            ).alias("hamming"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("hamming").asc(), F.col("vec_id").asc()
+        )
+        return (
+            ham.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .count()
+        )
+
+    results["binary_hamming_scan"] = {
+        "x1": timed(lambda: bq_scan(emb)),
+        "xN": timed(lambda: bq_scan(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
+    # wave-46: per-key sequential fold plumbing (collect_list -> one
+    # row per user -> mapInPandas over 32 partitions)
+    def burst_fold(e):
+        import math as _math
+
+        import pandas as pd
+
+        ser = (
+            e.select(
+                "user_id",
+                F.struct(
+                    F.unix_micros("ts").alias("t_us"), F.col("event_id")
+                ).alias("te"),
+            )
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_list("te")).alias("seq"))
+            .select("user_id", F.col("seq.t_us").alias("ts_us"))
+        )
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _, row in pdf.iterrows():
+                ts = row.ts_us
+                n = len(ts)
+                if n < 3 or ts[-1] <= ts[0]:
+                    continue
+                lam0 = (float(n - 1) * 1e6) / float(int(ts[-1]) - int(ts[0]))
+                tp = round(_math.log(float(n)), 9)
+                d = 1.0e18
+                nb = 0
+                for i in range(1, n):
+                    g = float(int(ts[i]) - int(ts[i - 1])) / 1e6
+                    d = (min(tp, d) - min(0.0, d)) + (lam0 * g - 0.6931471805599453)
+                    nb += d < 0
+                out.append((int(row.user_id), nb))
+            return pd.DataFrame(out, columns=["user_id", "nb"])
+
+        return (
+            ser.repartition(32, "user_id")
+            .mapInPandas(lambda it: (kern(p) for p in it), schema="user_id long, nb long")
+            .count()
+        )
+
+    ev = load(spark, args.sf, "events")
+    results["burst_perkey_fold"] = {
+        "x1": timed(lambda: burst_fold(ev)),
+        "xN": timed(lambda: burst_fold(scaled(ev, ["user_id", "event_id"], K, STRIDE))),
+    }
+
+    # wave-45: the data-sized phase of Markov attribution (journey
+    # window + transition-count groupBy; the hop recursion is bounded
+    # model math on top)
+    def markov_trans(e):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        prev = F.lag("event_type").over(w)
+        seq = e.select(
+            "event_type",
+            F.when(prev.isNull() | (prev == "purchase"), F.lit("__START__"))
+            .otherwise(prev)
+            .alias("src"),
+        )
+        return seq.groupBy("src", "event_type").count().count()
+
+    results["markov_transition_build"] = {
+        "x1": timed(lambda: markov_trans(ev)),
+        "xN": timed(lambda: markov_trans(scaled(ev, ["user_id", "event_id"], K, STRIDE))),
+    }
+
+    # wave-47: within-basket triple generation (cubic in basket size,
+    # linear in baskets)
+    def triples(l):
+        op = l.select("l_orderkey", "l_partkey").dropDuplicates()
+        sz = op.groupBy("l_orderkey").count().filter(F.col("count") >= 3).select("l_orderkey")
+        qual = op.join(sz, "l_orderkey")
+        a, b, c = qual.alias("a"), qual.alias("b"), qual.alias("c")
+        t = (
+            a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey")) & (F.col("b.l_partkey") > F.col("a.l_partkey")))
+            .join(c, (F.col("c.l_orderkey") == F.col("a.l_orderkey")) & (F.col("c.l_partkey") > F.col("b.l_partkey")))
+            .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"), F.col("c.l_partkey").alias("p3"))
+        )
+        return t.groupBy("p1", "p2", "p3").count().filter(F.col("count") >= 2).count()
+
+    results["apriori_triples"] = {
+        "x1": timed(lambda: triples(li)),
+        "xN": timed(lambda: triples(scaled(li, ["l_orderkey"], K, STRIDE))),
+    }
+
+    # wave-47: boilerplate gram explode + (source,gram) groupBy + join
+    def boiler(d):
+        toks = d.select("doc_id", "source", F.split(F.lower("text"), " ").alias("tok"))
+        grams = toks.filter(F.size("tok") >= 3).select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tok") - F.lit(3)),
+                    lambda i: F.array_join(F.slice(F.col("tok"), i + 1, 3), " "),
+                )
+            ).alias("gram"),
+        )
+        bp = (
+            grams.select("source", "gram", "doc_id").distinct()
+            .groupBy("source", "gram").count()
+            .filter(F.col("count") >= 3).select("source", "gram")
+        )
+        return (
+            grams.join(bp.withColumnRenamed("gram", "bg").withColumnRenamed("source", "bs"),
+                       (F.col("source") == F.col("bs")) & (F.col("gram") == F.col("bg")), "left")
+            .groupBy("doc_id").agg(F.count("*"), F.count("bg")).count()
+        )
+
+    results["boilerplate_grams"] = {
+        "x1": timed(lambda: boiler(docs)),
+        "xN": timed(lambda: boiler(scaled(docs, ["doc_id"], K, STRIDE))),
+    }
+
+    # wave-42: the compaction/OPTIMIZE job itself (histogram + ONE
+    # shuffle + sorted partitioned write); writes to tmp, cleaned after
+    def compact(l, tag):
+        import shutil
+        import tempfile
+        import os
+
+        from weather_flink_spark.operators.layout import optimize_zorder
+
+        src = l.select(
+            "l_orderkey",
+            (F.col("l_partkey") % 16).alias("px"),
+            (F.col("l_suppkey") % 16).alias("sx"),
+        )
+        out = os.path.join(tempfile.gettempdir(), f"wfs_probe_compact_{tag}")
+        n = optimize_zorder(spark, src, out, "px", "sx", 12).count()
+        shutil.rmtree(out, ignore_errors=True)
+        return n
+
+    results["compaction_binpack_write"] = {
+        "x1": timed(lambda: compact(li, "x1")),
+        "xN": timed(lambda: compact(scaled(li, ["l_orderkey"], K, STRIDE), "xN")),
+    }
+
     print(json.dumps({"copies": K, "sf": args.sf, "results": results}, indent=2))
 
 
