@@ -115,6 +115,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave45,
         analytics_wave46,
         analytics_wave47,
+        analytics_wave48,
         streaming_queries,
     )
 
