@@ -56,7 +56,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated substrings; run only matching shapes "
+        "(a full run re-measures 31 shapes to add one — this skips "
+        "the rest)",
+    )
     args = ap.parse_args()
+    only = [s.strip() for s in args.only.split(",")] if args.only else None
+
+    def want(name: str) -> bool:
+        return only is None or any(sub in name for sub in only)
     spark = get_spark("scaling-probe")
     K = args.copies
     STRIDE = 10_000_000
@@ -75,7 +86,7 @@ def main() -> None:
             .count()
         )
 
-    results["scan_filter_agg"] = {
+    results["scan_filter_agg"] = want("scan_filter_agg") and {
         "x1": timed(lambda: q1(li)),
         "xN": timed(lambda: q1(scaled(li, ["l_orderkey"], K, STRIDE))),
     }
@@ -88,7 +99,7 @@ def main() -> None:
             .count()
         )
 
-    results["fact_join_agg"] = {
+    results["fact_join_agg"] = want("fact_join_agg") and {
         "x1": timed(lambda: join_agg(li, orders)),
         "xN": timed(
             lambda: join_agg(
@@ -105,7 +116,7 @@ def main() -> None:
         t.unpersist()
         return n
 
-    results["minhash_signatures"] = {
+    results["minhash_signatures"] = want("minhash_signatures") and {
         "x1": timed(lambda: sig_build(docs)),
         "xN": timed(lambda: sig_build(scaled(docs, ["doc_id"], K, STRIDE))),
     }
@@ -129,7 +140,7 @@ def main() -> None:
             .count()
         )
 
-    results["cosine_topk_bruteforce"] = {
+    results["cosine_topk_bruteforce"] = want("cosine_topk_bruteforce") and {
         "x1": timed(lambda: topk(emb)),
         "xN": timed(lambda: topk(scaled(emb, ["vec_id"], K, STRIDE))),
     }
@@ -154,7 +165,7 @@ def main() -> None:
         ).count()
 
     events = load(spark, args.sf, "events")
-    results["cdc_merge_upsert"] = {
+    results["cdc_merge_upsert"] = want("cdc_merge_upsert") and {
         "x1": timed(lambda: cdc_merge(events)),
         "xN": timed(lambda: cdc_merge(scaled(events, ["user_id", "event_id"], K, STRIDE))),
     }
@@ -184,7 +195,7 @@ def main() -> None:
 
     # scale orders only (keys shift) — baskets keep their size, so the
     # pair space grows linearly with orders, not quadratically
-    results["triangle_count"] = {
+    results["triangle_count"] = want("triangle_count") and {
         "x1": timed(lambda: triangles(li)),
         "xN": timed(lambda: triangles(scaled(li, ["l_orderkey"], K, STRIDE))),
     }
@@ -215,7 +226,7 @@ def main() -> None:
             .count()
         )
 
-    results["kmeans_one_iteration"] = {
+    results["kmeans_one_iteration"] = want("kmeans_one_iteration") and {
         "x1": timed(lambda: kmeans_iter(emb)),
         "xN": timed(lambda: kmeans_iter(scaled(emb, ["vec_id"], K, STRIDE))),
     }
@@ -248,7 +259,7 @@ def main() -> None:
 
     # doc_id shifts per copy, so copies duplicate CONTENT across new ids —
     # the worst case for the shared-set size (it grows with copies)
-    results["paragraph_dedup"] = {
+    results["paragraph_dedup"] = want("paragraph_dedup") and {
         "x1": timed(lambda: paragraph_dedup(docs)),
         "xN": timed(lambda: paragraph_dedup(scaled(docs, ["doc_id"], K, STRIDE))),
     }
@@ -292,7 +303,7 @@ def main() -> None:
     # centroid count grows with the corpus (stride-based), so cell size
     # stays ~constant and within-cell pair work grows LINEARLY — the
     # SemDeDup scale property this probe exists to demonstrate
-    results["semantic_dedup_cells"] = {
+    results["semantic_dedup_cells"] = want("semantic_dedup_cells") and {
         "x1": timed(lambda: semantic_cells(emb)),
         "xN": timed(lambda: semantic_cells(scaled(emb, ["vec_id"], K, STRIDE))),
     }
@@ -365,7 +376,7 @@ def main() -> None:
         assigned.unpersist()
         return n
 
-    results["semantic_dedup_hierarchical"] = {
+    results["semantic_dedup_hierarchical"] = want("semantic_dedup_hierarchical") and {
         "x1": timed(lambda: semantic_cells_hier(emb)),
         "xN": timed(lambda: semantic_cells_hier(scaled(emb, ["vec_id"], K, STRIDE))),
     }
@@ -402,7 +413,7 @@ def main() -> None:
 
     # the round-2 verdict's "done" gate: assignment factor ~linear in n
     # (was ~10x super-linear for the stride-based centroid rule)
-    results["ivf_assignment_fixedk"] = {
+    results["ivf_assignment_fixedk"] = want("ivf_assignment_fixedk") and {
         "x1": timed(lambda: ivf_assignment_fixedk(emb)),
         "xN": timed(lambda: ivf_assignment_fixedk(scaled(emb, ["vec_id"], K, STRIDE))),
     }
@@ -432,7 +443,7 @@ def main() -> None:
         assigned.unpersist()
         return n
 
-    results["semantic_dedup_fixedk_bounded"] = {
+    results["semantic_dedup_fixedk_bounded"] = want("semantic_dedup_fixedk_bounded") and {
         "x1": timed(lambda: semantic_cells_fixedk_bounded(emb)),
         "xN": timed(
             lambda: semantic_cells_fixedk_bounded(scaled(emb, ["vec_id"], K, STRIDE))
@@ -447,7 +458,7 @@ def main() -> None:
 
     # linear map phase + fixed-size (d²) reduce: factor should track the
     # row count, never the d² reduction
-    results["pca_gramian"] = {
+    results["pca_gramian"] = want("pca_gramian") and {
         "x1": timed(lambda: pca_gramian(emb)),
         "xN": timed(lambda: pca_gramian(scaled(emb, ["vec_id"], K, STRIDE))),
     }
@@ -489,7 +500,7 @@ def main() -> None:
         )
         return isl.groupBy("doc_id", "island").count().count()
 
-    results["suffix_dup_spans"] = {
+    results["suffix_dup_spans"] = want("suffix_dup_spans") and {
         "x1": timed(lambda: suffix_dup_spans(docs)),
         "xN": timed(lambda: suffix_dup_spans(scaled(docs, ["doc_id"], K, STRIDE))),
     }
@@ -525,7 +536,7 @@ def main() -> None:
         )
 
     # scale customers (not parts): pair volume must track customer count
-    results["item_jaccard_degcapped"] = {
+    results["item_jaccard_degcapped"] = want("item_jaccard_degcapped") and {
         "x1": timed(lambda: item_jaccard(orders, li)),
         "xN": timed(
             lambda: item_jaccard(
@@ -572,7 +583,7 @@ def main() -> None:
         )
 
     # scale orders: wedge volume must track order count (baskets bounded)
-    results["adamic_adar_minco_prefiltered"] = {
+    results["adamic_adar_minco_prefiltered"] = want("adamic_adar_minco_prefiltered") and {
         "x1": timed(lambda: adamic_adar(li)),
         "xN": timed(lambda: adamic_adar(scaled(li, ["l_orderkey"], K, STRIDE))),
     }
@@ -686,10 +697,11 @@ def main() -> None:
         assigned.unpersist()
         return t_build, t_search
 
-    b1, s1 = graph_ann_phases(emb)
-    bN, sN = graph_ann_phases(scaled(emb, ["vec_id"], K, STRIDE))
-    results["graph_ann_index_build"] = {"x1": b1, "xN": bN}
-    results["graph_ann_beam_search"] = {"x1": s1, "xN": sN}
+    if want("graph_ann_index_build") or want("graph_ann_beam_search"):
+        b1, s1 = graph_ann_phases(emb)
+        bN, sN = graph_ann_phases(scaled(emb, ["vec_id"], K, STRIDE))
+        results["graph_ann_index_build"] = {"x1": b1, "xN": bN}
+        results["graph_ann_beam_search"] = {"x1": s1, "xN": sN}
 
     def ivfpq_adc(e):
         """Round-4 probe: IVF+PQ ADC scan (probe-local mirror of
@@ -801,7 +813,7 @@ def main() -> None:
         lut.unpersist()
         return t_scan
 
-    results["ivfpq_adc_scan"] = {
+    results["ivfpq_adc_scan"] = want("ivfpq_adc_scan") and {
         "x1": ivfpq_adc(emb),
         "xN": ivfpq_adc(scaled(emb, ["vec_id"], K, STRIDE)),
     }
@@ -865,7 +877,7 @@ def main() -> None:
         sh.unpersist()
         return t
 
-    results["incremental_dedup_ingest"] = {
+    results["incremental_dedup_ingest"] = want("incremental_dedup_ingest") and {
         "x1": incremental_dedup(docs),
         "xN": incremental_dedup(scaled(docs, ["doc_id"], K, STRIDE)),
     }
@@ -915,7 +927,7 @@ def main() -> None:
         return timed(run)
 
     ev = load(spark, args.sf, "events")
-    results["opq_rotate_scan"] = {
+    results["opq_rotate_scan"] = want("opq_rotate_scan") and {
         "x1": opq_rotate_scan(emb),
         "xN": opq_rotate_scan(scaled(emb, ["vec_id"], K, STRIDE)),
     }
@@ -971,7 +983,7 @@ def main() -> None:
 
         return timed(run)
 
-    results["funnel_attribution_sessions"] = {
+    results["funnel_attribution_sessions"] = want("funnel_attribution_sessions") and {
         "x1": funnel_attribution(ev),
         "xN": funnel_attribution(scaled(ev, ["user_id", "event_id"], K, STRIDE)),
     }
@@ -1035,7 +1047,7 @@ def main() -> None:
 
         return timed(run)
 
-    results["hnsw_coarse_build"] = {
+    results["hnsw_coarse_build"] = want("hnsw_coarse_build") and {
         "x1": hnsw_coarse_build(emb),
         "xN": hnsw_coarse_build(scaled(emb, ["vec_id"], K, STRIDE)),
     }
@@ -1067,7 +1079,7 @@ def main() -> None:
 
         return timed(run)
 
-    results["dau_wau_range_join"] = {
+    results["dau_wau_range_join"] = want("dau_wau_range_join") and {
         "x1": dau_wau(events),
         "xN": dau_wau(scaled(events, ["user_id"], K, STRIDE)),
     }
@@ -1106,13 +1118,11 @@ def main() -> None:
 
         return timed(run)
 
-    results["kcenter_greedy_round"] = {
+    results["kcenter_greedy_round"] = want("kcenter_greedy_round") and {
         "x1": kcenter_round(emb),
         "xN": kcenter_round(scaled(emb, ["vec_id"], K, STRIDE)),
     }
 
-    for name, r in results.items():
-        r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
     # ------------------------------------------------------------------
     # round-7 shapes (waves 42-47)
     # ------------------------------------------------------------------
@@ -1153,7 +1163,7 @@ def main() -> None:
             .count()
         )
 
-    results["binary_hamming_scan"] = {
+    results["binary_hamming_scan"] = want("binary_hamming_scan") and {
         "x1": timed(lambda: bq_scan(emb)),
         "xN": timed(lambda: bq_scan(scaled(emb, ["vec_id"], K, STRIDE))),
     }
@@ -1202,7 +1212,7 @@ def main() -> None:
         )
 
     ev = load(spark, args.sf, "events")
-    results["burst_perkey_fold"] = {
+    results["burst_perkey_fold"] = want("burst_perkey_fold") and {
         "x1": timed(lambda: burst_fold(ev)),
         "xN": timed(lambda: burst_fold(scaled(ev, ["user_id", "event_id"], K, STRIDE))),
     }
@@ -1225,7 +1235,7 @@ def main() -> None:
         )
         return seq.groupBy("src", "event_type").count().count()
 
-    results["markov_transition_build"] = {
+    results["markov_transition_build"] = want("markov_transition_build") and {
         "x1": timed(lambda: markov_trans(ev)),
         "xN": timed(lambda: markov_trans(scaled(ev, ["user_id", "event_id"], K, STRIDE))),
     }
@@ -1244,7 +1254,7 @@ def main() -> None:
         )
         return t.groupBy("p1", "p2", "p3").count().filter(F.col("count") >= 2).count()
 
-    results["apriori_triples"] = {
+    results["apriori_triples"] = want("apriori_triples") and {
         "x1": timed(lambda: triples(li)),
         "xN": timed(lambda: triples(scaled(li, ["l_orderkey"], K, STRIDE))),
     }
@@ -1273,7 +1283,7 @@ def main() -> None:
             .groupBy("doc_id").agg(F.count("*"), F.count("bg")).count()
         )
 
-    results["boilerplate_grams"] = {
+    results["boilerplate_grams"] = want("boilerplate_grams") and {
         "x1": timed(lambda: boiler(docs)),
         "xN": timed(lambda: boiler(scaled(docs, ["doc_id"], K, STRIDE))),
     }
@@ -1297,11 +1307,14 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         return n
 
-    results["compaction_binpack_write"] = {
+    results["compaction_binpack_write"] = want("compaction_binpack_write") and {
         "x1": timed(lambda: compact(li, "x1")),
         "xN": timed(lambda: compact(scaled(li, ["l_orderkey"], K, STRIDE), "xN")),
     }
 
+    results = {k: v for k, v in results.items() if v}
+    for name, r in results.items():
+        r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
     print(json.dumps({"copies": K, "sf": args.sf, "results": results}, indent=2))
 
 
