@@ -120,3 +120,46 @@ def test_compacted_layout_prunes_files_and_row_groups(spark):
     back = spark.read.parquet(opt_dir).filter("zval = 77")
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "zval" in plan.split("PushedFilters")[1].split("]")[0], plan[:800]
+
+
+def test_compacted_layout_cuts_bytes_read(spark):
+    """END-TO-END bytes proof from Spark's own scan metrics (not just
+    footer metadata): a zval-range query routed through the curve's
+    file_id mapping reads FEWER files and FEWER bytes than the full
+    table, and returns exactly the rows the unpruned filter returns.
+    (Spark prunes FILES only via partition values, so the query
+    carries the file_id range the bounded cell->file map derives for
+    the zval range — exactly how a user targets a curve region.)"""
+    all_specs()["q_layout_compact_optimize"].fn(spark, SF).count()
+    _, opt_dir = w42.compact_dirs(SF)
+
+    def scan_metrics(df):
+        df.collect()
+        node = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        m = node.metrics()
+        return (
+            int(m.apply("numFiles").value()),
+            int(m.apply("filesSize").value()),
+        )
+
+    full = spark.read.parquet(opt_dir)
+    n_files_total, bytes_total = scan_metrics(full)
+
+    # target one curve region: zval in [64, 96) -> its file_id range
+    # from the data itself (the bounded cell->file map)
+    fmap = {
+        r.zval: r.file_id
+        for r in full.select("zval", "file_id").distinct().collect()
+    }
+    fids = sorted({f for z, f in fmap.items() if 64 <= z < 96})
+    assert fids, "fixture should populate the probed curve region"
+    pruned = full.filter(
+        full.file_id.isin(fids) & (full.zval >= 64) & (full.zval < 96)
+    )
+    n_files_pruned, bytes_pruned = scan_metrics(pruned)
+
+    assert 0 < n_files_pruned < n_files_total, (n_files_pruned, n_files_total)
+    assert 0 < bytes_pruned < bytes_total, (bytes_pruned, bytes_total)
+    # correctness: the pruned read returns exactly the unpruned answer
+    want = full.filter((full.zval >= 64) & (full.zval < 96)).count()
+    assert pruned.count() == want and want > 0
