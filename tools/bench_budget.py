@@ -69,6 +69,10 @@ def rebaseline(files: list[str], round_tag: str, protocol: str) -> None:
 
 def check(bench_file: Path) -> int:
     baseline = json.loads(BASELINE_PATH.read_text())
+    adjudications: dict = {}
+    adj_path = REPO / "BENCH_ADJUDICATIONS.json"
+    if adj_path.exists():
+        adjudications = json.loads(adj_path.read_text())
     bench = load_queries(bench_file)
     over: list[tuple[str, float, float, float]] = []
     missing = [k for k in baseline if k not in bench]
@@ -78,6 +82,16 @@ def check(bench_file: Path) -> int:
             continue  # new entry since the baseline: no budget yet
         b = base["seconds"]
         if v > RATIO_LIMIT * b and v - b > ABS_FLOOR_SEC:
+            # a recorded adjudication waives the flag ONLY while the
+            # measurement stays under its stated ceiling — a real
+            # regression past the ceiling still fails
+            adj = adjudications.get(k)
+            if adj and v <= adj["max_seconds"]:
+                print(
+                    f"ADJUDICATED {k}: {v:.3f} s (<= {adj['max_seconds']} s "
+                    f"waiver, {adj['round']}: {adj['reason']})"
+                )
+                continue
             over.append((k, b, v, v / b if b else float("inf")))
     for k, b, v, r in sorted(over, key=lambda t: -t[3]):
         print(f"OVER-BUDGET {k}: baseline {b:.3f} s -> {v:.3f} s ({r:.2f}x)")
