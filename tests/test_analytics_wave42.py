@@ -37,13 +37,31 @@ def test_compaction_binpacks_48_fragments_into_target_files(spark):
         files = _parquet_files(os.path.join(opt_dir, d))
         assert len(files) == 1, (d, files)
 
-    # bin-pack balance: every file but the last holds >= rows_per_file
-    # rows only via cell granularity — assert no file exceeds
-    # rows_per_file by more than the largest single cell could force
+    # bin-pack balance: cells are atomic in pack_cells_greedy, so the
+    # tight guarantee is rows_per_file + (largest single cell - 1) —
+    # a file stops admitting new cells once it crosses rows_per_file,
+    # and the crossing cell is the only overshoot (the old fixed 2x
+    # bound only held because the fixture's histogram was flat —
+    # ADVICE r7). Compute the max cell count from the source itself.
     total = sum(r.n_rows for r in profile.values())
     rows_per_file = max(1, -(-total // w42.N_TARGET_FILES))
+    con_cells = duckdb.connect()
+    max_cell = con_cells.execute(
+        f"""
+        SELECT MAX(c) FROM (
+            SELECT {w42._Z_DUCK} AS zval, COUNT(*) AS c
+            FROM read_parquet('{SF}/lineitem.parquet') lineitem
+            GROUP BY zval
+        )
+        """
+    ).fetchone()[0]
     for fid, r in profile.items():
-        assert r.n_rows <= 2 * rows_per_file, (fid, r.n_rows, rows_per_file)
+        assert r.n_rows <= rows_per_file + max_cell - 1, (
+            fid,
+            r.n_rows,
+            rows_per_file,
+            max_cell,
+        )
 
     # nothing lost or duplicated
     con = duckdb.connect()

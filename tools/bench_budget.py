@@ -76,6 +76,25 @@ def check(bench_file: Path) -> int:
     bench = load_queries(bench_file)
     over: list[tuple[str, float, float, float]] = []
     missing = [k for k in baseline if k not in bench]
+    # A baseline entry absent from the bench table is a silent gap
+    # (renamed, or skipped before timing) — fail it like an over-budget
+    # entry UNLESS it was deliberately dropped from the registry too
+    # (then it's a stale baseline row: WARN, prune on next rebaseline).
+    missing_live: list[str] = []
+    if missing:
+        try:
+            from weather_flink_spark.plans.registry import all_specs
+
+            live = set(all_specs())
+        except Exception as exc:  # registry unimportable: treat all as live
+            print(f"WARN: registry import failed ({exc}); all missing treated as live")
+            live = set(missing)
+        for k in missing:
+            if k in live:
+                missing_live.append(k)
+                print(f"MISSING {k}: baselined + registered but absent from bench table")
+            else:
+                print(f"WARN stale-baseline {k}: no longer in the registry")
     for k, v in bench.items():
         base = baseline.get(k)
         if base is None:
@@ -99,9 +118,10 @@ def check(bench_file: Path) -> int:
     print(
         f"{len(bench)} benched / {len(baseline)} baselined "
         f"({n_new} new, {len(missing)} missing from bench): "
-        f"{len(over)} over-budget (> {RATIO_LIMIT}x and > {ABS_FLOOR_SEC}s)"
+        f"{len(over)} over-budget (> {RATIO_LIMIT}x and > {ABS_FLOOR_SEC}s), "
+        f"{len(missing_live)} live-but-unbenched"
     )
-    return 1 if over else 0
+    return 1 if over or missing_live else 0
 
 
 def main() -> None:

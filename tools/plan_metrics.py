@@ -7,8 +7,12 @@ at 100x" signal: an added shuffle, a broadcast->SortMergeJoin flip, or
 a Python eval node sneaking into a hot path shows up here as a diff,
 on every machine, every run.
 
-For every registered BATCH query at sf0.001 this tool plans (never
-executes) the DataFrame and counts physical node types into
+For every registered BATCH query at sf0.001 this tool plans the final
+DataFrame without collecting it (entry fns themselves may still
+materialize session caches or write fixtures — e.g. cached-table
+count()/persist() builds, q_layout_compact_optimize's parquet
+rewrite — so a run does real I/O even though the returned frame is
+only planned) and counts physical node types into
 ``PLAN_METRICS.json``: ``{entry: {node_kind: count, ...}}``. Node
 COUNTS only — no expression IDs, partition numbers, or file paths, so
 the snapshot is stable across sessions. Streaming ``s_*`` entries are

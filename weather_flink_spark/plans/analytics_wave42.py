@@ -46,10 +46,17 @@ _Z_DUCK = _z_value_sql("l_partkey % 16", "l_suppkey % 16", "//")
 
 
 def compact_dirs(sf_dir: str) -> tuple[str, str]:
-    """(fragmented_dir, compacted_dir) for this process + sf."""
+    """(fragmented_dir, compacted_dir) for this process + sf.
+
+    The sf suffix is a deterministic collision-free md5 of the path
+    (Python's salted ``hash()`` could collide two sf_dirs mod 1e4 in
+    one process and clobber their fixtures, and was unreproducible
+    across runs for debugging — ADVICE r7)."""
+    import hashlib
+
     base = os.path.join(
         tempfile.gettempdir(),
-        f"wfs_compact_{os.getpid()}_{abs(hash(sf_dir)) % 10_000}",
+        f"wfs_compact_{os.getpid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     return base + "_frag", base + "_opt"
 
