@@ -167,9 +167,13 @@ def _attribution_oracle() -> str:
         "BIGINT; every hop is Σ P6·p6 (term ≤ 1e12, bounded states — "
         "BIGINT-safe) then TRUNCATING division by 1e6; absorbing "
         "states re-union after every hop. Doubles only in the two "
-        "final ratio columns. Scale: one user_id window pass, then "
-        "all (removal × state) recursions in ONE bounded "
-        "|channels|·|states|² joined plan — never data-sized."
+        "final ratio columns. Scale: one user_id window pass builds "
+        "the transition matrix distributed; the matrix is BOUNDED "
+        "(<= |states|² rows, sanctioned bounded-collect class), so "
+        "the (removal × state) hop recursion is exact driver-side "
+        "integer math (r7 verdict #4 trim: the join-chain version "
+        "spent 5.3 s re-optimizing the events lineage per hop), and "
+        "the rounding-sensitive ratios stay in Spark expressions."
     ),
     tags=("events", "attribution", "markov", "analytics"),
 )
@@ -188,15 +192,34 @@ def q_events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("src_state"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+    # one window pass: each event emits its journey move plus (iff it
+    # is a non-converting journey end) the END absorb edge — the
+    # explode-of-concat is the same multiset as the oracle's UNION ALL
+    # but never evaluates the user_id window twice
     moves = seq.select(
-        F.col("src_state").alias("src"), F.col("event_type").alias("dst")
-    ).unionByName(
-        seq.filter(
-            F.col("next_type").isNull() & (F.col("event_type") != _CONV)
-        ).select(
-            F.col("event_type").alias("src"), F.lit("__END__").alias("dst")
-        )
-    )
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("src_state").alias("src"),
+                        F.col("event_type").alias("dst"),
+                    )
+                ),
+                F.when(
+                    F.col("next_type").isNull()
+                    & (F.col("event_type") != _CONV),
+                    F.array(
+                        F.struct(
+                            F.col("event_type").alias("src"),
+                            F.lit("__END__").alias("dst"),
+                        )
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<src:string,dst:string>>")
+                ),
+            )
+        ).alias("m")
+    ).select("m.src", "m.dst")
     c = moves.groupBy("src", "dst").agg(
         F.count("*").cast("bigint").alias("cst")
     )
@@ -208,62 +231,49 @@ def q_events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p6"),
     )
-    channels = (
-        e.select(F.col("event_type").alias("ch"))
-        .filter(F.col("ch") != _CONV)
-        .distinct()
+    # BOUNDED collect (sanctioned class, like q_attr_markov_removal's
+    # 7x7 matrix): <= |states|^2 rows regardless of event volume. The
+    # r7 close measured the distributed (removal x state) hop chain at
+    # 5.3 s — not from data volume (the data-sized phase ends at
+    # ``trans``) but from 3 join+groupBy stages each re-optimizing the
+    # events-window lineage. The hop recursion is exact integer math
+    # over this bounded matrix, so it runs driver-side (r7 verdict #4:
+    # "compute all hops over the collected <=|states|^2 matrix"); the
+    # rounding-sensitive final ratios stay in Spark expressions so the
+    # result is bit-identical to the distributed formulation.
+    rows = [(r.src, r.dst, r.p6) for r in trans.collect()]
+    # every non-conversion event type appears as some move's dst, so
+    # the channel set is exactly {dst} - {purchase, __END__}
+    channels = sorted(
+        {dst for _, dst, _ in rows} - {_CONV, "__END__"}
     )
-    removals = channels.select(F.col("ch").alias("r")).unionByName(
-        spark.createDataFrame([("__NONE__",)], "r string")
-    )
-    absorb = spark.createDataFrame(
-        [(_CONV, _SCALE), ("__END__", 0)], "s string, p6 bigint"
-    )
-    srcs = trans.select(F.col("src").alias("s")).distinct()
-    absorb_rows = removals.crossJoin(F.broadcast(absorb)).select(
-        "r", "s", "p6"
-    )
-    p = (
-        srcs.crossJoin(F.broadcast(removals))
-        .select("r", "s", F.lit(0).cast("bigint").alias("p6"))
-        .unionByName(absorb_rows)
-    )
+    removals = channels + ["__NONE__"]
+    srcs = sorted({src for src, _, _ in rows})
+    p: dict[tuple[str, str], int] = {}
+    for r in removals:
+        for s in srcs:
+            p[(r, s)] = 0
+        p[(r, _CONV)] = _SCALE
+        p[(r, "__END__")] = 0
     for _ in range(_HOPS):
-        hop = (
-            trans.crossJoin(F.broadcast(removals))
-            .join(
-                p.select(
-                    F.col("r").alias("pr"),
-                    F.col("s").alias("ps"),
-                    F.col("p6").alias("pp6"),
-                ),
-                (F.col("pr") == F.col("r")) & (F.col("ps") == F.col("dst")),
-            )
-            .groupBy("r", F.col("src").alias("s"))
-            .agg(
-                F.expr(f"CAST(sum(p6 * pp6) div {_SCALE} AS BIGINT)").alias(
-                    "raw6"
-                )
-            )
-            .select(
-                "r",
-                "s",
-                F.when(F.col("s") == F.col("r"), F.lit(0).cast("bigint"))
-                .otherwise(F.col("raw6"))
-                .alias("p6"),
-            )
-        )
-        p = hop.unionByName(absorb_rows)
-    final = p.filter(F.col("s") == "__START__")
-    base = final.filter(F.col("r") == "__NONE__").select(
-        F.col("p6").alias("conv6")
-    )
-    removed = final.filter(F.col("r") != "__NONE__").select(
-        F.col("r").alias("channel"), F.col("p6").alias("conv_removed6")
-    )
-    eff = removed.crossJoin(F.broadcast(base)).withColumn(
-        "drop6", F.col("conv6") - F.col("conv_removed6")
-    )
+        acc: dict[tuple[str, str], int] = {}
+        for src, dst, p6t in rows:
+            for r in removals:
+                acc[(r, src)] = acc.get((r, src), 0) + p6t * p[(r, dst)]
+        nxt: dict[tuple[str, str], int] = {}
+        for r in removals:
+            for s in srcs:
+                # truncating // matches SQL div for the non-negative
+                # scaled probabilities; removal forces p(r) = 0
+                nxt[(r, s)] = 0 if s == r else acc.get((r, s), 0) // _SCALE
+            nxt[(r, _CONV)] = _SCALE
+            nxt[(r, "__END__")] = 0
+        p = nxt
+    base_conv6 = p.get(("__NONE__", "__START__"), 0)
+    eff = spark.createDataFrame(
+        [(c, base_conv6, p.get((c, "__START__"), 0)) for c in channels],
+        "channel string, conv6 bigint, conv_removed6 bigint",
+    ).withColumn("drop6", F.col("conv6") - F.col("conv_removed6"))
     tot = eff.agg(F.sum("drop6").alias("t"))
     return eff.crossJoin(F.broadcast(tot)).select(
         "channel",
