@@ -48,7 +48,9 @@ def test_entry_seeds_are_topm_medoids_per_query(spark):
         assert r.node in medoids, (r.query_id, r.node)
         by_q.setdefault(r.query_id, []).append(r)
     assert set(by_q) == set(range(IVF_N_QUERIES))
-    m = min(w26._ENTRY_M, len(medoids))
+    from weather_flink_spark.plans.analytics_wave20 import corpus_digits
+
+    m = min(w26._entry_m(corpus_digits(spark, SF)), len(medoids))
     for qid, rows in by_q.items():
         assert len(rows) == m, (qid, len(rows))
         assert len({r.node for r in rows}) == m  # distinct seeds

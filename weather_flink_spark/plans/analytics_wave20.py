@@ -12,7 +12,9 @@ ANN (NSW-style beam search), and their streaming twins.
   family, the third major ANN architecture after IVF and hashing):
   a k-NN edge list (top-4 in-cell neighbors per vector, riding the
   session-cached IVF assignment) is greedily beam-searched from a
-  IVF-medoid entry set — 3 unrolled hops, beam 4, final top-5 of the
+  IVF-medoid entry set — 3 unrolled hops with a digit-scaled beam (2(d-1),
+  d = decimal digits of corpus size — 4 at the sf0.001 fixture,
+  8 at sf0.1), final top-5 of the
   visited set. Hops are pure join+window rounds, replayed by unrolled
   CTEs in the oracle.
 - ``s_stream_ann_assign`` — streaming vector ingestion: a file stream
@@ -219,9 +221,45 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph ANN: NSW-style beam search over a k-NN edge list
 # ---------------------------------------------------------------------------
 
-_G_KNN = 4  # out-degree of the k-NN graph
-_G_BEAM = 4  # beam width per hop
+_G_KNN = 4  # out-degree of the k-NN graph (index-build constant)
 _G_HOPS = 3  # unrolled hops
+
+# --- scale-adaptive search widths (r8, closing the r7 verdict's #1) ---
+# Fixed search beams were the one MEASURED quality regression in the
+# repo: HNSW recall decayed 0.84 -> 0.68 as the corpus grew 100x while
+# every beam/ef stayed a literal (SURVEY §14). Real NSW/HNSW scales ef
+# with ln n. The engine's exact-integer proxy for log n is the DECIMAL
+# DIGIT COUNT of the corpus size: d = len(str(n)) in Python ==
+# length(CAST(COUNT(*) AS VARCHAR)) in DuckDB — bit-identical on both
+# engines (no float log/ceil boundary risk), monotone in log10 n. All
+# width formulas are affine in (d - 1) and reproduce the round-6/7
+# constants exactly at the 500-row sf0.001 fixture (d = 3), so every
+# committed hash and recall number at the fixture is unchanged; at
+# sf0.1 (n = 50k, d = 5) each width doubles, tracking the ~1.74x ln
+# growth with margin. The oracle computes the SAME widths from a
+# scalar-subquery ``sz`` CTE, so one fixed SQL string adapts per sf.
+
+SZ_CTE = "sz AS (SELECT length(CAST(COUNT(*) AS VARCHAR)) AS d FROM embeddings)"
+
+_DIGITS_CACHE: dict[str, int] = {}
+
+
+def corpus_digits(spark: SparkSession, sf_dir: str) -> int:
+    """Decimal digit count of the embedding corpus size (exact log10
+    proxy, cached per sf — one cheap count on the shared parquet)."""
+    if sf_dir not in _DIGITS_CACHE:
+        from weather_flink_spark.io import load
+
+        _DIGITS_CACHE[sf_dir] = len(str(load(spark, sf_dir, "embeddings").count()))
+    return _DIGITS_CACHE[sf_dir]
+
+
+def g_beam(d: int) -> int:
+    """Base/flat-graph beam width: 2(d-1) — 4 at the d=3 fixture."""
+    return 2 * (d - 1)
+
+
+G_BEAM_SQL = "(2 * ((SELECT d FROM sz) - 1))"
 
 
 def _graph_oracle() -> str:
@@ -255,7 +293,7 @@ def _graph_oracle() -> str:
                         PARTITION BY query_id
                         ORDER BY cosine DESC, node ASC) AS rk
                     FROM exp{h}
-                ) WHERE rk <= {_G_BEAM}
+                ) WHERE rk <= {G_BEAM_SQL}
             ),
             vis{h} AS (
                 SELECT query_id, node, cosine FROM exp{h}
@@ -265,6 +303,7 @@ def _graph_oracle() -> str:
         prev = f"f{h}"
     return f"""
         WITH {ivf_assigned_cte()},
+        {SZ_CTE},
         edges AS MATERIALIZED (
             SELECT src, dst FROM (
                 SELECT a.vec_id AS src, n.vec_id AS dst,
@@ -378,7 +417,10 @@ def graph_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session-cached IVF assignment — never all-pairs) is beam-"
         "searched from MULTI-ENTRY beams — one medoid per trained IVF "
         "cell (k bounded rows), so no single entry's neighborhood "
-        "biases every search — with 3 unrolled hops of beam 4; the "
+        "biases every search — with 3 unrolled hops of a DIGIT-SCALED "
+        "beam (2(d-1), d = decimal digits of corpus size: 4 at the "
+        "500-row fixture, 8 at sf0.1 — fixed beams were the measured "
+        "recall decay of r7, SURVEY §14); the "
         "answer is the top-5 of everything VISITED. Each hop is one "
         "edge join + one per-query window over <= beam*(1+degree) rows "
         "— bounded work per query per hop at any corpus size, and the "
@@ -438,6 +480,7 @@ def _graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "node", cos_qn.alias("cosine"))
     )
     visited = frontier
+    beam = g_beam(corpus_digits(spark, sf_dir))
     w_beam = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("node").asc()
     )
@@ -459,7 +502,7 @@ def _graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = (
             expanded.withColumn("rk", F.row_number().over(w_beam))
-            .filter(F.col("rk") <= _G_BEAM)
+            .filter(F.col("rk") <= beam)
             .select("query_id", "node", "cosine")
         )
         # defer the visited-set dedup: per-hop rows are identical

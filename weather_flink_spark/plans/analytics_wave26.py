@@ -50,16 +50,48 @@ from weather_flink_spark.plans.registry import register
 
 _L1_MOD = 4  # coarse layer = md5 bucket 0 of 4 (~25% of nodes)
 _L1_KNN = 3  # coarse in-cell out-degree
-# Coarse beam = HNSW's ef: with m=3 entry cells a global beam of 4
-# leaves ~1 slot per cell and starves the query's own region (the r6
-# 0.64-recall failure replayed exactly this); 8 keeps every seeded
-# cell's best lines alive through the 3 routing hops.
-_L1_BEAM = 8
 _L1_HOPS = 3  # coarse hops: reach own medoid -> cross highway -> fan into cell
-_L0_BEAM = 4  # base-layer beam width (matches q_sim_ann_graph)
 _L0_HOPS = 3  # base-layer hops after the descent (matches q_sim_ann_graph)
-_DESCENT_EF = 6  # descent seeds = top-ef of everything VISITED on the coarse layer
-_ENTRY_M = 3  # per-query entry seeds: top-m coarse medoids by cosine
+
+
+# Search widths are DIGIT-SCALED (r8, closing the r7 verdict's #1):
+# d = decimal digits of the corpus size (wave20.corpus_digits — the
+# exact-integer log10 proxy both engines compute identically). Fixed
+# literals were the repo's one measured quality regression — HNSW
+# recall 0.84 -> 0.68 from sf0.001 to sf0.1 while the corpus grew 100x
+# (SURVEY §14); real HNSW scales ef with ln n. Each formula reproduces
+# the round-6/7 literal at the d=3 fixture (hashes there unchanged)
+# and doubles by sf0.1 (d=5), tracking ln-growth with margin.
+#
+# Coarse beam = HNSW's ef: with m=3 entry cells a narrow global beam
+# leaves ~1 slot per cell and starves the query's own region (the r6
+# 0.64-recall failure replayed exactly this); 4(d-1) keeps every
+# seeded cell's best lines alive through the 3 routing hops.
+
+
+def _l1_beam(d: int) -> int:
+    return 5 * d - 7  # 8 at the d=3 fixture, 18 at sf0.1
+
+
+def _l0_beam(d: int) -> int:
+    return 3 * d - 5  # base-layer beam: 4 at the fixture, 10 at sf0.1
+
+
+def _descent_ef(d: int) -> int:
+    return 5 * d - 9  # descent ef: 6 at the fixture, 16 at sf0.1
+
+
+_L1_BEAM_SQL = "(5 * (SELECT d FROM sz) - 7)"
+_L0_BEAM_SQL = "(3 * (SELECT d FROM sz) - 5)"
+_DESCENT_EF_SQL = "(5 * (SELECT d FROM sz) - 9)"
+
+
+def _entry_m(d: int) -> int:
+    return 2 * d - 3  # per-query entry seeds: 3 at fixture, 7 at sf0.1
+
+
+_ENTRY_M_SQL = "(2 * (SELECT d FROM sz) - 3)"
+
 
 _L1_PRED_SPARK = (
     "cast(conv(substring(md5(concat('hnsw:', cast(vec_id as string))), 1, 7),"
@@ -202,6 +234,7 @@ def hnsw_entry_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     at m medoids instead of one global apex means a query whose true
     cell would lose the single-entry beam tie-break still seeds its
     own region — the 0.64-vs-0.84 recall tax this replaces."""
+    from weather_flink_spark.plans.analytics_wave20 import corpus_digits
     from weather_flink_spark.plans.llm_extra import (
         IVF_N_QUERIES,
         ivf_assigned_table,
@@ -232,12 +265,12 @@ def hnsw_entry_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(med_vec))
         .select("query_id", "node", cos_qn.alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _ENTRY_M)
+        .filter(F.col("rk") <= _entry_m(corpus_digits(spark, sf_dir)))
         .select("query_id", "node", "cosine")
     )
 
 
-def _hops_sql(prefix: str, edges: str, start: str, hops: int, beam: int) -> tuple[str, str]:
+def _hops_sql(prefix: str, edges: str, start: str, hops: int, beam: int | str) -> tuple[str, str]:
     """Unrolled beam-search CTE chain (the wave-20 pattern) returning
     (sql_fragment, final_visited_name)."""
     from weather_flink_spark.plans.llm_extra import _cos_duck
@@ -288,10 +321,13 @@ def _hnsw_oracle() -> str:
         ivf_assigned_cte,
     )
 
-    l1_hops, l1_vis = _hops_sql("u", "l1_edges", "uf0", _L1_HOPS, _L1_BEAM)
-    l0_hops, l0_vis = _hops_sql("b", "edges", "bf0", _L0_HOPS, _L0_BEAM)
+    l1_hops, l1_vis = _hops_sql("u", "l1_edges", "uf0", _L1_HOPS, _L1_BEAM_SQL)
+    l0_hops, l0_vis = _hops_sql("b", "edges", "bf0", _L0_HOPS, _L0_BEAM_SQL)
+    from weather_flink_spark.plans.analytics_wave20 import SZ_CTE
+
     return f"""
         WITH {ivf_assigned_cte()},
+        {SZ_CTE},
         l1 AS MATERIALIZED (
             SELECT * FROM assigned WHERE {_L1_PRED_DUCK}
         ),
@@ -363,7 +399,7 @@ def _hnsw_oracle() -> str:
                 CROSS JOIN l1m m
                 JOIN embeddings n ON n.vec_id = m.node
                 WHERE q.vec_id < {IVF_N_QUERIES}
-            ) WHERE rk <= {_ENTRY_M}
+            ) WHERE rk <= {_ENTRY_M_SQL}
         ),
         {l1_hops},
         bf0 AS (
@@ -382,7 +418,7 @@ def _hnsw_oracle() -> str:
                            PARTITION BY query_id
                            ORDER BY cosine DESC, node ASC) AS rk
                 FROM (SELECT DISTINCT query_id, node, cosine FROM {l1_vis})
-            ) WHERE rk <= {_DESCENT_EF}
+            ) WHERE rk <= {_DESCENT_EF_SQL}
             UNION
             SELECT query_id, node, cosine FROM uf0
         ),
@@ -496,8 +532,11 @@ def _hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("n_nrm"),
     )
     f0 = hnsw_entry_seeds(spark, sf_dir)
+    from weather_flink_spark.plans.analytics_wave20 import corpus_digits
+
+    d = corpus_digits(spark, sf_dir)
     coarse_f, coarse_vis = _beam_hops(
-        f0, l1_edges_table(spark, sf_dir), q, node_vec, _L1_HOPS, _L1_BEAM
+        f0, l1_edges_table(spark, sf_dir), q, node_vec, _L1_HOPS, _l1_beam(d)
     )
     w_desc = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("node").asc()
@@ -505,7 +544,7 @@ def _hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     descent = (
         coarse_vis.distinct()
         .withColumn("rk", F.row_number().over(w_desc))
-        .filter(F.col("rk") <= _DESCENT_EF)
+        .filter(F.col("rk") <= _descent_ef(d))
         .select("query_id", "node", "cosine")
         # union the entry seeds past the ef cut: every probed cell
         # keeps a base-layer start even when wrong-cell visited nodes
@@ -514,7 +553,7 @@ def _hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     base_f, base_vis = _beam_hops(
-        descent, knn_edges_table(spark, sf_dir), q, node_vec, _L0_HOPS, _L0_BEAM
+        descent, knn_edges_table(spark, sf_dir), q, node_vec, _L0_HOPS, _l0_beam(d)
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("node").asc()
@@ -937,8 +976,8 @@ def hnsw_insert_frame(
     strict vec_id-prefix (so the result depends only on (node, prefix)
     — batch composition can never change it, the curation-verdict
     monotonicity property applied to index writes):
-    - base layer: top-_L0_BEAM cosine among prefix vectors in the
-      node's own cell (the knn_edges_table rule);
+    - base layer: top-_G_KNN cosine among prefix vectors in the
+      node's own cell (the knn_edges_table degree rule);
     - coarse layer (only if the node passes the seeded-md5 layer
       predicate): top-_L1_KNN among prefix COARSE vectors in the
       node's top-2 probe cells (the multi-probe build rule).
@@ -986,7 +1025,12 @@ def hnsw_insert_frame(
             cos.alias("cosine"),
         )
     )
-    lim = F.when(F.col("layer") == "base", F.lit(_L0_BEAM)).otherwise(F.lit(_L1_KNN))
+    from weather_flink_spark.plans.analytics_wave20 import _G_KNN
+
+    # base cap = the static index's out-DEGREE (_G_KNN, fixed build
+    # constant), not the digit-scaled search beam — pre-r8 the two
+    # happened to share the literal 4
+    lim = F.when(F.col("layer") == "base", F.lit(_G_KNN)).otherwise(F.lit(_L1_KNN))
     return (
         base.unionByName(coarse)
         .withColumn("edge_rank", F.row_number().over(w_edge))
@@ -1042,7 +1086,7 @@ def run_hnsw_insert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc: list = []
 
     def insert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # bounded collect: <= |batch| x (_L0_BEAM + _L1_KNN) rows
+        # bounded collect: <= |batch| x (_G_KNN + _L1_KNN) rows
         acc.extend(hnsw_insert_frame(batch_df, assigned, model).collect())
 
     ckpt = os.path.join(d, "_ckpt")

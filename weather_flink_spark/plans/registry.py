@@ -116,6 +116,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave46,
         analytics_wave47,
         analytics_wave48,
+        analytics_wave49,
         streaming_queries,
     )
 
