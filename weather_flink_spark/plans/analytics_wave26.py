@@ -154,77 +154,91 @@ def l1_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b)+(c) are the cross-cell long-range links that make the coarse
     layer navigable — a search can leave its entry cell, which
     in-cell kNN alone can never do."""
-    from weather_flink_spark.plans.llm_pipeline import _cached, dot_col
+    from weather_flink_spark.plans.llm_pipeline import _cached
 
     def build() -> DataFrame:
-        from weather_flink_spark.plans.analytics_wave4 import (
-            _kmeans_dist_col,
-            kmeans_final_assignment,
+        return _l1_edges_from(
+            spark, sf_dir, l1_medoids_table(spark, sf_dir)
         )
-
-        l1 = l1_nodes_table(spark, sf_dir)
-        med = l1_medoids_table(spark, sf_dir)
-        cent, _ = kmeans_final_assignment(spark, sf_dir)
-        # multi-probe blocking: each coarse node joins the blocks of its
-        # TOP-2 nearest trained cells, so kNN candidate pairs span
-        # adjacent cell boundaries (the navigability real HNSW gets from
-        # global upper-layer kNN) while staying block-bounded — each
-        # node appears in exactly 2 blocks, never all-pairs.
-        w_probe = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
-        )
-        probe = (
-            l1.select("vec_id", "embedding", "nrm")
-            .crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "embedding",
-                "nrm",
-                "cid",
-                _kmeans_dist_col("embedding", "c").alias("d2"),
-            )
-            .withColumn("rn", F.row_number().over(w_probe))
-            .filter(F.col("rn") <= 2)
-            .select("vec_id", "embedding", "nrm", F.col("cid").alias("bcell"))
-        )
-        a, n = probe.alias("a"), probe.alias("n")
-        cos_an = dot_col(F.col("a.embedding"), F.col("n.embedding")) / (
-            F.col("a.nrm") * F.col("n.nrm")
-        )
-        w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
-        knn = (
-            a.join(
-                n,
-                (F.col("n.bcell") == F.col("a.bcell"))
-                & (F.col("n.vec_id") != F.col("a.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("src"),
-                F.col("n.vec_id").alias("dst"),
-                cos_an.alias("cosine"),
-            )
-            .distinct()
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= _L1_KNN)
-            .select("src", "dst")
-        )
-        to_med = (
-            l1.join(F.broadcast(med), "cell")
-            .filter(F.col("vec_id") != F.col("node"))
-            .select(F.col("vec_id").alias("src"), F.col("node").alias("dst"))
-        )
-        m1, m2 = med.alias("m1"), med.alias("m2")
-        highway = m1.join(
-            F.broadcast(m2), F.col("m1.node") != F.col("m2.node")
-        ).select(F.col("m1.node").alias("src"), F.col("m2.node").alias("dst"))
-        res = knn.unionByName(to_med).unionByName(highway).distinct().persist()
-        res.count()
-        return res
 
     return _cached("hnsw_l1_edges", spark, sf_dir, build)
 
 
-def hnsw_entry_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _l1_edges_from(
+    spark: SparkSession, sf_dir: str, med: DataFrame
+) -> DataFrame:
+    """Coarse edge set for a GIVEN medoid table — factored out so the
+    refresh job (wave-50) can rebuild topology from stale vs refreshed
+    medoids; the session-cached default passes l1_medoids_table."""
+    from weather_flink_spark.plans.llm_pipeline import dot_col
+
+    from weather_flink_spark.plans.analytics_wave4 import (
+        _kmeans_dist_col,
+        kmeans_final_assignment,
+    )
+
+    l1 = l1_nodes_table(spark, sf_dir)
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    # multi-probe blocking: each coarse node joins the blocks of its
+    # TOP-2 nearest trained cells, so kNN candidate pairs span
+    # adjacent cell boundaries (the navigability real HNSW gets from
+    # global upper-layer kNN) while staying block-bounded — each
+    # node appears in exactly 2 blocks, never all-pairs.
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probe = (
+        l1.select("vec_id", "embedding", "nrm")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cid",
+            _kmeans_dist_col("embedding", "c").alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "embedding", "nrm", F.col("cid").alias("bcell"))
+    )
+    a, n = probe.alias("a"), probe.alias("n")
+    cos_an = dot_col(F.col("a.embedding"), F.col("n.embedding")) / (
+        F.col("a.nrm") * F.col("n.nrm")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
+    knn = (
+        a.join(
+            n,
+            (F.col("n.bcell") == F.col("a.bcell"))
+            & (F.col("n.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("n.vec_id").alias("dst"),
+            cos_an.alias("cosine"),
+        )
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _L1_KNN)
+        .select("src", "dst")
+    )
+    to_med = (
+        l1.join(F.broadcast(med), "cell")
+        .filter(F.col("vec_id") != F.col("node"))
+        .select(F.col("vec_id").alias("src"), F.col("node").alias("dst"))
+    )
+    m1, m2 = med.alias("m1"), med.alias("m2")
+    highway = m1.join(
+        F.broadcast(m2), F.col("m1.node") != F.col("m2.node")
+    ).select(F.col("m1.node").alias("src"), F.col("m2.node").alias("dst"))
+    res = knn.unionByName(to_med).unionByName(highway).distinct().persist()
+    res.count()
+    return res
+
+
+def hnsw_entry_seeds(
+    spark: SparkSession, sf_dir: str, medoids: DataFrame | None = None
+) -> DataFrame:
     """Per-query entry seeds: the top-m (m=3) coarse-cell MEDOIDS by
     cosine to the query (node-asc tie-break) — the multi-medoid
     descent the round-6 verdict prescribed. The medoid set is the
@@ -247,8 +261,10 @@ def hnsw_entry_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
+    if medoids is None:
+        medoids = l1_medoids_table(spark, sf_dir)
     med_vec = assigned.join(
-        F.broadcast(l1_medoids_table(spark, sf_dir).select("node")),
+        F.broadcast(medoids.select("node")),
         F.col("vec_id") == F.col("node"),
     ).select(
         "node",
@@ -512,7 +528,15 @@ def q_sim_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hnsw_search(
+    spark: SparkSession,
+    sf_dir: str,
+    medoids: DataFrame | None = None,
+    l1_edges: DataFrame | None = None,
+) -> DataFrame:
+    """The 2-layer search; ``medoids``/``l1_edges`` override the
+    refreshed coarse structures so wave-50 can run the SAME searcher
+    against a stale index state (default = session-cached tables)."""
     from weather_flink_spark.plans.analytics_wave20 import knn_edges_table
     from weather_flink_spark.plans.llm_extra import (
         IVF_N_QUERIES,
@@ -531,12 +555,14 @@ def _hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("n_emb"),
         F.col("nrm").alias("n_nrm"),
     )
-    f0 = hnsw_entry_seeds(spark, sf_dir)
+    f0 = hnsw_entry_seeds(spark, sf_dir, medoids=medoids)
     from weather_flink_spark.plans.analytics_wave20 import corpus_digits
 
     d = corpus_digits(spark, sf_dir)
+    if l1_edges is None:
+        l1_edges = l1_edges_table(spark, sf_dir)
     coarse_f, coarse_vis = _beam_hops(
-        f0, l1_edges_table(spark, sf_dir), q, node_vec, _L1_HOPS, _l1_beam(d)
+        f0, l1_edges, q, node_vec, _L1_HOPS, _l1_beam(d)
     )
     w_desc = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("node").asc()

@@ -117,6 +117,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave47,
         analytics_wave48,
         analytics_wave49,
+        analytics_wave50,
         streaming_queries,
     )
 
