@@ -29,8 +29,21 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
+    # subset mode (round_close --close re-times flagged entries in
+    # isolation): comma-separated names; output goes to
+    # $SPARK_GRAFT_BENCH_OUT so a subset run never clobbers the full
+    # BENCH_SELF.json table
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - set(specs)
+        if unknown:
+            raise SystemExit(f"unknown bench names: {sorted(unknown)}")
+        specs = {k: v for k, v in specs.items() if k in keep}
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+
     # warm up: JVM, codegen, parquet footer caches
-    specs["q_agg_groupby"].fn(spark, sf_dir).count()
+    all_specs()["q_agg_groupby"].fn(spark, sf_dir).count()
 
     clear_between = os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE", "0") == "1"
     # Best-of-n (default 2): one contended pass caused the round-2
@@ -61,6 +74,43 @@ def main() -> None:
                         if hasattr(df, "persist"):
                             df.persist()  # re-mark shared tables (lazy)
 
+    # Ambient calibration (r7 verdict task #3, automating the manual
+    # BASELINE.md protocol): time a fixed 5-entry subset of untouched
+    # scan/agg/window shapes back-to-back, best-of-2, and compare the
+    # sum against their committed BASELINE_PERQ.json baselines. Runs
+    # AFTER the main passes on purpose: the committed baselines come
+    # from a fully C2-JIT-warmed JVM, and a start-of-run measurement
+    # reads 2-3x hot even on an idle machine (measured). The resulting
+    # ambient_factor rides in BENCH_SELF.json so tools/bench_budget.py
+    # can label flags taken in a degraded machine-wide window (>1.5x)
+    # as "re-time before believing" instead of burning another
+    # hand-adjudication cycle.
+    calib_names = [
+        "q_agg_groupby",
+        "q_agg_distinct",
+        "q_scan_project",
+        "q_sql_tpch_q1",
+        "q_win_rank",
+    ]
+    calibration: dict[str, float] = {}
+    all_ = all_specs()
+    for name in calib_names:
+        t_best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            all_[name].fn(spark, sf_dir).count()
+            t_best = min(t_best, time.time() - t0)
+        calibration[name] = round(t_best, 3)
+    ambient_factor = None
+    base_path = Path(__file__).resolve().parent / "BASELINE_PERQ.json"
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        base_sum = sum(
+            base[n]["seconds"] for n in calib_names if n in base
+        )
+        if base_sum > 0:
+            ambient_factor = round(sum(calibration.values()) / base_sum, 3)
+
     total = round(sum(best.values()), 3)
     line = json.dumps(
         {
@@ -69,6 +119,8 @@ def main() -> None:
             "unit": "sec",
             "queries": best,
             "queries_last": last,
+            "ambient_factor": ambient_factor,
+            "calibration": calibration,
             "n_passes": n_passes,
             "sf": sf_dir,
             "n_queries": len(best),
@@ -76,7 +128,7 @@ def main() -> None:
     )
     # Durable copy: the driver's stdout capture truncates to a tail, which
     # cost round 1 its machine-readable total ("parsed": null in BENCH_r01).
-    Path(__file__).resolve().parent.joinpath("BENCH_SELF.json").write_text(line + "\n")
+    Path(__file__).resolve().parent.joinpath(out_name).write_text(line + "\n")
     print(line)
     # The driver keeps only the LAST ~2 KB of stdout, and the full line
     # above is ~10 KB — its surviving fragment is unparseable ("parsed":
@@ -91,6 +143,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "queries_truncated_to_slowest": len(slowest),
+                "ambient_factor": ambient_factor,
                 "sf": sf_dir,
                 "n_queries": len(best),
                 "n_passes": n_passes,

@@ -33,12 +33,18 @@ BASELINE_PATH = REPO / "BASELINE_PERQ.json"
 
 RATIO_LIMIT = 2.0
 ABS_FLOOR_SEC = 0.3
+# bench.py's calibration-subset ratio above which the whole window is
+# machine-wide degraded: flags are labeled "re-time before believing"
+# (exit code 2) instead of hard over-budget failures (exit code 1)
+AMBIENT_DEGRADED = 1.5
 
 
-def load_queries(path: Path) -> dict[str, float]:
+def load_queries(path: Path) -> tuple[dict[str, float], float | None]:
     # bench.py emits the full table first and a truncated tail summary
-    # last — take the line with the largest query table
+    # last — take the line with the largest query table; carry its
+    # ambient_factor (the calibration-subset ratio bench.py measures)
     best: dict[str, float] = {}
+    ambient: float | None = None
     for line in path.read_text().splitlines():
         line = line.strip()
         if not line:
@@ -47,13 +53,14 @@ def load_queries(path: Path) -> dict[str, float]:
         q = d["queries"] if "queries" in d else d
         if len(q) > len(best):
             best = q
-    return best
+            ambient = d.get("ambient_factor") if isinstance(d, dict) else None
+    return best, ambient
 
 
 def rebaseline(files: list[str], round_tag: str, protocol: str) -> None:
     best: dict[str, float] = {}
     for f in files:
-        for k, v in load_queries(Path(f)).items():
+        for k, v in load_queries(Path(f))[0].items():
             best[k] = min(best.get(k, v), v)
     out = {
         k: {"seconds": round(v, 3), "round": round_tag, "protocol": protocol}
@@ -67,14 +74,41 @@ def rebaseline(files: list[str], round_tag: str, protocol: str) -> None:
     )
 
 
-def check(bench_file: Path) -> int:
+def over_entries(
+    bench: dict[str, float], baseline: dict, adjudications: dict
+) -> list[tuple[str, float, float, float]]:
+    """(name, baseline_s, bench_s, ratio) for every entry past the
+    >RATIO_LIMIT and >ABS_FLOOR_SEC budget, minus bounded waivers."""
+    over: list[tuple[str, float, float, float]] = []
+    for k, v in bench.items():
+        base = baseline.get(k)
+        if base is None:
+            continue  # new entry since the baseline: no budget yet
+        b = base["seconds"]
+        if v > RATIO_LIMIT * b and v - b > ABS_FLOOR_SEC:
+            adj = adjudications.get(k)
+            if adj and v <= adj["max_seconds"]:
+                continue
+            over.append((k, b, v, v / b if b else float("inf")))
+    return over
+
+
+def load_tables(bench_file: Path) -> tuple[dict[str, float], float | None, dict, dict]:
     baseline = json.loads(BASELINE_PATH.read_text())
     adjudications: dict = {}
     adj_path = REPO / "BENCH_ADJUDICATIONS.json"
     if adj_path.exists():
         adjudications = json.loads(adj_path.read_text())
-    bench = load_queries(bench_file)
-    over: list[tuple[str, float, float, float]] = []
+    bench, ambient = load_queries(bench_file)
+    return bench, ambient, baseline, adjudications
+
+
+def check(bench_file: Path) -> int:
+    bench, ambient, baseline, adjudications = load_tables(bench_file)
+    degraded = ambient is not None and ambient > AMBIENT_DEGRADED
+    if ambient is not None:
+        label = "DEGRADED window" if degraded else "ok"
+        print(f"ambient_factor {ambient} ({label}, threshold {AMBIENT_DEGRADED})")
     missing = [k for k in baseline if k not in bench]
     # A baseline entry absent from the bench table is a silent gap
     # (renamed, or skipped before timing) — fail it like an over-budget
@@ -95,25 +129,33 @@ def check(bench_file: Path) -> int:
                 print(f"MISSING {k}: baselined + registered but absent from bench table")
             else:
                 print(f"WARN stale-baseline {k}: no longer in the registry")
+    # a recorded adjudication waives a flag ONLY while the measurement
+    # stays under its stated ceiling — a real regression past the
+    # ceiling still fails (waivers applied inside over_entries)
     for k, v in bench.items():
+        adj = adjudications.get(k)
         base = baseline.get(k)
-        if base is None:
-            continue  # new entry since the baseline: no budget yet
-        b = base["seconds"]
-        if v > RATIO_LIMIT * b and v - b > ABS_FLOOR_SEC:
-            # a recorded adjudication waives the flag ONLY while the
-            # measurement stays under its stated ceiling — a real
-            # regression past the ceiling still fails
-            adj = adjudications.get(k)
-            if adj and v <= adj["max_seconds"]:
-                print(
-                    f"ADJUDICATED {k}: {v:.3f} s (<= {adj['max_seconds']} s "
-                    f"waiver, {adj['round']}: {adj['reason']})"
-                )
-                continue
-            over.append((k, b, v, v / b if b else float("inf")))
+        if (
+            adj
+            and base
+            and v > RATIO_LIMIT * base["seconds"]
+            and v - base["seconds"] > ABS_FLOOR_SEC
+            and v <= adj["max_seconds"]
+        ):
+            print(
+                f"ADJUDICATED {k}: {v:.3f} s (<= {adj['max_seconds']} s "
+                f"waiver, {adj['round']}: {adj['reason']})"
+            )
+    over = over_entries(bench, baseline, adjudications)
     for k, b, v, r in sorted(over, key=lambda t: -t[3]):
-        print(f"OVER-BUDGET {k}: baseline {b:.3f} s -> {v:.3f} s ({r:.2f}x)")
+        if degraded:
+            print(
+                f"OVER-BUDGET-IN-DEGRADED-WINDOW {k}: baseline {b:.3f} s -> "
+                f"{v:.3f} s ({r:.2f}x) — ambient {ambient}x: "
+                "re-time before believing"
+            )
+        else:
+            print(f"OVER-BUDGET {k}: baseline {b:.3f} s -> {v:.3f} s ({r:.2f}x)")
     n_new = len([k for k in bench if k not in baseline])
     print(
         f"{len(bench)} benched / {len(baseline)} baselined "
@@ -121,6 +163,8 @@ def check(bench_file: Path) -> int:
         f"{len(over)} over-budget (> {RATIO_LIMIT}x and > {ABS_FLOOR_SEC}s), "
         f"{len(missing_live)} live-but-unbenched"
     )
+    if over and degraded and not missing_live:
+        return 2  # suspect flags only: re-time in a clean window
     return 1 if over or missing_live else 0
 
 

@@ -1,7 +1,7 @@
-"""One-command round-close gate (round-7 'left on the table' item).
+"""One-command round-close gate (r7 'left on the table' + verdict #5).
 
-Runs, in order, the three deterministic gates plus the driver-shaped
-smoke, and exits nonzero if ANY fails:
+Default mode runs, in order, the cheap deterministic gates and exits
+nonzero if ANY fails:
 
 1. plan-structure check vs the committed PLAN_METRICS.json
    (deterministic — the primary perf gate);
@@ -11,16 +11,30 @@ smoke, and exits nonzero if ANY fails:
    default step 12 => ~30 queries) via tools/oracle_check.py;
 4. entry() smoke: >0 rows at sf0.001.
 
-The FULL gates (complete oracle sweep, full pytest, full bench) still
-run at round close; this is the cheap always-run subset — a failed
-step here means don't bother with the long ones yet.
+``--close`` is the full round-close flow (r7 verdict #5 — the
+dirty-tree-at-close fix): re-run bench.py fresh, run the gates, and if
+the budget check flags entries INSIDE a degraded ambient window
+(bench_budget exit 2), re-time exactly those entries in isolation
+(SPARK_GRAFT_BENCH_ONLY subset run). Entries clean in isolation get a
+BOUNDED waiver written to BENCH_ADJUDICATIONS.json (ceiling = the
+isolated time + the budget headroom, reason recorded); entries still
+over in isolation FAIL — that's a real regression. Finally ``git add``
+the bench/driver artifacts and commit, so round close leaves
+``git status`` clean.
 
-Usage: python tools/round_close.py [--bench BENCH_SELF.json] [--step 12]
+The FULL gates (complete oracle sweep, full pytest, full bench) still
+run at round close; the default mode is the cheap always-run subset.
+
+Usage:
+    python tools/round_close.py [--bench BENCH_SELF.json] [--step 12]
+    python tools/round_close.py --close [--round r8]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -28,33 +42,44 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+ARTIFACTS = [
+    "BENCH_SELF.json",
+    "BENCH_ADJUDICATIONS.json",
+    "PLAN_METRICS.json",
+    "BASELINE_PERQ.json",
+    "BASELINE.md",
+]
+DRIVER_ARTIFACT_GLOBS = ["BENCH_r*.json", "CORRECTNESS_r*.json", "VERDICT.md", "ADVICE.md"]
 
-def run(title: str, cmd: list[str]) -> bool:
+
+def run(title: str, cmd: list[str], env: dict | None = None) -> int:
     print(f"== {title}: {' '.join(cmd)}")
-    rc = subprocess.run(cmd, cwd=REPO).returncode
-    print(f"== {title}: {'OK' if rc == 0 else f'FAIL (rc={rc})'}\n")
-    return rc == 0
+    rc = subprocess.run(
+        cmd, cwd=REPO, env={**os.environ, **(env or {})}
+    ).returncode
+    print(f"== {title}: {'OK' if rc == 0 else f'rc={rc}'}\n")
+    return rc
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--bench", default=str(REPO / "BENCH_SELF.json"))
-    ap.add_argument("--step", type=int, default=12)
-    args = ap.parse_args()
-
+def gates(bench_path: str, step: int) -> tuple[bool, int]:
+    """Run the four cheap gates; returns (all_green, budget_rc)."""
     ok = True
-    ok &= run("plan-metrics", [sys.executable, "tools/plan_metrics.py"])
-    ok &= run(
+    ok &= run("plan-metrics", [sys.executable, "tools/plan_metrics.py"]) == 0
+    budget_rc = run(
         "bench-budget",
-        [sys.executable, "tools/bench_budget.py", "--bench", args.bench],
+        [sys.executable, "tools/bench_budget.py", "--bench", bench_path],
     )
+    ok &= budget_rc == 0
 
     from weather_flink_spark.plans.registry import all_specs
 
-    sample = sorted(all_specs())[:: args.step]
-    ok &= run(
-        f"oracle-sample ({len(sample)} queries)",
-        [sys.executable, "tools/oracle_check.py", *sample],
+    sample = sorted(all_specs())[::step]
+    ok &= (
+        run(
+            f"oracle-sample ({len(sample)} queries)",
+            [sys.executable, "tools/oracle_check.py", *sample],
+        )
+        == 0
     )
 
     print("== entry smoke")
@@ -66,7 +91,118 @@ def main() -> None:
     smoke = n > 0
     print(f"== entry smoke: {'OK' if smoke else 'FAIL'} ({n} rows)\n")
     ok &= smoke
+    return bool(ok), budget_rc
 
+
+def close_mode(round_tag: str, step: int) -> int:
+    bench_path = str(REPO / "BENCH_SELF.json")
+    if run("fresh bench", [sys.executable, "bench.py"]) != 0:
+        return 1
+    ok, budget_rc = gates(bench_path, step)
+
+    if budget_rc == 2:
+        # degraded ambient window: re-time the flagged entries in
+        # isolation and adjudicate each with a bounded waiver or fail
+        import tools.bench_budget as bb
+
+        bench, ambient, baseline, adjudications = bb.load_tables(
+            Path(bench_path)
+        )
+        flagged = bb.over_entries(bench, baseline, adjudications)
+        names = ",".join(k for k, *_ in flagged)
+        iso_path = REPO / "BENCH_RETIME.json"
+        print(f"== degraded window (ambient {ambient}): re-timing {names}")
+        if (
+            run(
+                "isolated re-time",
+                [sys.executable, "bench.py"],
+                env={
+                    "SPARK_GRAFT_BENCH_ONLY": names,
+                    "SPARK_GRAFT_BENCH_OUT": iso_path.name,
+                    # a fresh subset session rides the C2-JIT warm-up
+                    # curve (measured: 19.9 -> 5.1 -> 3.3 -> 2.25 s
+                    # over 4 passes of the calibration five); best-of-8
+                    # converges near the fully-warm numbers the
+                    # committed baselines were taken at
+                    "SPARK_GRAFT_BENCH_N": "8",
+                },
+            )
+            != 0
+        ):
+            return 1
+        iso, iso_ambient = bb.load_queries(iso_path)
+        iso_path.unlink(missing_ok=True)
+        still_over = bb.over_entries(iso, baseline, adjudications)
+        if still_over:
+            for k, b, v, r in still_over:
+                print(
+                    f"== REAL REGRESSION {k}: {v:.3f} s isolated "
+                    f"(baseline {b:.3f} s, {r:.2f}x)"
+                )
+            return 1
+        for k, b, _v, _r in flagged:
+            # bounded waiver: ceiling = what the budget itself allows
+            # on the ISOLATED number (so any further real regression
+            # past it still fails), reason records both measurements
+            iso_v = iso[k]
+            ceiling = round(max(bb.RATIO_LIMIT * b, iso_v + bb.ABS_FLOOR_SEC), 3)
+            adjudications[k] = {
+                "max_seconds": ceiling,
+                "round": round_tag,
+                "reason": (
+                    f"ambient window {ambient}x at close; isolated "
+                    f"re-time {iso_v} s (ambient {iso_ambient}) within "
+                    f"budget vs baseline {b} s"
+                ),
+            }
+            print(f"== WAIVER {k}: ceiling {ceiling} s (isolated {iso_v} s)")
+        (REPO / "BENCH_ADJUDICATIONS.json").write_text(
+            json.dumps(adjudications, indent=1) + "\n"
+        )
+        ok = True  # degraded flags adjudicated; other gates already ran
+
+    if not ok:
+        print("ROUND-CLOSE: RED — not committing artifacts")
+        return 1
+
+    # leave the tree clean: stage bench + driver artifacts and commit
+    paths = [p for p in ARTIFACTS if (REPO / p).exists()]
+    for g in DRIVER_ARTIFACT_GLOBS:
+        paths.extend(str(p.relative_to(REPO)) for p in REPO.glob(g))
+    subprocess.run(["git", "add", *paths], cwd=REPO, check=True)
+    dirty = subprocess.run(
+        ["git", "diff", "--cached", "--quiet"], cwd=REPO
+    ).returncode
+    if dirty:
+        subprocess.run(
+            [
+                "git",
+                "commit",
+                "-m",
+                f"round close ({round_tag}): bench snapshot + driver artifacts",
+            ],
+            cwd=REPO,
+            check=True,
+        )
+        print("== committed round-close artifacts")
+    else:
+        print("== artifacts already clean")
+    print("ROUND-CLOSE GATE: GREEN")
+    return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", default=str(REPO / "BENCH_SELF.json"))
+    ap.add_argument("--step", type=int, default=12)
+    ap.add_argument("--close", action="store_true")
+    ap.add_argument("--round", default="r8")
+    args = ap.parse_args()
+
+    if args.close:
+        sys.exit(close_mode(args.round, args.step))
+
+    ok, _ = gates(args.bench, args.step)
     print("ROUND-CLOSE GATE:", "GREEN" if ok else "RED")
     sys.exit(0 if ok else 1)
 
