@@ -38,11 +38,29 @@ from pyspark.sql import functions as F
 from weather_flink_spark.plans.analytics_wave14 import _z_value_sql
 
 Z_BITS = 4  # 16x16 grid -> at most 256 curve cells
+Z3_BITS = 3  # 8x8x8 grid -> at most 512 curve cells (bounded histogram)
 
 
 def zorder_expr(px_col: str, sx_col: str) -> str:
     """Spark SQL Morton interleave of two ``[0, 16)`` bucket columns."""
     return _z_value_sql(px_col, sx_col, "div")
+
+
+def zorder_n_expr(cols: list[str], intdiv: str, bits: int = Z3_BITS) -> str:
+    """N-way Morton interleave via div/mod arithmetic (portable — no
+    engine-specific bit ops; ``intdiv`` = 'div' Spark, '//' DuckDB).
+
+    Bit ``i`` of column ``j`` lands at position ``len(cols)*i +
+    (len(cols)-1-j)`` — earlier columns more significant, the same
+    layout wave-14's 2-column ``_z_value_sql`` uses, extended
+    mechanically (the r7 verdict's stretch #8)."""
+    k = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, col in enumerate(cols):
+            bit = f"((({col}) {intdiv} {2 ** i}) % 2)"
+            terms.append(f"{bit} * {2 ** (k * i + (k - 1 - j))}")
+    return " + ".join(terms)
 
 
 def pack_cells_greedy(
@@ -77,7 +95,42 @@ def optimize_zorder(
     exactly one parquet file each (each file_id hashes to exactly one
     task of the repartition), rows sorted by ``zval`` within the file.
     """
-    z = df.withColumn("zval", F.expr(zorder_expr(px_col, sx_col)))
+    return _optimize_on_zval(
+        spark,
+        df.withColumn("zval", F.expr(zorder_expr(px_col, sx_col))),
+        out_dir,
+        n_target_files,
+        parquet_block_bytes,
+    )
+
+
+def optimize_zorder3(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    n_target_files: int,
+    parquet_block_bytes: int | None = None,
+) -> DataFrame:
+    """3-column OPTIMIZE ZORDER: identical pipeline on the 3-way
+    interleave of ``[0, 8)`` bucket columns (<= 512 curve cells, still
+    a bounded driver histogram)."""
+    return _optimize_on_zval(
+        spark,
+        df.withColumn("zval", F.expr(zorder_n_expr(cols, "div", Z3_BITS))),
+        out_dir,
+        n_target_files,
+        parquet_block_bytes,
+    )
+
+
+def _optimize_on_zval(
+    spark: SparkSession,
+    z: DataFrame,
+    out_dir: str,
+    n_target_files: int,
+    parquet_block_bytes: int | None,
+) -> DataFrame:
     # bounded driver-side histogram: <= 4**Z_BITS = 256 rows by
     # construction (the curve's cell count), independent of data size
     cells = [

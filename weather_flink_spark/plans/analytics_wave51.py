@@ -1,0 +1,143 @@
+"""Wave-51 operator (round 8): 3-column Z-order compaction — the
+multi-dimensional OPTIMIZE generalization (r7 verdict stretch #8).
+
+``q_layout_compact_zorder3`` — the wave-42 executable compaction job
+on a THREE-way Morton interleave: lineitem bucketed on
+(l_partkey%8, l_suppkey%8, l_orderkey%8), 3 bits per dimension
+(<= 512 curve cells — still a bounded driver histogram), fragmented
+into 48 unsorted shards and bin-packed into ~12 curve-sorted files.
+The read-back profile carries ALL THREE per-file dimension spans;
+packing along the 3-D curve keeps every span narrow simultaneously,
+which is what lets a predicate on ANY of the three columns prune
+files — the property tests/test_analytics_wave51.py proves per
+dimension from the parquet footers. 2-D already proved the
+architecture (wave-42); this entry proves the interleave generalizes
+(operators/layout.zorder_n_expr — bit i of column j at position
+3i+(2-j), the wave-14 layout extended mechanically).
+
+Scale posture identical to wave-42: bounded cell histogram, ONE
+row-scale shuffle + in-partition sort, n_target_files sized from
+table bytes on a cluster.
+
+Parity discipline as plans/registry.py; reference parity note: the
+reference manages no storage layout (empty plan body,
+``WeatherProcessingJobPlan.java:9-11``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.operators.layout import Z3_BITS, zorder_n_expr
+from weather_flink_spark.plans.registry import register
+
+N_TARGET_FILES = 12
+N_FRAGMENTS = 48
+
+_COLS_DUCK = ["l_partkey % 8", "l_suppkey % 8", "l_orderkey % 8"]
+_Z3_DUCK = zorder_n_expr(_COLS_DUCK, "//", Z3_BITS)
+
+
+def compact3_dirs(sf_dir: str) -> tuple[str, str]:
+    """(fragmented_dir, compacted_dir) — reuse wave-42's deterministic
+    md5-suffixed base with a z3 tag."""
+    from weather_flink_spark.plans.analytics_wave42 import compact_dirs
+
+    frag, opt = compact_dirs(sf_dir)
+    return frag.replace("_frag", "_frag3"), opt.replace("_opt", "_opt3")
+
+
+def run_compaction3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.layout import optimize_zorder3
+
+    frag_dir, opt_dir = compact3_dirs(sf_dir)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        (F.col("l_partkey") % 8).alias("px"),
+        (F.col("l_suppkey") % 8).alias("sx"),
+        (F.col("l_orderkey") % 8).alias("ox"),
+    )
+    if os.path.exists(frag_dir):
+        shutil.rmtree(frag_dir)
+    li.repartition(N_FRAGMENTS).write.mode("overwrite").parquet(frag_dir)
+    fragmented = spark.read.parquet(frag_dir)
+    # rows//8 block sizing as wave-42 (multiple row groups per file at
+    # every sf so the footer-stats assertions exercise the mechanism)
+    n_rows = fragmented.count()
+    block = min(max(1024, n_rows // 8), 4 * 1024 * 1024)
+    return optimize_zorder3(
+        spark,
+        fragmented,
+        opt_dir,
+        ["px", "sx", "ox"],
+        N_TARGET_FILES,
+        parquet_block_bytes=block,
+    )
+
+
+@register(
+    "q_layout_compact_zorder3",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey % 8 AS px, l_suppkey % 8 AS sx,
+                   l_orderkey % 8 AS ox,
+                   {_Z3_DUCK} AS zval
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT zval, COUNT(*) AS c FROM z GROUP BY zval
+        ),
+        rpf AS (
+            SELECT GREATEST(1, (SUM(c) + {N_TARGET_FILES - 1}) // {N_TARGET_FILES})
+                   AS rows_per_file
+            FROM cells
+        ),
+        fmap AS (
+            SELECT zval,
+                   CAST(COALESCE(SUM(c) OVER (
+                            ORDER BY zval ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        // r.rows_per_file AS INT) AS file_id
+            FROM cells CROSS JOIN rpf r
+        )
+        SELECT f.file_id,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT z.zval) AS n_cells,
+               MIN(z.px) AS px_min, MAX(z.px) AS px_max,
+               MIN(z.sx) AS sx_min, MAX(z.sx) AS sx_max,
+               MIN(z.ox) AS ox_min, MAX(z.ox) AS ox_max
+        FROM z JOIN fmap f USING (zval)
+        GROUP BY f.file_id
+    """,
+    doc=(
+        "3-column OPTIMIZE ZORDER (the wave-42 job generalized): "
+        "48 unsorted shards bin-packed along the 3-way Morton curve "
+        "(px=l_partkey%8, sx=l_suppkey%8, ox=l_orderkey%8, 3 bits "
+        "each — <= 512 bounded cells) into ~12 curve-sorted files; "
+        "profile from the READ-BACK table carries all three per-file "
+        "spans, each kept narrow simultaneously so a predicate on ANY "
+        "dimension prunes files (proven per dimension from parquet "
+        "footers in tests). Deterministic cumulative-window bin-pack "
+        "replayed by the oracle; one shuffle + in-partition sort."
+    ),
+    tags=("layout", "sink", "scan", "scale"),
+)
+def q_layout_compact_zorder3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = run_compaction3(spark, sf_dir)
+    return back.groupBy(F.col("file_id").cast("int").alias("file_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("zval").alias("n_cells"),
+        F.min("px").alias("px_min"),
+        F.max("px").alias("px_max"),
+        F.min("sx").alias("sx_min"),
+        F.max("sx").alias("sx_max"),
+        F.min("ox").alias("ox_min"),
+        F.max("ox").alias("ox_max"),
+    )

@@ -118,6 +118,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave48,
         analytics_wave49,
         analytics_wave50,
+        analytics_wave51,
         streaming_queries,
     )
 
