@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 def test_refresh_work_order_matches_batch_builder(spark):
     """The refreshed column IS the batch builder's medoid election,
     and stale medoids are always pre-epoch nodes."""
-    rows = {r.cell: r for r in all_specs()["q_ann_hnsw_refresh"].fn(spark, SF).collect()}
+    rows = {r.cell: r for r in all_specs()["q_sim_ann_hnsw_refresh"].fn(spark, SF).collect()}
     fresh = {r.cell: r.node for r in w26.l1_medoids_table(spark, SF).collect()}
     assert {c: r.refreshed_node for c, r in rows.items()} == fresh
 

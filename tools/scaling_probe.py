@@ -1312,6 +1312,151 @@ def main() -> None:
         "xN": timed(lambda: compact(scaled(li, ["l_orderkey"], K, STRIDE), "xN")),
     }
 
+    # wave-49: thermometer code build (explode -> broadcast threshold
+    # join -> 4-word shift-sum groupBy; thresholds stay the bounded
+    # 256-row model of the UNSCALED corpus — at 100 TB the model is
+    # trained once on a sample, not per ingest)
+    def thermo_build(e):
+        from pyspark.sql import functions as FF
+
+        vals = e.select(
+            "vec_id", FF.posexplode("embedding").alias("dim", "v")
+        ).select("vec_id", "dim", FF.col("v").cast("double").alias("v"))
+        thr = emb.select(
+            "vec_id", FF.posexplode("embedding").alias("dim", "v")
+        ).select("dim", FF.col("v").cast("double").alias("v")).groupBy(
+            "dim"
+        ).agg(
+            FF.expr("percentile_approx(v, array(0.2,0.4,0.6,0.8), 100)").alias("qs")
+        ).select("dim", FF.posexplode("qs").alias("k0", "thr")).select(
+            "dim", (FF.col("k0") + 1).alias("k"), "thr"
+        )
+        word_aggs = [
+            FF.expr(
+                f"CAST(sum(CASE WHEN dim div 16 = {w} AND v > thr"
+                f" THEN shiftleft(1L, 4 * (dim % 16) + k - 1)"
+                f" ELSE 0L END) AS BIGINT)"
+            ).alias(f"w{w}")
+            for w in range(4)
+        ]
+        return vals.join(FF.broadcast(thr), "dim").groupBy("vec_id").agg(*word_aggs).count()
+
+    results["thermo256_code_build"] = want("thermo256_code_build") and {
+        "x1": timed(lambda: thermo_build(emb)),
+        "xN": timed(lambda: thermo_build(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
+    # wave-52: image aHash + LSH band join + verdict rollup (the
+    # candidate space scales with collisions, the scan with images)
+    def ahash_dedup(d):
+        from weather_flink_spark.operators.multimodal import (
+            ahash_frame,
+            encode_bmp_payload,
+        )
+        from pyspark.sql import Window as W
+
+        ah = ahash_frame(encode_bmp_payload(d.select("doc_id", "text")))
+        bands = spark.range(4).select(F.col("id").cast("int").alias("b"))
+        banded = ah.crossJoin(F.broadcast(bands)).select(
+            "doc_id", "width", "height", "ahash", "b",
+            F.expr("shiftright(ahash, b * 10) & 1023").alias("band_key"),
+        )
+        x, y = banded.alias("x"), banded.alias("y")
+        ham = F.bit_count(F.col("x.ahash").bitwiseXOR(F.col("y.ahash"))).cast("int")
+        cand = (
+            x.join(y, (F.col("y.width") == F.col("x.width"))
+                   & (F.col("y.height") == F.col("x.height"))
+                   & (F.col("y.b") == F.col("x.b"))
+                   & (F.col("y.band_key") == F.col("x.band_key"))
+                   & (F.col("y.doc_id") > F.col("x.doc_id")))
+            .select(F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= 3).distinct()
+        )
+        return cand.groupBy("id1").count().count()
+
+    results["ahash_band_dedup"] = want("ahash_band_dedup") and {
+        "x1": timed(lambda: ahash_dedup(docs)),
+        "xN": timed(lambda: ahash_dedup(scaled(docs, ["doc_id"], K, STRIDE))),
+    }
+
+    # wave-53: BFS rounds (edge join + min groupBy per round)
+    def bfs(l):
+        ed = l.select("l_orderkey", "l_partkey").distinct()
+        p_node = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+        o_node = F.concat(F.lit("o:"), F.col("l_orderkey").cast("string"))
+        edges = ed.select(p_node.alias("src"), o_node.alias("dst")).unionByName(
+            ed.select(o_node.alias("src"), p_node.alias("dst"))
+        )
+        reached = (
+            ed.filter(F.col("l_partkey") <= 3)
+            .select(p_node.alias("node")).distinct()
+            .select("node", F.lit(0).alias("lvl"))
+        )
+        for _ in range(4):
+            reached = (
+                reached.unionByName(
+                    reached.join(edges, reached.node == edges.src)
+                    .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl"))
+                )
+                .groupBy("node").agg(F.min("lvl").alias("lvl"))
+                .localCheckpoint()
+            )
+        return reached.count()
+
+    results["bfs_rounds"] = want("bfs_rounds") and {
+        "x1": timed(lambda: bfs(li)),
+        "xN": timed(lambda: bfs(scaled(li, ["l_orderkey"], K, STRIDE))),
+    }
+
+    # wave-53: CDC merge (latest-per-key + full-outer coalesce)
+    def cdc_merge(ev):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        cutoff = ev.agg(F.expr("percentile_approx(cast(ts as double), 0.8)")).collect()[0][0]
+
+        def latest(df):
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "ts", "value")
+            )
+
+        base = latest(ev.filter(F.col("ts").cast("double") < cutoff)).alias("b")
+        delta = latest(ev.filter(F.col("ts").cast("double") >= cutoff)).alias("d")
+        return base.join(delta, F.col("b.user_id") == F.col("d.user_id"), "full_outer").count()
+
+    events_df = load(spark, args.sf, "events")
+    results["cdc_merge_fullouter"] = want("cdc_merge_fullouter") and {
+        "x1": timed(lambda: cdc_merge(events_df)),
+        "xN": timed(lambda: cdc_merge(scaled(events_df, ["user_id", "event_id"], K, STRIDE))),
+    }
+
+    # wave-51: 3-D compaction write (same job, 3-way curve)
+    def compact3(l, tag):
+        import os
+        import shutil
+        import tempfile
+
+        from weather_flink_spark.operators.layout import optimize_zorder3
+
+        src = l.select(
+            "l_orderkey",
+            (F.col("l_partkey") % 8).alias("px"),
+            (F.col("l_suppkey") % 8).alias("sx"),
+            (F.col("l_orderkey") % 8).alias("ox"),
+        )
+        out = os.path.join(tempfile.gettempdir(), f"wfs_probe_compact3_{tag}")
+        n = optimize_zorder3(spark, src, out, ["px", "sx", "ox"], 12).count()
+        shutil.rmtree(out, ignore_errors=True)
+        return n
+
+    results["zorder3_binpack_write"] = want("zorder3_binpack_write") and {
+        "x1": timed(lambda: compact3(li, "x1")),
+        "xN": timed(lambda: compact3(scaled(li, ["l_orderkey"], K, STRIDE), "xN")),
+    }
+
     results = {k: v for k, v in results.items() if v}
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None

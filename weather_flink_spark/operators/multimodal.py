@@ -275,6 +275,66 @@ def decode_bmp(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=BMP_DECODE_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def bmp_ahash(b: bytes):
+    """Average-hash a parsed BMP: (width, height, hash) or None.
+
+    Bit j (row-major pixel index) is set iff pixel j's intensity
+    (sum of its 3 channel bytes — no division, exact) is STRICTLY
+    above the image mean, tested as ``intensity * n_pixels >
+    total_intensity`` so the whole hash is integer arithmetic. The
+    fixture images are at most 8x5 = 40 pixels, so the hash packs
+    into one BIGINT."""
+    parsed = bmp_parse(b)
+    if parsed is None:
+        return None
+    width, height, bpp, stride, _ = parsed
+    if bpp != 24:
+        return None
+    (offset,) = struct.unpack_from("<I", b, 10)
+    img = b[offset : offset + height * stride]
+    n = width * height
+    intens = []
+    for j in range(n):
+        p = (j // width) * stride + (j % width) * 3
+        intens.append(img[p] + img[p + 1] + img[p + 2])
+    total = sum(intens)
+    h = 0
+    for j, v in enumerate(intens):
+        if v * n > total:
+            h |= 1 << j
+    return width, height, h
+
+
+def ahash_frame(df: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual (average) hash over (doc_id, payload);
+    corrupt payloads tolerate-hash to nulls (the A2 discipline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                parsed = bmp_ahash(bytes(payload))
+                if parsed is None:
+                    rows.append((int(doc_id), None, None, None))
+                else:
+                    rows.append((int(doc_id), *parsed))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash"]
+            )
+
+    return df.mapInPandas(kernel, schema=AHASH_SCHEMA)
+
+
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to (width, height, channels).
 

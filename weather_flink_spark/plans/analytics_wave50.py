@@ -9,7 +9,7 @@ and the highway clique stay whatever the last batch build produced
 ("medoid/highway refresh = periodic compaction",
 analytics_wave26.hnsw_insert_frame). This entry IS that compaction:
 
-- ``q_ann_hnsw_refresh`` — treat the newest 20% of vec_ids as one
+- ``q_sim_ann_hnsw_refresh`` — treat the newest 20% of vec_ids as one
   ingest epoch (the repo's delta-batch convention, q_dedup_incremental)
   inserted since the last rebuild. The STALE coarse structure elects
   each cell's medoid among pre-epoch coarse nodes only; the REFRESH
@@ -118,7 +118,7 @@ def _refresh_oracle() -> str:
 
 
 @register(
-    "q_ann_hnsw_refresh",
+    "q_sim_ann_hnsw_refresh",
     oracle=_refresh_oracle(),
     doc=(
         "HNSW medoid/highway refresh — the periodic-compaction half "
@@ -137,7 +137,7 @@ def _refresh_oracle() -> str:
     ),
     tags=("similarity", "ann", "hnsw", "layout", "maintenance"),
 )
-def q_ann_hnsw_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sim_ann_hnsw_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.analytics_wave26 import l1_medoids_table
     from weather_flink_spark.plans.analytics_wave4 import (
         kmeans_final_assignment,

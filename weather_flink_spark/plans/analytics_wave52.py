@@ -1,0 +1,231 @@
+"""Wave-52 operators (round 8): image near-dedup via perceptual
+(average) hashing — the multimodal counterpart of the text dedup
+family.
+
+- ``q_multimodal_image_dedup_ahash`` — the standard image-dedup
+  pipeline over REAL decoded bytes: every document's genuine 24bpp BMP
+  payload (operators/multimodal.bmp_encode fixtures, the wave-15
+  codec) is perceptually hashed — bit j set iff pixel j's intensity
+  (sum of 3 channel bytes) is strictly above the image mean, tested as
+  ``intensity * n_pixels > total`` so the hash is pure integer
+  arithmetic on the actual pixel bytes (operators/multimodal.bmp_ahash,
+  Arrow-batched). Near-dup candidates come from LSH BANDING, never
+  all-pairs: 4 bands of 10 hash bits each, blocked additionally on
+  (width, height) — by pigeonhole, Hamming <= 3 implies at least one
+  band collides, so the band equi-join loses nothing at threshold 3.
+  Verified pairs (bit_count(xor) <= 3) roll up to a per-image verdict:
+  n_neardups + best match (hamming asc, partner asc). One row per
+  image always.
+
+  This is the image half of what MinHash-LSH does for text: same
+  band-bucket blocking shape, same verify-then-rollup, and at 100 TB
+  the hash table is the persisted index (8 bytes/image) with the band
+  join a shuffle on (dims, band, bits) — never image x image.
+
+  Oracle: the BMP fixture's bytes are a deterministic function of
+  (doc_id, text) — dims from the doc_id rule, pixel bytes cycling the
+  UTF-8 text with row padding — so DuckDB replays the ENTIRE pipeline
+  (intensities via ascii() over the cycled text, hash shifts, bands,
+  pigeonhole join, rollup) in exact integer SQL, while the Spark side
+  hashes the real payload bytes (the wave-15 decode discipline).
+
+Reference parity note: the reference processes no media (empty plan
+body, ``WeatherProcessingJobPlan.java:9-11``); this extends the
+north-star multimodal surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+
+_AHASH_T = 3  # max Hamming distance for a near-dup verdict
+_N_BANDS = 4
+_BAND_BITS = 10  # 4 x 10 covers the <= 40-pixel fixture hashes
+
+
+def _ahash_cte() -> str:
+    """DuckDB CTE ``ah`` (doc_id, width, height, ahash): replay of the
+    average hash from the encode rule (dims from doc_id, pixel bytes =
+    text cycled with row padding excluded)."""
+    # intensity of pixel j = sum of the 3 channel bytes at positions
+    # (j // w) * stride + (j % w) * 3 + {0,1,2} of the pixel array
+    chan = " + ".join(
+        f"ascii(text[CAST((((j // width) * stride + (j % width) * 3 + {k})"
+        f" % L) AS INTEGER) + 1])"
+        for k in range(3)
+    )
+    return f"""
+        p AS (
+            SELECT doc_id, text,
+                   4 + doc_id % 5 AS width,
+                   2 + doc_id % 4 AS height,
+                   (((4 + doc_id % 5) * 3 + 3) // 4) * 4 AS stride,
+                   length(text) AS L
+            FROM documents
+        ),
+        intens AS (
+            SELECT doc_id, width, height,
+                   list_transform(range(0, width * height),
+                                  j -> {chan}) AS iv
+            FROM p
+        ),
+        ah AS MATERIALIZED (
+            SELECT doc_id, width, height,
+                   CAST(COALESCE(list_sum(list_transform(
+                       range(0, width * height),
+                       j -> CASE WHEN iv[CAST(j AS INTEGER) + 1]
+                                      * width * height
+                                      > list_sum(iv)
+                            THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                            ELSE 0 END)), 0) AS BIGINT) AS ahash
+            FROM intens
+        )"""
+
+
+def _dedup_oracle() -> str:
+    bands = ", ".join(f"({b})" for b in range(_N_BANDS))
+    return f"""
+        WITH {_ahash_cte()},
+        banded AS (
+            SELECT a.doc_id, a.width, a.height, a.ahash, b.b,
+                   (a.ahash >> (b.b * {_BAND_BITS})) & {2 ** _BAND_BITS - 1}
+                       AS band_key
+            FROM ah a JOIN (VALUES {bands}) b(b) ON TRUE
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+                   CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER)
+                       AS hamming
+            FROM banded x
+            JOIN banded y
+              ON y.width = x.width AND y.height = x.height
+             AND y.b = x.b AND y.band_key = x.band_key
+             AND y.doc_id > x.doc_id
+            WHERE CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER)
+                      <= {_AHASH_T}
+        ),
+        sided AS (
+            SELECT id1 AS doc_id, id2 AS partner, hamming FROM cand
+            UNION ALL
+            SELECT id2 AS doc_id, id1 AS partner, hamming FROM cand
+        ),
+        rolled AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_neardups,
+                   MAX(CASE WHEN rk = 1 THEN partner END) AS best_match_id,
+                   MAX(CASE WHEN rk = 1 THEN hamming END) AS best_hamming
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY hamming ASC, partner ASC) AS rk
+                FROM sided
+            ) GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.width, a.height, a.ahash,
+               COALESCE(r.n_neardups, 0) AS n_neardups,
+               r.best_match_id,
+               CAST(r.best_hamming AS INTEGER) AS best_hamming
+        FROM ah a LEFT JOIN rolled r ON r.doc_id = a.doc_id
+    """
+
+
+@register(
+    "q_multimodal_image_dedup_ahash",
+    oracle=_dedup_oracle(),
+    doc=(
+        "Image near-dedup via perceptual average-hash over REAL "
+        "decoded BMP bytes (Arrow-batched bmp_ahash: bit j = pixel "
+        "intensity strictly above image mean, integer-only): 4x10-bit "
+        "LSH bands blocked on (width, height) generate candidates "
+        "(pigeonhole: Hamming <= 3 => some band collides — zero "
+        "pairwise image work), verified pairs roll up to per-image "
+        "n_neardups + best match. The image half of MinHash-LSH text "
+        "dedup; at 100 TB the 8-byte/image hash table is the "
+        "persisted index and the band join shuffles on (dims, band, "
+        "bits). Oracle replays hash, bands, join and rollup from the "
+        "fixture's deterministic (doc_id, text) byte rule."
+    ),
+    tags=("multimodal", "dedup", "lsh", "pandas-udf", "llm-pipeline"),
+)
+def q_multimodal_image_dedup_ahash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_flink_spark.operators.multimodal import (
+        ahash_frame,
+        encode_bmp_payload,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ah = ahash_frame(encode_bmp_payload(d))
+    bands = spark.range(_N_BANDS).select(F.col("id").cast("int").alias("b"))
+    banded = ah.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        "b",
+        F.expr(
+            f"shiftright(ahash, b * {_BAND_BITS}) & {2 ** _BAND_BITS - 1}"
+        ).alias("band_key"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    ham = F.bit_count(
+        F.col("x.ahash").bitwiseXOR(F.col("y.ahash"))
+    ).cast("int")
+    cand = (
+        x.join(
+            y,
+            (F.col("y.width") == F.col("x.width"))
+            & (F.col("y.height") == F.col("x.height"))
+            & (F.col("y.b") == F.col("x.b"))
+            & (F.col("y.band_key") == F.col("x.band_key"))
+            & (F.col("y.doc_id") > F.col("x.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id1"),
+            F.col("y.doc_id").alias("id2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_T)
+        .distinct()
+    )
+    sided = cand.select(
+        F.col("id1").alias("doc_id"), F.col("id2").alias("partner"), "hamming"
+    ).unionByName(
+        cand.select(
+            F.col("id2").alias("doc_id"),
+            F.col("id1").alias("partner"),
+            "hamming",
+        )
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("hamming").asc(), F.col("partner").asc()
+    )
+    rolled = (
+        sided.withColumn("rk", F.row_number().over(w_best))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_neardups"),
+            F.max(F.when(F.col("rk") == 1, F.col("partner"))).alias(
+                "best_match_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("hamming")))
+            .cast("int")
+            .alias("best_hamming"),
+        )
+    )
+    return ah.join(rolled, "doc_id", "left").select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        F.coalesce(F.col("n_neardups"), F.lit(0).cast("bigint")).alias(
+            "n_neardups"
+        ),
+        "best_match_id",
+        "best_hamming",
+    )

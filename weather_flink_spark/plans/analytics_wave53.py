@@ -1,0 +1,365 @@
+"""Wave-53 operators (round 8): BFS reachability levels, the bucketed
+co-located join as a first-class entry, and the streaming CDC upsert
+twin.
+
+- ``q_graph_bfs_levels`` — multi-source breadth-first search over the
+  order⋈part co-purchase bipartite graph (the session-cached edge
+  table every graph entry rides): seeds = part nodes 1..3, four
+  unrolled expansion rounds, each round ONE edge join + ONE min-level
+  groupBy (`level = min hop distance`). Completes the graph family
+  (pagerank/HITS give importance, k-core/label-prop give structure,
+  triangles/jaccard give similarity — BFS gives REACHABILITY, the
+  primitive behind "how far is any item from this seed set"). Each
+  round's frontier work is |reached| x degree with eager lineage
+  truncation; at 100 TB rounds are the standard iterative-join shape
+  (Pregel's superstep) and the unrolled-CTE oracle replays the exact
+  min-fold.
+- ``q_join_bucketed_colocated`` — the shuffle-free fact⋈fact join as
+  a REGISTRY entry (the capability existed only as a test until now):
+  lineitem and orders written as bucketed+sorted managed tables on the
+  join key (8 buckets), then merge-joined — the plan feeds the
+  SortMergeJoin straight from bucket files with ZERO exchange on the
+  join key (asserted from the plan in tests; the oracle checks the
+  join's arithmetic). This is THE 100 TB pattern for recurring joins:
+  pay the shuffle once at write, never again at read.
+- ``s_cdc_upsert_stream`` — the streaming twin of q_cdc_merge_upsert:
+  a 2-batch changelog stream foreachBatch-MERGEs into a persisted
+  parquet snapshot (latest-writer-wins per key, full-outer coalesce —
+  exactly the batch entry's algebra), with a batch-id log making
+  replay idempotent (the A5 exactly-once discipline applied to a
+  MERGE INTO sink). Final state equals the batch latest-per-key twin
+  bit-for-bit (tested) and re-applying a seen batch is a no-op
+  (tested).
+
+Reference parity note: the reference's transformation plan is empty
+(``WeatherProcessingJobPlan.java:9-11``); these extend the north-star
+surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.registry import register
+
+_BFS_ROUNDS = 4
+_BFS_SEED_PARTS = 3  # seeds: part nodes 1..3
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    prev = "n0"
+    for k in range(1, _BFS_ROUNDS + 1):
+        rounds.append(f"""
+        n{k} AS (
+            SELECT node, MIN(lvl) AS lvl FROM (
+                SELECT node, lvl FROM {prev}
+                UNION ALL
+                SELECT e.dst AS node, n.lvl + 1 AS lvl
+                FROM {prev} n JOIN e ON e.src = n.node
+            ) GROUP BY node
+        )""")
+        prev = f"n{k}"
+    return f"""
+        WITH ed AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+                   'o:' || CAST(l_orderkey AS VARCHAR) AS dst
+            FROM ed
+            UNION ALL
+            SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM ed
+        ),
+        n0 AS (
+            SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS node,
+                   0 AS lvl
+            FROM ed WHERE l_partkey <= {_BFS_SEED_PARTS}
+        ),
+        {",".join(rounds)}
+        SELECT node, CAST(lvl AS INTEGER) AS level FROM n{_BFS_ROUNDS}
+    """
+
+
+@register(
+    "q_graph_bfs_levels",
+    oracle=_bfs_oracle(),
+    doc=(
+        "Multi-source BFS levels on the order-part bipartite graph "
+        "(seeds = part nodes 1..3): 4 unrolled rounds, each ONE edge "
+        "join + ONE min-level groupBy over everything reached so far "
+        "— level = exact min hop distance within the horizon. The "
+        "reachability primitive completing the graph family; rides "
+        "the session-cached distinct edge table; eager per-round "
+        "localCheckpoint keeps the unrolled lineage flat (the "
+        "iterative-join discipline); unrolled-CTE oracle replays the "
+        "min-fold exactly. Scale: Pregel-superstep shape — "
+        "|reached| x degree per round, never all-pairs."
+    ),
+    tags=("graph", "bfs", "analytics"),
+)
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.analytics_wave4 import (
+        order_part_edges_table,
+    )
+
+    ed = order_part_edges_table(spark, sf_dir)
+    p_node = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    o_node = F.concat(F.lit("o:"), F.col("l_orderkey").cast("string"))
+    edges = ed.select(p_node.alias("src"), o_node.alias("dst")).unionByName(
+        ed.select(o_node.alias("src"), p_node.alias("dst"))
+    )
+    reached = (
+        ed.filter(F.col("l_partkey") <= _BFS_SEED_PARTS)
+        .select(p_node.alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("lvl"))
+    )
+    for _ in range(_BFS_ROUNDS):
+        reached = (
+            reached.unionByName(
+                reached.join(edges, reached.node == edges.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("lvl") + 1).alias("lvl"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("lvl").alias("lvl"))
+            .localCheckpoint()
+        )
+    return reached.select("node", F.col("lvl").cast("int").alias("level"))
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per session+sf) the bucketed+sorted managed tables
+    for the shuffle-free join; returns (lineitem_table, orders_table).
+
+    Table names carry a deterministic md5 sf tag (the wave-42
+    convention) so scales never clobber each other; stale warehouse
+    dirs from dead sessions are cleared before the write (the
+    in-memory catalog forgets tables across sessions)."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    if spark.catalog.tableExists(li_t) and spark.catalog.tableExists(ord_t):
+        return li_t, ord_t
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (li_t, ord_t):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(li_t)
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(ord_t)
+    )
+    return li_t, ord_t
+
+
+@register(
+    "q_join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc=(
+        "Bucketed co-located fact⋈fact join as a first-class entry: "
+        "both sides written ONCE as bucketed+sorted managed tables on "
+        "the join key (8 buckets), then merge-joined — the "
+        "SortMergeJoin reads matching bucket files directly, ZERO "
+        "exchange on the join key (plan-asserted in "
+        "tests/test_bucketed_join.py and test_analytics_wave53.py; "
+        "the oracle checks the arithmetic on the raw tables). THE "
+        "recurring-join pattern at 100 TB: pay the partitioning at "
+        "write time, never at read time — same result, no shuffle, "
+        "every run."
+    ),
+    tags=("joins", "layout", "scale"),
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_t, ord_t = bucketed_tables(spark, sf_dir)
+    li = spark.table(li_t)
+    o = spark.table(ord_t)
+    return (
+        li.hint("merge")
+        .join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC upsert (MERGE INTO a parquet snapshot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_cdc_upsert_stream",
+    doc=(
+        "Streaming CDC upsert — the foreachBatch twin of "
+        "q_cdc_merge_upsert: a 2-batch changelog stream MERGEs into a "
+        "persisted parquet snapshot (latest-writer-wins per user_id: "
+        "batch rows reduce to latest-per-key, full-outer coalesce "
+        "against the current snapshot, atomic directory swap), with a "
+        "batch-id log making replay IDEMPOTENT — re-delivering a seen "
+        "batch is a no-op (the A5 exactly-once discipline as a MERGE "
+        "INTO sink; same shape Delta/Iceberg `MERGE` runs per "
+        "micro-batch). Final snapshot equals the batch "
+        "latest-per-key twin bit-for-bit and idempotency is replayed "
+        "explicitly in tests. Scale: one shuffle per micro-batch on "
+        "the merge key; snapshot rewrite is the compaction cost a "
+        "table format amortizes with file-level merge-on-read."
+    ),
+    tags=("streaming", "cdc", "merge", "sink"),
+)
+def s_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_cdc_upsert_stream(spark, sf_dir)[0]
+
+
+def run_cdc_upsert_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """Returns (final_snapshot_df, handles) — handles expose the merge
+    callback + state dirs so tests can replay batches."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    from weather_flink_spark.plans.streaming_queries import _configure
+
+    _configure(spark)
+    t = papq.read_table(
+        sf_dir + "/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    pdf = t.to_pandas()
+    users = sorted(pdf.user_id.unique())[:8]
+    pdf = pdf[pdf.user_id.isin(users)].sort_values(["ts", "event_id"]).head(100)
+    rows = [
+        json.dumps(
+            {
+                "user_id": int(r.user_id),
+                "event_id": int(r.event_id),
+                "t_us": int(r.ts.value // 1000),
+                "event_type": str(r.event_type),
+                "value": float(r.value),
+            }
+        )
+        for r in pdf.itertuples()
+    ]
+    d = os.path.join(tempfile.gettempdir(), f"wfs_stream_cdc_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    mid = len(rows) // 2
+    for i, chunk in enumerate((rows[:mid], rows[mid:])):
+        p = os.path.join(d, f"part-{i:04d}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(chunk) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    snap_dir = os.path.join(d, "snapshot")
+    applied_log = os.path.join(d, "applied.json")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied = (
+            set(json.load(open(applied_log))) if os.path.exists(applied_log) else set()
+        )
+        if batch_id in applied:  # idempotent replay: seen batch = no-op
+            return
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("t_us").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "t_us", "event_type", "value")
+            .alias("d")
+        )
+        if os.path.exists(snap_dir):
+            base = spark.read.parquet(snap_dir).alias("b")
+            merged = base.join(
+                delta, F.col("b.user_id") == F.col("d.user_id"), "full_outer"
+            ).select(
+                F.coalesce(F.col("d.user_id"), F.col("b.user_id")).alias("user_id"),
+                F.coalesce(F.col("d.t_us"), F.col("b.t_us")).alias("t_us"),
+                F.coalesce(F.col("d.event_type"), F.col("b.event_type")).alias(
+                    "event_type"
+                ),
+                F.coalesce(F.col("d.value"), F.col("b.value")).alias("value"),
+            )
+        else:
+            merged = delta.select("user_id", "t_us", "event_type", "value")
+        tmp = snap_dir + f"_tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = snap_dir + "_old"
+        if os.path.exists(snap_dir):
+            os.rename(snap_dir, old)
+        os.rename(tmp, snap_dir)  # atomic swap
+        shutil.rmtree(old, ignore_errors=True)
+        applied.add(batch_id)
+        json.dump(sorted(applied), open(applied_log, "w"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, t_us long,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(d, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(snap_dir).localCheckpoint()
+    handles = {
+        "dir": d,
+        "snap_dir": snap_dir,
+        "merge_batch": merge_batch,
+        "fixture_users": users,
+        "n_rows": len(rows),
+    }
+    return final, handles

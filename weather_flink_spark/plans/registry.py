@@ -119,6 +119,8 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave49,
         analytics_wave50,
         analytics_wave51,
+        analytics_wave52,
+        analytics_wave53,
         streaming_queries,
     )
 
