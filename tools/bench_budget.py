@@ -103,6 +103,28 @@ def load_tables(bench_file: Path) -> tuple[dict[str, float], float | None, dict,
     return bench, ambient, baseline, adjudications
 
 
+def add_new(bench_file: Path, round_tag: str, protocol: str) -> None:
+    """Add entries present in the bench table but absent from the
+    baseline (first recorded time for new operators); existing
+    baseline rows — the accumulated merged-best mins — are untouched."""
+    baseline = json.loads(BASELINE_PATH.read_text())
+    bench, _ = load_queries(bench_file)
+    added = 0
+    for k, v in sorted(bench.items()):
+        if k not in baseline:
+            baseline[k] = {
+                "seconds": round(v, 3),
+                "round": round_tag,
+                "protocol": protocol,
+            }
+            added += 1
+            print(f"NEW BASELINE {k}: {v:.3f} s")
+    BASELINE_PATH.write_text(
+        json.dumps(dict(sorted(baseline.items())), indent=1) + "\n"
+    )
+    print(f"added {added} new entries; {len(baseline)} total baselined")
+
+
 def check(bench_file: Path) -> int:
     bench, ambient, baseline, adjudications = load_tables(bench_file)
     degraded = ambient is not None and ambient > AMBIENT_DEGRADED
@@ -177,9 +199,18 @@ def main() -> None:
         "--protocol",
         default="per-query min over idle sf0.1 local[32] best-of-2 runs",
     )
+    ap.add_argument(
+        "--add-new",
+        action="store_true",
+        help="add bench entries missing from the baseline (first "
+        "recorded time for new operators); existing rows untouched",
+    )
     args = ap.parse_args()
     if args.rebaseline:
         rebaseline(args.rebaseline, args.round, args.protocol)
+        return
+    if args.add_new:
+        add_new(Path(args.bench), args.round, args.protocol)
         return
     sys.exit(check(Path(args.bench)))
 

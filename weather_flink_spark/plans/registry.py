@@ -121,6 +121,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave51,
         analytics_wave52,
         analytics_wave53,
+        analytics_wave54,
         streaming_queries,
     )
 
