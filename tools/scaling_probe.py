@@ -1380,28 +1380,31 @@ def main() -> None:
         "xN": timed(lambda: ahash_dedup(scaled(docs, ["doc_id"], K, STRIDE))),
     }
 
-    # wave-53: BFS rounds (edge join + min groupBy per round)
+    # wave-53: BFS rounds (frontier-only expansion, integer-encoded
+    # nodes — the post-close trimmed plan)
     def bfs(l):
         ed = l.select("l_orderkey", "l_partkey").distinct()
-        p_node = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
-        o_node = F.concat(F.lit("o:"), F.col("l_orderkey").cast("string"))
-        edges = ed.select(p_node.alias("src"), o_node.alias("dst")).unionByName(
-            ed.select(o_node.alias("src"), p_node.alias("dst"))
+        p_enc = F.col("l_partkey") * 2
+        o_enc = F.col("l_orderkey") * 2 + 1
+        edges = ed.select(p_enc.alias("src"), o_enc.alias("dst")).unionByName(
+            ed.select(o_enc.alias("src"), p_enc.alias("dst"))
         )
-        reached = (
+        frontier = (
             ed.filter(F.col("l_partkey") <= 3)
-            .select(p_node.alias("node")).distinct()
+            .select(p_enc.alias("node")).distinct()
             .select("node", F.lit(0).alias("lvl"))
+            .localCheckpoint()
         )
-        for _ in range(4):
-            reached = (
-                reached.unionByName(
-                    reached.join(edges, reached.node == edges.src)
-                    .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl"))
-                )
-                .groupBy("node").agg(F.min("lvl").alias("lvl"))
+        reached = frontier
+        for k in range(1, 5):
+            frontier = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(F.col("dst").alias("node")).distinct()
+                .join(reached.select("node"), "node", "left_anti")
+                .select("node", F.lit(k).alias("lvl"))
                 .localCheckpoint()
             )
+            reached = reached.unionByName(frontier)
         return reached.count()
 
     results["bfs_rounds"] = want("bfs_rounds") and {
