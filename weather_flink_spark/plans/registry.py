@@ -122,6 +122,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave52,
         analytics_wave53,
         analytics_wave54,
+        analytics_wave55,
         streaming_queries,
     )
 
