@@ -189,26 +189,42 @@ def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.x") - F.col("a.x"))
         ).alias("slope"),
     )
-    w_s = Window.orderBy(F.col("slope").asc(), F.col("x1").asc(), F.col("x2").asc())
-    ranked = pairs.select(
-        "slope",
-        F.row_number().over(w_s).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # global median rank via the two-pass range-partitioned primitive
+    # (operators/global_order) — a bare Window.orderBy would collapse
+    # the pair table onto one task (the registry-wide scale net
+    # forbids it, calendar-bounded or not)
+    from weather_flink_spark.operators.global_order import (
+        attach_global_row_number,
     )
-    med = ranked.filter(
-        (F.col("rk") == F.expr("(n + 1) div 2"))
-        | (F.col("rk") == F.expr("(n + 2) div 2"))
-    ).agg(F.avg("slope").alias("slope_med"))
+
+    # num_partitions=2: the pair table is calendar-bounded (days^2),
+    # so the two-pass rank needs distribution-correctness, not width —
+    # 32 range partitions cost ~3 s of pure scheduling here (measured)
+    ranked = attach_global_row_number(
+        pairs,
+        [F.col("slope").asc(), F.col("x1").asc(), F.col("x2").asc()],
+        out_col="rk",
+        num_partitions=2,
+    )
+    n_pairs_df = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(n_pairs_df))
+        .filter(
+            (F.col("rk") == F.expr("(n + 1) div 2"))
+            | (F.col("rk") == F.expr("(n + 2) div 2"))
+        )
+        .agg(F.avg("slope").alias("slope_med"))
+    )
     resid = daily.crossJoin(F.broadcast(med)).select(
         (F.col("y") - F.col("slope_med") * F.col("x")).alias("b0"), "x"
     )
-    w_b = Window.orderBy(F.col("b0").asc(), F.col("x").asc())
+    rranked = attach_global_row_number(
+        resid, [F.col("b0").asc(), F.col("x").asc()], out_col="rk",
+        num_partitions=2,
+    )
+    n_resid_df = rranked.agg(F.count("*").cast("bigint").alias("n"))
     bmed = (
-        resid.select(
-            "b0",
-            F.row_number().over(w_b).alias("rk"),
-            F.count("*").over(Window.partitionBy()).alias("n"),
-        )
+        rranked.crossJoin(F.broadcast(n_resid_df))
         .filter(
             (F.col("rk") == F.expr("(n + 1) div 2"))
             | (F.col("rk") == F.expr("(n + 2) div 2"))
