@@ -29,6 +29,10 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+# canonical invocation is `python tools/bench_budget.py`, which puts
+# tools/ (not the repo root) at sys.path[0] — insert the root so the
+# registry import in check() works outside pytest (ADVICE r8, medium)
+sys.path.insert(0, str(REPO))
 BASELINE_PATH = REPO / "BASELINE_PERQ.json"
 
 RATIO_LIMIT = 2.0
@@ -103,12 +107,26 @@ def load_tables(bench_file: Path) -> tuple[dict[str, float], float | None, dict,
     return bench, ambient, baseline, adjudications
 
 
-def add_new(bench_file: Path, round_tag: str, protocol: str) -> None:
+def add_new(
+    bench_file: Path, round_tag: str, protocol: str, force: bool = False
+) -> None:
     """Add entries present in the bench table but absent from the
     baseline (first recorded time for new operators); existing
-    baseline rows — the accumulated merged-best mins — are untouched."""
+    baseline rows — the accumulated merged-best mins — are untouched.
+
+    Refuses inside a degraded ambient window (ambient_factor >
+    AMBIENT_DEGRADED) unless ``force``: a first-observed time taken
+    under machine-wide load would become the permanent baseline and
+    loosen that entry's 2x budget forever (ADVICE r8, low)."""
     baseline = json.loads(BASELINE_PATH.read_text())
-    bench, _ = load_queries(bench_file)
+    bench, ambient = load_queries(bench_file)
+    if ambient is not None and ambient > AMBIENT_DEGRADED and not force:
+        print(
+            f"REFUSED: ambient_factor {ambient} > {AMBIENT_DEGRADED} — new "
+            "baselines taken in a degraded window inflate the budget "
+            "permanently; re-run in a clean window or pass --force"
+        )
+        sys.exit(1)
     added = 0
     for k, v in sorted(bench.items()):
         if k not in baseline:
@@ -205,12 +223,17 @@ def main() -> None:
         help="add bench entries missing from the baseline (first "
         "recorded time for new operators); existing rows untouched",
     )
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="allow --add-new inside a degraded ambient window",
+    )
     args = ap.parse_args()
     if args.rebaseline:
         rebaseline(args.rebaseline, args.round, args.protocol)
         return
     if args.add_new:
-        add_new(Path(args.bench), args.round, args.protocol)
+        add_new(Path(args.bench), args.round, args.protocol, force=args.force)
         return
     sys.exit(check(Path(args.bench)))
 

@@ -62,19 +62,24 @@ def run(title: str, cmd: list[str], env: dict | None = None) -> int:
 
 
 def gates(bench_path: str, step: int) -> tuple[bool, int]:
-    """Run the four cheap gates; returns (all_green, budget_rc)."""
-    ok = True
-    ok &= run("plan-metrics", [sys.executable, "tools/plan_metrics.py"]) == 0
+    """Run the four cheap gates.
+
+    Returns ``(ok_other_gates, budget_rc)`` — the budget result is kept
+    SEPARATE from the plan-metrics / oracle-sample / entry-smoke result
+    so close mode can adjudicate a degraded-window budget flag without
+    masking a failure from any other gate (ADVICE r8, high).
+    """
+    ok_other = True
+    ok_other &= run("plan-metrics", [sys.executable, "tools/plan_metrics.py"]) == 0
     budget_rc = run(
         "bench-budget",
         [sys.executable, "tools/bench_budget.py", "--bench", bench_path],
     )
-    ok &= budget_rc == 0
 
     from weather_flink_spark.plans.registry import all_specs
 
     sample = sorted(all_specs())[::step]
-    ok &= (
+    ok_other &= (
         run(
             f"oracle-sample ({len(sample)} queries)",
             [sys.executable, "tools/oracle_check.py", *sample],
@@ -90,15 +95,16 @@ def gates(bench_path: str, step: int) -> tuple[bool, int]:
     n = entrymod.entry(get_spark("round-close")).count()
     smoke = n > 0
     print(f"== entry smoke: {'OK' if smoke else 'FAIL'} ({n} rows)\n")
-    ok &= smoke
-    return bool(ok), budget_rc
+    ok_other &= smoke
+    return bool(ok_other), budget_rc
 
 
 def close_mode(round_tag: str, step: int) -> int:
     bench_path = str(REPO / "BENCH_SELF.json")
     if run("fresh bench", [sys.executable, "bench.py"]) != 0:
         return 1
-    ok, budget_rc = gates(bench_path, step)
+    ok_other, budget_rc = gates(bench_path, step)
+    ok = ok_other and budget_rc == 0
 
     if budget_rc == 2:
         # degraded ambient window: re-time the flagged entries in
@@ -159,7 +165,10 @@ def close_mode(round_tag: str, step: int) -> int:
         (REPO / "BENCH_ADJUDICATIONS.json").write_text(
             json.dumps(adjudications, indent=1) + "\n"
         )
-        ok = True  # degraded flags adjudicated; other gates already ran
+        # degraded flags adjudicated — but a plan-metrics / oracle /
+        # smoke failure from the same pass still fails the close
+        # (ADVICE r8 high: never let adjudication overwrite them)
+        ok = ok_other
 
     if not ok:
         print("ROUND-CLOSE: RED — not committing artifacts")
@@ -202,7 +211,8 @@ def main() -> None:
     if args.close:
         sys.exit(close_mode(args.round, args.step))
 
-    ok, _ = gates(args.bench, args.step)
+    ok_other, budget_rc = gates(args.bench, args.step)
+    ok = ok_other and budget_rc == 0
     print("ROUND-CLOSE GATE:", "GREEN" if ok else "RED")
     sys.exit(0 if ok else 1)
 

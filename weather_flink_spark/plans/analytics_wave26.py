@@ -65,8 +65,10 @@ _L0_HOPS = 3  # base-layer hops after the descent (matches q_sim_ann_graph)
 #
 # Coarse beam = HNSW's ef: with m=3 entry cells a narrow global beam
 # leaves ~1 slot per cell and starves the query's own region (the r6
-# 0.64-recall failure replayed exactly this); 4(d-1) keeps every
-# seeded cell's best lines alive through the 3 routing hops.
+# 0.64-recall failure replayed exactly this); 5d-7 keeps every
+# seeded cell's best lines alive through the 3 routing hops (8 at the
+# d=3 fixture, 18 at sf0.1 — a slightly steeper slope than the 4(d-1)
+# first draft, kept because the fixture hash pins d=3 at 8 either way).
 
 
 def _l1_beam(d: int) -> int:
