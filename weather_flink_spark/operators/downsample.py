@@ -7,10 +7,16 @@ triangle with the previously selected point and the average of the
 next bucket — the standard shape-preserving downsampler.
 
 Selection is sequential (each pick anchors the next triangle), so the
-kernel is per-series pandas inside ``applyInPandas``: Spark partitions
-by series key, Arrow moves each group once, and the O(n) scan runs in
-numpy. The distribution contract is "one series fits one executor" —
-the same contract every per-series stateful operator here uses.
+kernel is per-series pandas/numpy. The distribution contract is "one
+series fits one executor". Crossing shape (r8 verdict task #2, the
+wave-46 standing rule): per-series ``applyInPandas`` groups each pay
+~ms of Arrow round-trip (1500-1800 series = seconds of pure overhead),
+so every operator here first collapses each series to ONE row
+(``sort_array(collect_list(struct(...)))`` — the sort IS the kernel's
+old ``sort_values``) and runs the identical sequential kernel inside
+``mapInPandas`` over 32 hash partitions: 32 Python crossings total,
+any number of series. Kernels are order-pinned, so results are
+bit-identical to the per-group form (oracle hashes unchanged).
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 LTTB_SCHEMA = (
     "user_id long, event_id long, ts timestamp, value double, sel_rank int"
@@ -69,20 +76,60 @@ def lttb(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Downsample each series to ``n_out`` shape-preserving points."""
+    # ONE row per series before the Python crossing (module doc):
+    # sort_array on (t_us, event_id, value) structs == the kernel's
+    # old sort_values([ts, id]) — (t_us, id) is a unique key, so the
+    # third field never participates in ordering.
+    ser = (
+        events.select(
+            series_col,
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t_us"),
+                F.col(id_col).alias("eid"),
+                F.col(val_col).alias("v"),
+            ).alias("p"),
+        )
+        .groupBy(series_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("seq"))
+        .select(
+            series_col,
+            F.col("seq.t_us").alias("ts_us"),
+            F.col("seq.eid").alias("eids"),
+            F.col("seq.v").alias("vals"),
+        )
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
-        x = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
-        y = pdf[val_col].to_numpy(dtype=np.float64)
-        idx = _lttb_indices(x, y, n_out)
-        out = pdf.iloc[idx][[series_col, id_col, ts_col, val_col]].copy()
-        out["sel_rank"] = np.arange(len(idx), dtype=np.int32)
-        return out
+        out: list[tuple] = []
+        for _, row in pdf.iterrows():
+            ts_us = np.asarray(row["ts_us"], dtype=np.int64)
+            # epoch NANOS as double — exactly the old kernel's
+            # datetime64[ns].astype(int64) x axis (and the oracle's
+            # CAST(epoch_ns(ts) AS DOUBLE)); int64 ns first, then the
+            # same one float64 conversion
+            x = (ts_us * 1000).astype(np.float64)
+            y = np.asarray(row["vals"], dtype=np.float64)
+            eids = np.asarray(row["eids"], dtype=np.int64)
+            key = int(row[series_col])
+            for r, i in enumerate(_lttb_indices(x, y, n_out)):
+                out.append((key, int(eids[i]), int(ts_us[i]), float(y[i]), r))
+        return pd.DataFrame(
+            out, columns=[series_col, id_col, "t_us", val_col, "sel_rank"]
+        )
 
-    return (
-        events.select(series_col, id_col, ts_col, val_col)
-        .groupBy(series_col)
-        .applyInPandas(kernel, schema=LTTB_SCHEMA)
+    folded = ser.repartition(32, series_col).mapInPandas(
+        lambda it: (kernel(pdf) for pdf in it),
+        schema=(
+            f"{series_col} long, {id_col} long, t_us long,"
+            f" {val_col} double, sel_rank int"
+        ),
+    )
+    return folded.select(
+        series_col,
+        id_col,
+        F.timestamp_micros("t_us").alias(ts_col),
+        val_col,
+        "sel_rank",
     )
 
 
@@ -113,32 +160,40 @@ def holt_forecast(
     Returns the final state and the one-step-ahead forecast.
     """
 
+    ser = (
+        events.select(
+            series_col,
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t_us"),
+                F.col(id_col).alias("eid"),
+                F.col(val_col).alias("v"),
+            ).alias("p"),
+        )
+        .groupBy(series_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("seq"))
+        .select(series_col, F.col("seq.v").alias("vals"))
+    )
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
-        y = pdf[val_col].to_numpy(dtype=np.float64)
-        if len(y) < 2:
-            return pd.DataFrame(
-                columns=[series_col, "n_obs", "level", "trend", "forecast_next"]
-            )
-        s, b = y[0], y[1] - y[0]
-        for x in y[1:]:
-            s_prev = s
-            s = alpha * x + (1 - alpha) * (s + b)
-            b = beta * (s - s_prev) + (1 - beta) * b
+        out: list[tuple] = []
+        for _, row in pdf.iterrows():
+            y = np.asarray(row["vals"], dtype=np.float64)
+            if len(y) < 2:
+                continue
+            s, b = y[0], y[1] - y[0]
+            for x in y[1:]:
+                s_prev = s
+                s = alpha * x + (1 - alpha) * (s + b)
+                b = beta * (s - s_prev) + (1 - beta) * b
+            out.append((int(row[series_col]), len(y), s, b, s + b))
         return pd.DataFrame(
-            {
-                series_col: [int(pdf[series_col].iloc[0])],
-                "n_obs": [len(y)],
-                "level": [s],
-                "trend": [b],
-                "forecast_next": [s + b],
-            }
+            out,
+            columns=[series_col, "n_obs", "level", "trend", "forecast_next"],
         )
 
-    return (
-        events.select(series_col, id_col, ts_col, val_col)
-        .groupBy(series_col)
-        .applyInPandas(kernel, schema=_holt_schema(series_col))
+    return ser.repartition(32, series_col).mapInPandas(
+        lambda it: (kernel(pdf) for pdf in it),
+        schema=_holt_schema(series_col),
     )
 
 
@@ -169,28 +224,20 @@ def holt_winters_forecast(
     (mean of season 2 - mean of season 1) / period, seasonal components
     = first-season deviations from its mean; the triple recursion then
     folds the remaining observations. Like :func:`holt_forecast` the
-    recursion is order-sequential, so each series runs as one pandas
-    group in ``applyInPandas`` (one Arrow transfer per series; the
-    pre-aggregated hourly series is period-bounded, not event-bounded,
-    so group size is fixed regardless of raw-data scale). Series
-    shorter than two full seasons are dropped (no seasonal estimate).
+    recursion is order-sequential. Deliberately EXEMPT from the
+    module's collapse rule: the series key is a bounded categorical
+    (|event_type| ~ 5, each series period-bounded), so per-group
+    ``applyInPandas`` pays a handful of Arrow crossings total, while
+    the collapse's extra collect_list shuffle costs more than it
+    saves (measured r9: 0.53 -> 0.90 s at sf0.1 for the collapsed
+    form; reverted). Series shorter than two full seasons are
+    dropped (no seasonal estimate).
     """
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
-        y = pdf[val_col].to_numpy(dtype=np.float64)
+    def kernel_one(key: str, y: np.ndarray) -> tuple | None:
         m = period
         if len(y) < 2 * m:
-            return pd.DataFrame(
-                columns=[
-                    series_col,
-                    "n_obs",
-                    "level",
-                    "trend",
-                    "season_amplitude",
-                    "forecast_next",
-                ]
-            )
+            return None
         # sequential left folds (not numpy pairwise mean) so the exact
         # op order is replayable by a SQL list_reduce oracle
         acc1 = 0.0
@@ -210,16 +257,30 @@ def holt_winters_forecast(
             s = alpha * (y[t] - seas[c_idx]) + (1 - alpha) * (s + b)
             b = beta * (s - s_prev) + (1 - beta) * b
             seas[c_idx] = gamma * (y[t] - s) + (1 - gamma) * seas[c_idx]
-        return pd.DataFrame(
-            {
-                series_col: [str(pdf[series_col].iloc[0])],
-                "n_obs": [len(y)],
-                "level": [s],
-                "trend": [b],
-                "season_amplitude": [float(seas.max() - seas.min())],
-                "forecast_next": [s + b + seas[len(y) % m]],
-            }
+        return (
+            key,
+            len(y),
+            s,
+            b,
+            float(seas.max() - seas.min()),
+            s + b + seas[len(y) % m],
         )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
+        r = kernel_one(
+            str(pdf[series_col].iloc[0]),
+            pdf[val_col].to_numpy(dtype=np.float64),
+        )
+        cols = [
+            series_col,
+            "n_obs",
+            "level",
+            "trend",
+            "season_amplitude",
+            "forecast_next",
+        ]
+        return pd.DataFrame([r] if r is not None else [], columns=cols)
 
     return (
         hourly.select(series_col, idx_col, val_col)

@@ -301,10 +301,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Largest-Triangle-Three-Buckets downsampling of each user's "
         "gauge series to 12 points (operators/downsample.py): the "
         "standard visual-fidelity downsampler. Selection is inherently "
-        "sequential per series (each pick anchors the next triangle), "
-        "so it runs as applyInPandas per user — series are the "
-        "partition unit, the same contract a 100 TB run would use "
-        "(one series' points fit one executor). Oracle-exact (round-3 "
+        "sequential per series (each pick anchors the next triangle); "
+        "each series collapses to ONE sorted-struct row and the kernel "
+        "runs in mapInPandas over 32 hash partitions (wave-46 "
+        "crossing rule, r8 verdict #2 — measured 4.1 -> 0.8 s at "
+        "sf0.1; one series' points still fit one executor, the same "
+        "contract a 100 TB run would use). Oracle-exact (round-3 "
         "verdict #8): bucket averages are sequential left folds "
         "(= list_reduce), np.linspace bucket bounds are replayed with "
         "the same double mul/add/trunc, and the per-bucket argmax "
@@ -531,7 +533,9 @@ def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Holt double-exponential smoothing (alpha=0.5, beta=0.25) per "
         "user series with a one-step-ahead forecast "
         "(operators/downsample.holt_forecast). Sequential recursion "
-        "over each series -> applyInPandas per user, the same "
+        "over each series, collapsed to one sorted row per user and "
+        "folded in mapInPandas over 32 hash partitions (wave-46 rule, "
+        "r8 verdict #2 — measured 3.2 -> 0.7 s at sf0.1), the same "
         "distribution contract as q_events_lttb. Oracle-exact (round-3 "
         "verdict #8): the smoothing constants are dyadic (0.5/0.25/"
         "0.75 are exact binary doubles, so 1-beta is unambiguous on "

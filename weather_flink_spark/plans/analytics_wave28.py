@@ -33,6 +33,7 @@ reference's transformation plan is empty
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,50 +154,59 @@ _KAL_R = 2.0  # observation noise (dyadic)
         f"(Q={_KAL_Q}, R={_KAL_R} — dyadic constants, exact binary "
         "doubles): predict/update recursion, final filtered level, "
         "posterior variance, and one-step predictive variance. The "
-        "q_events_holt_forecast distribution contract: sequential per-"
-        "series recursion -> applyInPandas per user (parallelism = "
-        "|series|, the documented structural class), recursive-CTE "
-        "oracle replays the identical IEEE op order — bit-exact, no "
-        "quantization. The gain K = pp/(pp+R) is written with one "
-        "shared pp subexpression on both sides so neither engine can "
-        "reassociate it."
+        "q_events_holt_forecast distribution contract (wave-46 "
+        "collapse, r8 verdict #2): each series folds to ONE row of "
+        "sorted values, the sequential kernel runs in mapInPandas "
+        "over 32 hash partitions — 32 Python crossings instead of "
+        "one per user; recursive-CTE oracle replays the identical "
+        "IEEE op order — bit-exact, no quantization. The gain "
+        "K = pp/(pp+R) is written with one shared pp subexpression "
+        "on both sides so neither engine can reassociate it."
     ),
     tags=("timeseries", "filter", "pandas-udf"),
 )
 def q_events_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    # ONE row per user before the Python crossing (wave-46 rule):
+    # sort_array on (t_us, event_id, value) structs == the kernel's
+    # old sort_values(["ts", "event_id"])
+    ser = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t_us"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("seq"))
+        .select("user_id", F.col("seq.v").alias("vals"))
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        y = pdf["value"].to_numpy(dtype="float64")
-        if len(y) < 2:
-            return pd.DataFrame(
-                columns=["user_id", "n_obs", "level", "p_var", "pred_var"]
+        out: list[tuple] = []
+        for _, row in pdf.iterrows():
+            y = np.asarray(row["vals"], dtype="float64")
+            if len(y) < 2:
+                continue
+            l, p = float(y[0]), 1.0
+            for x in y[1:]:
+                pp = p + _KAL_Q
+                k = pp / (pp + _KAL_R)
+                l = l + k * (float(x) - l)
+                p = (1.0 - k) * pp
+            out.append(
+                (int(row["user_id"]), len(y), l, p, (p + _KAL_Q) + _KAL_R)
             )
-        l, p = float(y[0]), 1.0
-        for x in y[1:]:
-            pp = p + _KAL_Q
-            k = pp / (pp + _KAL_R)
-            l = l + k * (float(x) - l)
-            p = (1.0 - k) * pp
         return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_obs": [len(y)],
-                "level": [l],
-                "p_var": [p],
-                "pred_var": [(p + _KAL_Q) + _KAL_R],
-            }
+            out, columns=["user_id", "n_obs", "level", "p_var", "pred_var"]
         )
 
-    return (
-        e.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(
-            kernel,
-            schema="user_id long, n_obs long, level double,"
-            " p_var double, pred_var double",
-        )
+    return ser.repartition(32, "user_id").mapInPandas(
+        lambda it: (kernel(pdf) for pdf in it),
+        schema="user_id long, n_obs long, level double,"
+        " p_var double, pred_var double",
     )
 
 
