@@ -124,3 +124,37 @@ def test_candidate_pool_is_digit_scaled(spark):
     for r in rows:
         per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.k_rank)
     assert all(v <= 5 for v in per_q.values())  # top-k after rerank
+
+
+def test_sampled_model_recall_parity(spark):
+    """r8 verdict task #6: the sampled threshold model (seeded-md5
+    ~25% sample — the 100 TB build path) must hold recall parity with
+    the exact-threshold index: mean recall within one hit of the
+    exact tier (1/(5 queries * 5 k) = 0.04) and over the same
+    absolute floor."""
+    specs = all_specs()
+    exact = (
+        specs["q_sim_ann_binary256_recall"]
+        .fn(spark, SF)
+        .agg(F.avg("recall_at_k"))
+        .collect()[0][0]
+    )
+    sampled = (
+        specs["q_sim_ann_binary256_sampled_recall"]
+        .fn(spark, SF)
+        .agg(F.avg("recall_at_k"))
+        .collect()[0][0]
+    )
+    assert sampled >= exact - 0.04, (sampled, exact)
+    assert sampled >= 0.6
+
+
+def test_sampled_thresholds_use_a_proper_subsample(spark):
+    """The sampled model must really be built from fewer rows: its
+    thresholds differ from the exact model's on at least one dim (a
+    25% sample almost surely shifts some order statistic) while both
+    stay 256 bounded rows."""
+    ex = {(r.dim, r.k): r.thr for r in w49.thermo_thresholds_table(spark, SF).collect()}
+    sm = {(r.dim, r.k): r.thr for r in w49.thermo_thresholds_sampled_table(spark, SF).collect()}
+    assert len(ex) == len(sm) == 256
+    assert any(ex[key] != sm[key] for key in ex)

@@ -58,3 +58,47 @@ def test_plan_metrics_snapshot(spark, sf_dir):
         "intentional, run `python tools/plan_metrics.py --update`, "
         "review the diff, and commit it:\n" + msg
     )
+
+
+def test_snapshot_is_insertion_order_free(spark, sf_dir):
+    """r8 verdict task #5 done-bar: register a SYNTHETIC entry that
+    sorts before everything ('a_...') and eagerly MATERIALIZES shared
+    session caches from inside its fn — exactly the drift class that
+    used to flip later consumers' cache substitution — then re-collect
+    a subset of heavy cache consumers and require zero diffs vs the
+    same collection without the synthetic entry."""
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.plans.registry import _REGISTRY, register
+
+    probes = {
+        "q_emb_knn_label_accuracy",   # composes knn_edges
+        "q_dedup_semantic_ivf",       # composes ivf_assigned + kmeans
+        "q_sim_ann_hnsw_recall",      # composes the whole hnsw stack
+        "q_text_perplexity_bigram",   # composes bigram_model
+    }
+    base = collect_metrics(spark, sf_dir, names=probes)
+
+    @register("a_00_synthetic_cache_builder")
+    def _synthetic(spark, sf_dir):
+        from weather_flink_spark.plans.analytics_wave20 import (
+            knn_edges_table,
+        )
+        from weather_flink_spark.plans.llm_pipeline import minhash_bands
+
+        # materialize (not just register) two shared caches
+        knn_edges_table(spark, sf_dir).count()
+        minhash_bands(spark, sf_dir).count()
+        return spark.range(1).select(F.lit(1).alias("ok"))
+
+    try:
+        again = collect_metrics(
+            spark, sf_dir, names=probes | {"a_00_synthetic_cache_builder"}
+        )
+    finally:
+        _REGISTRY.pop("a_00_synthetic_cache_builder", None)
+
+    regressions, drift = diff_metrics(
+        base, {k: v for k, v in again.items() if k in probes}
+    )
+    assert not regressions and not drift, regressions + drift

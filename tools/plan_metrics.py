@@ -28,10 +28,14 @@ fail so they get re-committed deliberately:
     python tools/plan_metrics.py --update    # accept current plans
     python tools/plan_metrics.py             # check against committed
 
-Caching note: shared session-cached tables (llm_pipeline._SIG_CACHE &
-co.) persist() lazily at first use, so a plan shows InMemoryTableScan
-whether or not another entry materialized the cache first — the counts
-are call-order-independent.
+Caching note (r9, verdict task #5): determinism against shared session
+caches comes from TWO mechanisms — (a) the canonical cache prelude
+(plans/cache_prelude.build_all_caches) registers every shared cache
+before any plan is printed, so substitution never depends on which
+entries exist or how their names sort; (b) counts come from traversing
+the JVM plan tree (extract_df), where InMemoryTableScan is a leaf, so
+a MATERIALIZED cache's executed-build dump (whose AQE sections defeat
+text indentation heuristics) can never leak into the counts.
 """
 
 from __future__ import annotations
@@ -93,87 +97,79 @@ REGRESSION_KINDS = (
 )
 
 
-def plan_string(df) -> str:
-    """Physical plan text WITHOUT executing.
+def extract_df(df) -> dict[str, int]:
+    """Node-kind counts by TRAVERSING the JVM physical-plan tree.
 
-    sparkPlan() (pre-AQE), not executedPlan(): an executed
-    AdaptiveSparkPlan mutates its printed plan (QueryStage wrappers,
-    final-plan re-optimization), so executedPlan() would make the
-    snapshot depend on what ran earlier in the session.
-    """
-    return df._jdf.queryExecution().sparkPlan().toString()
-
-
-def strip_cached_subtrees(plan: str) -> str:
-    """Drop every InMemoryRelation line AND its subtree.
-
-    A MATERIALIZED cached relation prints its full build plan under
-    the InMemoryRelation node (an un-materialized one does not), so
-    counting nodes through it would make the metrics depend on
-    execution history — the round-7 full-suite flake. The cache
-    BOUNDARY (InMemoryTableScan) stays counted; what's behind it is
-    the cached build's business, already snapshotted via the entry
-    that owns it. Depth = column of the first letter on the line
-    (Spark's tree art is spaces/:/+/-/*/digits)."""
-    out: list[str] = []
-    skip_depth: int | None = None
-    for line in plan.splitlines():
-        m = re.search(r"[A-Za-z]", line)
-        depth = m.start() if m else 0
-        if skip_depth is not None:
-            if depth > skip_depth:
-                continue
-            skip_depth = None
-        if "InMemoryRelation" in line:
-            skip_depth = depth
-            continue
-        out.append(line)
-    return "\n".join(out)
-
-
-def extract(plan: str) -> dict[str, int]:
-    plan = strip_cached_subtrees(plan)
+    Replaces text parsing of ``sparkPlan().toString()`` (r9): a
+    MATERIALIZED ``InMemoryRelation`` prints its executed build as an
+    ``AdaptiveSparkPlan`` dump whose ``== Final Plan ==`` sections
+    reset indentation, defeating any depth-heuristic strip and
+    leaking the cached build's nodes into the counts — which made
+    counts depend on whether another entry had already run the cache
+    (the insertion-order flake the cache prelude exists to kill). In
+    the traversed tree ``InMemoryTableScan`` is a LEAF (the cached
+    relation is metadata, not a child), so what's behind the cache
+    boundary can never leak, materialized or not. Each node's
+    ``simpleString`` is matched against the same NODE_PATTERNS as the
+    old text lines. ``codegen_spans`` disappears with the text path —
+    sparkPlan() is pre-codegen, so every ``*(n)`` marker the old
+    counts saw came from leaked executed-cache dumps (a bug, not a
+    signal)."""
     out: dict[str, int] = {}
-    for kind, pat in NODE_PATTERNS.items():
-        n = len(re.findall(pat, plan))
-        if n:
-            out[kind] = n
-    # whole-stage codegen spans: distinct *(id) markers
-    ids = set(re.findall(r"\*\((\d+)\)", plan))
-    if ids:
-        out["codegen_spans"] = len(ids)
+    stack = [df._jdf.queryExecution().sparkPlan()]
+    while stack:
+        node = stack.pop()
+        line = node.simpleString(1000)
+        for kind, pat in NODE_PATTERNS.items():
+            if re.search(pat, line):
+                out[kind] = out.get(kind, 0) + 1
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
     return out
 
 
 def collect_metrics(spark, sf_dir: str = SF_DIR, names=None) -> dict[str, dict[str, int]]:
     """Collect node-type counts for every batch entry.
 
-    Starts from a PRISTINE cache state (clearCache + _SIG_CACHE reset)
-    and walks entries in sorted order: what a plan prints depends on
-    which shared caches exist and whether they were executed (a
-    materialized InMemoryRelation prints its build subtree, and
-    executing some entries even flips later plans' cache
-    substitution — the round-7 full-suite flake), so determinism
-    comes from pinning the STATE and the ORDER, not from hoping the
-    session is fresh. Callers' caches rebuild lazily afterwards.
+    Starts from a PRISTINE cache state (clearCache + _SIG_CACHE
+    reset), then runs the CANONICAL CACHE PRELUDE
+    (plans/cache_prelude.build_all_caches — every shared session
+    cache built in sorted kind order) before any plan is printed, so
+    each entry is planned against the SAME fully-registered cache
+    state regardless of how many entries exist or what their names
+    sort to (r8 verdict task #5 — previously a new early-sorting
+    entry that built a shared cache flipped later consumers' cache
+    substitution). With state pinned by the prelude instead of the
+    walk, a subset request plans only the requested entries.
+    Callers' caches rebuild lazily afterwards.
     """
     from weather_flink_spark.plans import llm_pipeline
+    from weather_flink_spark.plans.cache_prelude import (
+        build_all_caches,
+        unlisted_kinds,
+    )
     from weather_flink_spark.plans.registry import all_specs
 
     spark.catalog.clearCache()
     llm_pipeline._SIG_CACHE.clear()
+    build_all_caches(spark, sf_dir)
     specs = all_specs()
     out: dict[str, dict[str, int]] = {}
     for name in sorted(specs):
         if name.startswith("s_"):
             continue
-        # ALWAYS plan the entry (cache builds run inside fn), even when
-        # only a subset is requested — a partial run must walk the same
-        # state sequence as a full run or its counts won't match the
-        # full snapshot
+        if names and name not in names:
+            continue
         df = specs[name].fn(spark, sf_dir)
-        if not names or name in names:
-            out[name] = extract(plan_string(df))
+        out[name] = extract_df(df)
+    missing = unlisted_kinds()
+    if missing:
+        raise RuntimeError(
+            "cache kinds with no prelude row (latent insertion-order "
+            f"dependency for the plan snapshot): {missing} — add them "
+            "to weather_flink_spark/plans/cache_prelude.py"
+        )
     return out
 
 
