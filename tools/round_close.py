@@ -99,6 +99,37 @@ def gates(bench_path: str, step: int) -> tuple[bool, int]:
     return bool(ok_other), budget_rc
 
 
+def open_mode(round_tag: str) -> int:
+    """Round-OPEN ingestion (r8 verdict task #7): the driver re-runs
+    bench/correctness AFTER the builder's close commit, leaving
+    BENCH_r{N}.json / CORRECTNESS_r{N}.json / BENCH_SELF.json dirty at
+    the next round's start. Make committing them the scripted FIRST
+    act of the new round so the perennial dirty-tree nit ends
+    structurally. No-op when the tree is already clean."""
+    paths: list[str] = []
+    for g in [*DRIVER_ARTIFACT_GLOBS, "BENCH_SELF.json"]:
+        paths.extend(str(p.relative_to(REPO)) for p in REPO.glob(g))
+    subprocess.run(["git", "add", *paths], cwd=REPO, check=True)
+    dirty = subprocess.run(
+        ["git", "diff", "--cached", "--quiet"], cwd=REPO
+    ).returncode
+    if not dirty:
+        print("round-open: driver artifacts already committed, tree clean")
+        return 0
+    subprocess.run(
+        [
+            "git",
+            "commit",
+            "-m",
+            f"round open ({round_tag}): ingest driver bench/correctness artifacts",
+        ],
+        cwd=REPO,
+        check=True,
+    )
+    print("round-open: committed driver artifacts")
+    return 0
+
+
 def close_mode(round_tag: str, step: int) -> int:
     bench_path = str(REPO / "BENCH_SELF.json")
     if run("fresh bench", [sys.executable, "bench.py"]) != 0:
@@ -205,9 +236,17 @@ def main() -> None:
     ap.add_argument("--bench", default=str(REPO / "BENCH_SELF.json"))
     ap.add_argument("--step", type=int, default=12)
     ap.add_argument("--close", action="store_true")
-    ap.add_argument("--round", default="r8")
+    ap.add_argument(
+        "--open",
+        action="store_true",
+        help="round-open: commit the driver's post-close artifacts as "
+        "the first act of the new round (no-op when clean)",
+    )
+    ap.add_argument("--round", default="r9")
     args = ap.parse_args()
 
+    if args.open:
+        sys.exit(open_mode(args.round))
     if args.close:
         sys.exit(close_mode(args.round, args.step))
 
