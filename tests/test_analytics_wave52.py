@@ -91,3 +91,39 @@ def test_entry_verdicts_are_symmetric_and_thresholded(spark):
         else:
             assert r.n_neardups == 0
     assert n_matched > 0  # the fixture corpus contains image near-dups
+
+
+def test_dhash_gradient_bit_rule():
+    """dHash sets bit r*(w-1)+x iff pixel (r,x+1) out-brightens
+    (r,x); identical images hash identically; corrupt payload -> None."""
+    from weather_flink_spark.operators.multimodal import bmp_dhash
+
+    w, h = 4, 2
+    # row 0: dark,bright,dark,dark -> gradients: up(bit0), down, flat
+    # row 1: bright,bright,dark,bright -> flat, down, up(bit5)
+    src = _bimodal_source(w, h, bright={1, 4, 5, 7})
+    b = bmp_encode(w, h, src)
+    got = bmp_dhash(b)
+    assert got is not None
+    gw, gh, hsh = got
+    assert (gw, gh) == (w, h)
+    assert hsh == (1 << 0) | (1 << 5)
+    assert bmp_dhash(b) == got  # deterministic
+    assert bmp_dhash(b"not a bmp") is None
+
+
+def test_union_recall_gain_over_single_hash(spark):
+    """r8 verdict stretch #8 done-bar: the two perceptual tiers flag
+    DIFFERENT near-dup structure on the real BMP fixtures — each
+    finds matched images the other misses, so the union strictly
+    out-recalls either alone (ahash = global tone, dhash = local
+    horizontal gradients)."""
+    def matched(key):
+        rows = all_specs()[key].fn(spark, SF).collect()
+        return {r.doc_id for r in rows if r.best_match_id is not None}
+
+    a = matched("q_multimodal_image_dedup_ahash")
+    d = matched("q_multimodal_image_dedup_dhash")
+    assert a - d, "ahash finds no doc dhash misses"
+    assert d - a, "dhash finds no doc ahash misses"
+    assert len(a | d) > max(len(a), len(d))

@@ -86,15 +86,34 @@ def _ahash_cte() -> str:
         )"""
 
 
-def _dedup_oracle() -> str:
+def _dhash_cte() -> str:
+    """DuckDB CTE ``dh`` (doc_id, width, height, dhash): replay of the
+    horizontal difference hash — bit r*(w-1)+x set iff pixel (r, x+1)
+    out-brightens pixel (r, x) — from the same ``intens`` list the
+    ahash replay builds."""
+    px = "((j // (width - 1)) * width + (j % (width - 1)))"
+    return f"""
+        dh AS MATERIALIZED (
+            SELECT doc_id, width, height,
+                   CAST(COALESCE(list_sum(list_transform(
+                       range(0, height * (width - 1)),
+                       j -> CASE WHEN iv[CAST({px} AS INTEGER) + 2]
+                                      > iv[CAST({px} AS INTEGER) + 1]
+                            THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                            ELSE 0 END)), 0) AS BIGINT) AS dhash
+            FROM intens
+        )"""
+
+
+def _dedup_oracle(tbl: str = "ah", col: str = "ahash", extra_cte: str = "") -> str:
     bands = ", ".join(f"({b})" for b in range(_N_BANDS))
     return f"""
-        WITH {_ahash_cte()},
+        WITH {_ahash_cte()}{extra_cte},
         banded AS (
-            SELECT a.doc_id, a.width, a.height, a.ahash, b.b,
-                   (a.ahash >> (b.b * {_BAND_BITS})) & {2 ** _BAND_BITS - 1}
+            SELECT a.doc_id, a.width, a.height, a.{col} AS ahash, b.b,
+                   (a.{col} >> (b.b * {_BAND_BITS})) & {2 ** _BAND_BITS - 1}
                        AS band_key
-            FROM ah a JOIN (VALUES {bands}) b(b) ON TRUE
+            FROM {tbl} a JOIN (VALUES {bands}) b(b) ON TRUE
         ),
         cand AS (
             SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
@@ -125,11 +144,11 @@ def _dedup_oracle() -> str:
                 FROM sided
             ) GROUP BY doc_id
         )
-        SELECT a.doc_id, a.width, a.height, a.ahash,
+        SELECT a.doc_id, a.width, a.height, a.{col},
                COALESCE(r.n_neardups, 0) AS n_neardups,
                r.best_match_id,
                CAST(r.best_hamming AS INTEGER) AS best_hamming
-        FROM ah a LEFT JOIN rolled r ON r.doc_id = a.doc_id
+        FROM {tbl} a LEFT JOIN rolled r ON r.doc_id = a.doc_id
     """
 
 
@@ -160,21 +179,28 @@ def q_multimodal_image_dedup_ahash(
     )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    ah = ahash_frame(encode_bmp_payload(d))
+    return _band_dedup(spark, ahash_frame(encode_bmp_payload(d)), "ahash")
+
+
+def _band_dedup(spark: SparkSession, ah: DataFrame, col: str) -> DataFrame:
+    """The shared banded near-dup pipeline over a perceptual-hash
+    frame (doc_id, width, height, <col>): 4x10-bit LSH bands blocked
+    on dims -> pigeonhole-complete candidates at Hamming <= 3 ->
+    verify -> per-image rollup."""
     bands = spark.range(_N_BANDS).select(F.col("id").cast("int").alias("b"))
     banded = ah.crossJoin(F.broadcast(bands)).select(
         "doc_id",
         "width",
         "height",
-        "ahash",
+        col,
         "b",
         F.expr(
-            f"shiftright(ahash, b * {_BAND_BITS}) & {2 ** _BAND_BITS - 1}"
+            f"shiftright({col}, b * {_BAND_BITS}) & {2 ** _BAND_BITS - 1}"
         ).alias("band_key"),
     )
     x, y = banded.alias("x"), banded.alias("y")
     ham = F.bit_count(
-        F.col("x.ahash").bitwiseXOR(F.col("y.ahash"))
+        F.col(f"x.{col}").bitwiseXOR(F.col(f"y.{col}"))
     ).cast("int")
     cand = (
         x.join(
@@ -222,10 +248,41 @@ def q_multimodal_image_dedup_ahash(
         "doc_id",
         "width",
         "height",
-        "ahash",
+        col,
         F.coalesce(F.col("n_neardups"), F.lit(0).cast("bigint")).alias(
             "n_neardups"
         ),
         "best_match_id",
         "best_hamming",
     )
+
+
+@register(
+    "q_multimodal_image_dedup_dhash",
+    oracle=_dedup_oracle(tbl="dh", col="dhash", extra_cte="," + _dhash_cte()),
+    doc=(
+        "Image near-dedup via the horizontal DIFFERENCE hash (dHash) "
+        "over the same real decoded BMP bytes (r9, r8 verdict stretch "
+        "#8): bit r*(w-1)+x = pixel (r,x+1) out-brightens (r,x) — "
+        "pure integer compares, local gradient structure where ahash "
+        "captures global tone, so the two tiers flag DIFFERENT "
+        "near-dup pairs (union-recall gain tested on the fixtures). "
+        "Identical banded pipeline (_band_dedup: 4x10-bit LSH bands "
+        "blocked on dims, pigeonhole-complete at Hamming <= 3, "
+        "verify, per-image rollup) — at 100 TB both 8-byte hash "
+        "tables ride the same persisted index layout and band-join "
+        "shuffle. Oracle replays the gradient hash from the "
+        "fixture's deterministic (doc_id, text) byte rule."
+    ),
+    tags=("multimodal", "dedup", "lsh", "pandas-udf", "llm-pipeline"),
+)
+def q_multimodal_image_dedup_dhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_flink_spark.operators.multimodal import (
+        dhash_frame,
+        encode_bmp_payload,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return _band_dedup(spark, dhash_frame(encode_bmp_payload(d)), "dhash")
