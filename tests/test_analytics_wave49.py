@@ -118,7 +118,7 @@ def test_candidate_pool_is_digit_scaled(spark):
     d = corpus_digits(spark, SF)
     assert d == 3  # 500-row fixture
     assert w49._b256_cand(d) == 20  # pinned to the 64-bit tier's pool
-    assert w49._b256_cand(5) == 40  # sf0.1
+    assert w49._b256_cand(4) == 30  # sf0.1 (2000-vector corpus, d=4)
     rows = all_specs()["q_sim_ann_binary256_rerank"].fn(spark, SF).collect()
     per_q: dict[int, int] = {}
     for r in rows:

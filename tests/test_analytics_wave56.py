@@ -1,0 +1,38 @@
+"""Wave-56: the 100-query binary-tier recall panel."""
+
+from __future__ import annotations
+
+from weather_flink_spark.plans import analytics_wave56 as w56
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_panel_shape_and_tier_ordering(spark):
+    """One row per tier; 256-bit tiers must beat the 64-bit tier by a
+    clear margin at panel scale (the whole point of the wider code),
+    and the sampled model must hold parity with the exact one within
+    one panel hit per query set (0.01)."""
+    rows = {r.tier: r for r in all_specs()["q_sim_recall_panel"].fn(spark, SF).collect()}
+    assert set(rows) == {"binary64", "binary256", "binary256_sampled"}
+    for r in rows.values():
+        assert r.n_queries == w56.N_PANEL
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert abs(r.recall_at_5 - r.n_hits / (w56.N_PANEL * w56.PANEL_K)) < 1e-12
+    assert rows["binary256"].recall_at_5 > rows["binary64"].recall_at_5 + 0.1
+    assert (
+        abs(rows["binary256_sampled"].recall_at_5 - rows["binary256"].recall_at_5)
+        <= 0.05
+    )
+
+
+def test_panel_ground_truth_is_exact_and_bounded(spark):
+    gt = w56.exact_topk_panel_table(spark, SF)
+    rows = gt.collect()
+    by_q: dict[int, int] = {}
+    for r in rows:
+        assert r.query_id < w56.N_PANEL
+        assert r.vec_id != r.query_id
+        by_q[r.query_id] = by_q.get(r.query_id, 0) + 1
+    assert set(by_q) == set(range(w56.N_PANEL))
+    assert all(v == w56.PANEL_K for v in by_q.values())

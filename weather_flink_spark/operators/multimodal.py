@@ -397,6 +397,101 @@ def dhash_frame(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=DHASH_SCHEMA)
 
 
+EHASH_N_FRAMES = 33  # 33 frames -> 32 gradient bits (one BIGINT word)
+
+EHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("ehash", T.LongType()),
+    ]
+)
+
+
+def wav_energyhash(b: bytes, n_frames: int = EHASH_N_FRAMES):
+    """Energy-gradient hash of a parsed WAV: (sample_rate, n_samples,
+    hash) or None — the audio sibling of :func:`bmp_dhash` (r8 verdict
+    stretch #8, audio half).
+
+    The PCM stream splits into ``n_frames`` fixed frames (frame f =
+    samples[f*n//F : (f+1)*n//F]); bit f is set iff frame f+1's MEAN
+    energy strictly exceeds frame f's, compared exactly by
+    cross-multiplication ``sum(f+1)*cnt(f) > sum(f)*cnt(f+1)`` — pure
+    integer arithmetic on the raw 8-bit samples, so the hash is
+    engine-exact and length-invariant (the same audio padded or
+    truncated by a few samples keeps most gradient bits, which is what
+    makes it a NEAR-dup key rather than a checksum). Frames of a
+    too-short clip are empty and compare false — deterministic on both
+    engines."""
+    parsed = wav_parse(b)
+    if parsed is None:
+        return None
+    sample_rate, channels, bits, n, _ = parsed
+    if channels != 1 or bits != 8:
+        return None
+    # locate the data chunk bytes again (wav_parse returns only sums)
+    pos = 12
+    data = b""
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"data":
+            data = b[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    sums = []
+    cnts = []
+    for f in range(n_frames):
+        lo, hi = f * n // n_frames, (f + 1) * n // n_frames
+        sums.append(sum(data[lo:hi]))
+        cnts.append(hi - lo)
+    h = 0
+    for f in range(n_frames - 1):
+        if sums[f + 1] * cnts[f] > sums[f] * cnts[f + 1]:
+            h |= 1 << f
+    return sample_rate, n, h
+
+
+def energyhash_frame(df: DataFrame) -> DataFrame:
+    """Arrow-batched energy-gradient hash over (doc_id, payload);
+    corrupt payloads tolerate-hash to nulls (the A2 discipline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                parsed = wav_energyhash(bytes(payload))
+                if parsed is None:
+                    rows.append((int(doc_id), None, None, None))
+                else:
+                    rows.append((int(doc_id), *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "ehash"],
+            )
+
+    return df.mapInPandas(kernel, schema=EHASH_SCHEMA)
+
+
+def encode_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload): a real RIFF/WAVE per document — the wave-22
+    fixture rule (rate = 8000 + doc_id%4 * 4000, samples = the UTF-8
+    text bytes), factored so the audio-dedup entry hashes genuine
+    container bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                rate = 8000 + int(doc_id) % 4 * 4000
+                rows.append((int(doc_id), wav_encode(rate, str(text).encode("utf-8"))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to (width, height, channels).
 

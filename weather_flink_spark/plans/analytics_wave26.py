@@ -61,22 +61,23 @@ _L0_HOPS = 3  # base-layer hops after the descent (matches q_sim_ann_graph)
 # recall 0.84 -> 0.68 from sf0.001 to sf0.1 while the corpus grew 100x
 # (SURVEY §14); real HNSW scales ef with ln n. Each formula reproduces
 # the round-6/7 literal at the d=3 fixture (hashes there unchanged)
-# and doubles by sf0.1 (d=5), tracking ln-growth with margin.
+# and grows by sf0.1 (d=4 on the current 2000-vector corpus),
+# tracking ln-growth with margin.
 #
 # Coarse beam = HNSW's ef: with m=3 entry cells a narrow global beam
 # leaves ~1 slot per cell and starves the query's own region (the r6
 # 0.64-recall failure replayed exactly this); 5d-7 keeps every
 # seeded cell's best lines alive through the 3 routing hops (8 at the
-# d=3 fixture, 18 at sf0.1 — a slightly steeper slope than the 4(d-1)
+# d=3 fixture, 13 at sf0.1 (d=4) — a steeper slope than the 4(d-1)
 # first draft, kept because the fixture hash pins d=3 at 8 either way).
 
 
 def _l1_beam(d: int) -> int:
-    return 5 * d - 7  # 8 at the d=3 fixture, 18 at sf0.1
+    return 5 * d - 7  # 8 at the d=3 fixture, 13 at sf0.1 (d=4)
 
 
 def _l0_beam(d: int) -> int:
-    return 3 * d - 5  # base-layer beam: 4 at the fixture, 10 at sf0.1
+    return 3 * d - 5  # base-layer beam: 4 at the fixture, 7 at sf0.1 (d=4)
 
 
 def _descent_ef(d: int) -> int:

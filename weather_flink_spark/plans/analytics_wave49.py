@@ -61,7 +61,8 @@ from weather_flink_spark.plans.registry import register
 # Hamming candidates per query fed to the exact rerank — DIGIT-SCALED
 # like the graph searchers' beams (wave20.corpus_digits): a fixed pool
 # is the same decay the r7 verdict called out on HNSW. 20 at the d=3
-# fixture (matching the 64-bit tier's fixed pool there), 40 at sf0.1.
+# fixture (matching the 64-bit tier's fixed pool there), 30 at sf0.1
+# (d=4 on the current 2000-vector corpus).
 
 
 def _b256_cand(d: int) -> int:

@@ -182,41 +182,49 @@ def q_multimodal_image_dedup_ahash(
     return _band_dedup(spark, ahash_frame(encode_bmp_payload(d)), "ahash")
 
 
-def _band_dedup(spark: SparkSession, ah: DataFrame, col: str) -> DataFrame:
+def _band_dedup(
+    spark: SparkSession,
+    ah: DataFrame,
+    col: str,
+    block_cols: tuple[str, ...] = ("width", "height"),
+    band_bits: int = _BAND_BITS,
+    threshold: int = _AHASH_T,
+) -> DataFrame:
     """The shared banded near-dup pipeline over a perceptual-hash
-    frame (doc_id, width, height, <col>): 4x10-bit LSH bands blocked
-    on dims -> pigeonhole-complete candidates at Hamming <= 3 ->
-    verify -> per-image rollup."""
+    frame (doc_id, <block_cols...>, <col>): 4 LSH bands of
+    ``band_bits`` blocked on the block columns -> pigeonhole-complete
+    candidates at Hamming <= threshold -> verify -> per-item rollup.
+    Reused by both image tiers (wave-52) and the audio tier
+    (wave-57)."""
     bands = spark.range(_N_BANDS).select(F.col("id").cast("int").alias("b"))
     banded = ah.crossJoin(F.broadcast(bands)).select(
         "doc_id",
-        "width",
-        "height",
+        *block_cols,
         col,
         "b",
         F.expr(
-            f"shiftright({col}, b * {_BAND_BITS}) & {2 ** _BAND_BITS - 1}"
+            f"shiftright({col}, b * {band_bits}) & {2 ** band_bits - 1}"
         ).alias("band_key"),
     )
     x, y = banded.alias("x"), banded.alias("y")
     ham = F.bit_count(
         F.col(f"x.{col}").bitwiseXOR(F.col(f"y.{col}"))
     ).cast("int")
+    block_pred = (
+        (F.col("y.b") == F.col("x.b"))
+        & (F.col("y.band_key") == F.col("x.band_key"))
+        & (F.col("y.doc_id") > F.col("x.doc_id"))
+    )
+    for c in block_cols:
+        block_pred = block_pred & (F.col(f"y.{c}") == F.col(f"x.{c}"))
     cand = (
-        x.join(
-            y,
-            (F.col("y.width") == F.col("x.width"))
-            & (F.col("y.height") == F.col("x.height"))
-            & (F.col("y.b") == F.col("x.b"))
-            & (F.col("y.band_key") == F.col("x.band_key"))
-            & (F.col("y.doc_id") > F.col("x.doc_id")),
-        )
+        x.join(y, block_pred)
         .select(
             F.col("x.doc_id").alias("id1"),
             F.col("y.doc_id").alias("id2"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= _AHASH_T)
+        .filter(F.col("hamming") <= threshold)
         .distinct()
     )
     sided = cand.select(
@@ -246,8 +254,7 @@ def _band_dedup(spark: SparkSession, ah: DataFrame, col: str) -> DataFrame:
     )
     return ah.join(rolled, "doc_id", "left").select(
         "doc_id",
-        "width",
-        "height",
+        *block_cols,
         col,
         F.coalesce(F.col("n_neardups"), F.lit(0).cast("bigint")).alias(
             "n_neardups"

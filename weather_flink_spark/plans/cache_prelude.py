@@ -57,6 +57,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         analytics_wave26,
         analytics_wave43,
         analytics_wave49,
+        analytics_wave56,
         corpus_extra,
         llm_extra,
         llm_pipeline,
@@ -77,6 +78,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "cos_buckets": llm_extra._hyperplane_buckets,
         "embtable": llm_pipeline.emb_table,
         "exact_topk": llm_extra.exact_topk_table,
+        "exact_topk_panel": analytics_wave56.exact_topk_panel_table,
         "graph_ann_result": _registry_fn("q_sim_ann_graph"),
         "graph_entries": analytics_wave20.graph_entry_nodes,
         "hnsw_l0_xcell": analytics_wave26.l0_xcell_edges_table,

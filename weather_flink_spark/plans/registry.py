@@ -123,6 +123,8 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave53,
         analytics_wave54,
         analytics_wave55,
+        analytics_wave56,
+        analytics_wave57,
         streaming_queries,
     )
 
