@@ -1460,6 +1460,218 @@ def main() -> None:
         "xN": timed(lambda: compact3(scaled(li, ["l_orderkey"], K, STRIDE), "xN")),
     }
 
+    # --- round-9 shapes -------------------------------------------------
+
+    # wave-26 r9: cross-cell base-edge build — broadcast-k distance
+    # pass (2nd-nearest cell per vector) + ONE cell-keyed blocked join
+    # + per-src top-1 window (the l0_xcell_edges_table shape)
+    def xcell_edges(e):
+        from pyspark.sql import Window as W
+
+        from weather_flink_spark.plans.llm_pipeline import dot_col
+
+        a0 = e.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding", lambda x: x.cast("double") * x.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("nrm"),
+            (F.col("vec_id") % 8).alias("cell"),
+        )
+        cent = (
+            a0.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("s"))
+            .select(F.col("cell").alias("cid"), F.col("s.m").alias("c"))
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                "embedding", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_probe = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        probe2 = (
+            a0.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "nrm", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") == 2)
+            .select("vec_id", "embedding", "nrm", F.col("cid").alias("bcell"))
+        )
+        a, n = probe2.alias("a"), a0.alias("n")
+        cos_an = dot_col(F.col("a.embedding"), F.col("n.embedding")) / (
+            F.col("a.nrm") * F.col("n.nrm")
+        )
+        w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
+        return (
+            a.join(
+                n,
+                (F.col("n.cell") == F.col("a.bcell"))
+                & (F.col("n.vec_id") != F.col("a.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("n.vec_id").alias("dst"),
+                cos_an.alias("cosine"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 1)
+            .count()
+        )
+
+    results["xcell_edge_build"] = want("xcell_edge_build") and {
+        "x1": timed(lambda: xcell_edges(emb)),
+        "xN": timed(lambda: xcell_edges(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
+    # wave-46 collapse applied r9 (lttb/holt/kalman crossing shape):
+    # collect_list-per-key + mapInPandas over 32 hash partitions
+    def collapse_fold(ev):
+        import pandas as pd
+
+        ser = (
+            ev.select(
+                "user_id",
+                F.struct(
+                    F.unix_micros("ts").alias("t_us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                ).alias("p"),
+            )
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_list("p")).alias("seq"))
+            .select("user_id", F.col("seq.v").alias("vals"))
+        )
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _, row in pdf.iterrows():
+                y = row["vals"]
+                s = 0.0
+                for x in y:
+                    s = 0.5 * float(x) + 0.5 * s
+                out.append((int(row["user_id"]), len(y), s))
+            return pd.DataFrame(out, columns=["user_id", "n", "s"])
+
+        return (
+            ser.repartition(32, "user_id")
+            .mapInPandas(
+                lambda it: (kern(pdf) for pdf in it),
+                schema="user_id long, n long, s double",
+            )
+            .count()
+        )
+
+    ev9 = load(spark, args.sf, "events")
+    results["series_collapse_fold"] = want("series_collapse_fold") and {
+        "x1": timed(lambda: collapse_fold(ev9)),
+        "xN": timed(
+            lambda: collapse_fold(scaled(ev9, ["user_id", "event_id"], K, STRIDE))
+        ),
+    }
+
+    # wave-56: the 100-query Hamming panel scan (per tier: broadcast
+    # 100 queries x corpus codes -> per-query window -> exact rerank)
+    def panel_scan(e):
+        from pyspark.sql import Window as W
+
+        from weather_flink_spark.plans.llm_pipeline import dot_col
+
+        codes = e.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding", lambda x: x.cast("double") * x.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("nrm"),
+            F.expr(
+                "CAST(aggregate(zip_with(embedding, sequence(0, 62),"
+                " (e, i) -> CASE WHEN CAST(e AS DOUBLE) > 0"
+                " THEN shiftleft(1L, i) ELSE 0L END),"
+                " 0L, (acc, x) -> acc | x) AS BIGINT)"
+            ).alias("code"),
+        )
+        q = codes.filter(F.col("vec_id") % 1000 < 5).limit(100).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("code").alias("q_code"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        ham = F.bit_count(F.col("q_code").bitwiseXOR(F.col("code")))
+        w_h = W.partitionBy("query_id").orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        cand = (
+            codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", ham.alias("h"), "embedding", "nrm", "q_emb", "q_nrm")
+            .withColumn("rk", F.row_number().over(w_h))
+            .filter(F.col("rk") <= 30)
+        )
+        cos = dot_col(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+        w_c = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        return (
+            cand.select("query_id", "vec_id", cos.alias("cosine"))
+            .withColumn("k", F.row_number().over(w_c))
+            .filter(F.col("k") <= 5)
+            .count()
+        )
+
+    results["panel_hamming_scan"] = want("panel_hamming_scan") and {
+        "x1": timed(lambda: panel_scan(emb)),
+        "xN": timed(lambda: panel_scan(scaled(emb, ["vec_id"], K, STRIDE))),
+    }
+
+    # wave-57: audio energy-hash band dedup (same LSH family as ahash,
+    # audio block key)
+    def ehash_dedup(d):
+        from weather_flink_spark.operators.multimodal import (
+            encode_wav_payload,
+            energyhash_frame,
+        )
+
+        eh = energyhash_frame(encode_wav_payload(d.select("doc_id", "text")))
+        bands = spark.range(4).select(F.col("id").cast("int").alias("b"))
+        banded = eh.crossJoin(F.broadcast(bands)).select(
+            "doc_id", "sample_rate", "ehash", "b",
+            F.expr("shiftright(ehash, b * 8) & 255").alias("band_key"),
+        )
+        x, y = banded.alias("x"), banded.alias("y")
+        hamv = F.bit_count(F.col("x.ehash").bitwiseXOR(F.col("y.ehash"))).cast("int")
+        cand = (
+            x.join(
+                y,
+                (F.col("y.sample_rate") == F.col("x.sample_rate"))
+                & (F.col("y.b") == F.col("x.b"))
+                & (F.col("y.band_key") == F.col("x.band_key"))
+                & (F.col("y.doc_id") > F.col("x.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("id1"),
+                F.col("y.doc_id").alias("id2"),
+                hamv.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .distinct()
+        )
+        return cand.groupBy("id1").count().count()
+
+    results["ehash_band_dedup"] = want("ehash_band_dedup") and {
+        "x1": timed(lambda: ehash_dedup(docs)),
+        "xN": timed(lambda: ehash_dedup(scaled(docs, ["doc_id"], K, STRIDE))),
+    }
+
     results = {k: v for k, v in results.items() if v}
     for name, r in results.items():
         r["factor"] = round(r["xN"] / r["x1"], 1) if r["x1"] else None
