@@ -191,7 +191,7 @@ def test_stream_hnsw_insert_matches_batch_and_brute_force(spark):
         assert r.dst < r.node, (r.node, r.dst)
         per[(r.node, r.layer)].append(r)
     for (node, layer), rs in per.items():
-        cap = 4 if layer == "base" else 3
+        cap = 8 if layer == "base" else 3  # r9: multi-probe degree 8
         ranks = sorted(r.edge_rank for r in rs)
         assert ranks == list(range(1, len(rs) + 1)), (node, layer, ranks)
         assert len(rs) <= cap, (node, layer, len(rs))
@@ -206,15 +206,22 @@ def test_stream_hnsw_insert_matches_batch_and_brute_force(spark):
     node = max(r.node for r in streamed)
     nv = np.array(allv[node], dtype=float)
     nv = nv / np.linalg.norm(nv)
-    # the node's insert cell is the nearest trained centroid — for a
-    # corpus member that IS its assigned cell
-    ncell = cells[node]
+    # r9 multi-probe rule: base candidates come from the node's TOP-2
+    # nearest trained cells (the knn_edges_table build rule)
+    import numpy as _np
+
+    cents = {cid: _np.array(c, dtype=float) for cid, c in model}
+    d2 = sorted(
+        ((float(((_np.array(allv[node], dtype=float) - c) ** 2).sum()), cid)
+         for cid, c in cents.items())
+    )
+    probe_cells = {d2[0][1], d2[1][1]}
     cand = [
         (v, np.dot(nv, np.array(allv[v], dtype=float) / np.linalg.norm(np.array(allv[v], dtype=float))))
         for v in allv
-        if v < node and cells[v] == ncell
+        if v < node and cells[v] in probe_cells
     ]
-    expect = sorted(cand, key=lambda x: (-x[1], x[0]))[:4]
+    expect = sorted(cand, key=lambda x: (-x[1], x[0]))[:8]
     got = sorted(
         ((r.dst, r.cosine) for r in streamed if r.node == node and r.layer == "base"),
         key=lambda x: -x[1],

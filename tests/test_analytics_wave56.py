@@ -36,3 +36,27 @@ def test_panel_ground_truth_is_exact_and_bounded(spark):
         by_q[r.query_id] = by_q.get(r.query_id, 0) + 1
     assert set(by_q) == set(range(w56.N_PANEL))
     assert all(v == w56.PANEL_K for v in by_q.values())
+
+
+def test_graph_tier_panel_floors(spark):
+    """The r9 multi-probe degree-8 index upgrade, gated at panel
+    scale: both graph searchers run over the 100-query panel (the
+    same harness as the binary tiers) and must clear floors set one
+    hit-rate notch under the post-upgrade measurements (flat 0.662,
+    hnsw 0.772 at the fixture — they read 0.242 / 0.454 on the old
+    in-cell degree-4 index), with the hierarchy at least matching the
+    flat searcher."""
+    import weather_flink_spark.plans.analytics_wave20 as w20
+    import weather_flink_spark.plans.analytics_wave26 as w26
+
+    gt = w56.exact_topk_panel_table(spark, SF)
+    n = gt.select("query_id").distinct().count() * w56.PANEL_K
+
+    def recall(df):
+        return gt.join(df.select("query_id", "vec_id"), ["query_id", "vec_id"]).count() / n
+
+    flat = recall(w20._graph_search(spark, SF, n_queries=w56.N_PANEL))
+    hnsw = recall(w26._hnsw_search(spark, SF, n_queries=w56.N_PANEL))
+    assert flat >= 0.60, flat
+    assert hnsw >= 0.70, hnsw
+    assert hnsw >= flat - 0.02, (hnsw, flat)

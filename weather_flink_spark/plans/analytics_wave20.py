@@ -10,7 +10,7 @@ ANN (NSW-style beam search), and their streaming twins.
   index; only the delta hashes fresh.
 - ``q_sim_ann_graph`` — graph-based ANN (the navigable-small-world
   family, the third major ANN architecture after IVF and hashing):
-  a k-NN edge list (top-4 in-cell neighbors per vector, riding the
+  a k-NN edge list (top-8 multi-probe neighbors per vector, riding the
   session-cached IVF assignment) is greedily beam-searched from a
   IVF-medoid entry set — 3 unrolled hops with a digit-scaled beam (2(d-1),
   d = decimal digits of corpus size — 4 at the sf0.001 fixture,
@@ -221,7 +221,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph ANN: NSW-style beam search over a k-NN edge list
 # ---------------------------------------------------------------------------
 
-_G_KNN = 4  # out-degree of the k-NN graph (index-build constant)
+# out-degree of the k-NN graph (index-build constant). r9: 8 with
+# MULTI-PROBE top-2-cell candidate blocking, up from 4 in-cell-only —
+# the 100-query panel (wave-56 harness) exposed that on the
+# near-isotropic corpus only ~35% of true neighbors share the query's
+# cell, capping degree-4 in-cell navigability at panel recall 0.24
+# (flat) / 0.45 (hnsw); multi-probe degree 8 measured 0.66 / 0.77 at
+# the same search widths. Candidate pairs still come from bounded
+# cell blocks (each vector appears in exactly its top-2 cells' blocks
+# — never all-pairs), the same build rule the coarse layer has used
+# since r6.
+_G_KNN = 8
 _G_HOPS = 3  # unrolled hops
 
 # --- scale-adaptive search widths (r8, closing the r7 verdict's #1) ---
@@ -304,17 +314,7 @@ def _graph_oracle() -> str:
     return f"""
         WITH {ivf_assigned_cte()},
         {SZ_CTE},
-        edges AS MATERIALIZED (
-            SELECT src, dst FROM (
-                SELECT a.vec_id AS src, n.vec_id AS dst,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY {_cos_duck('a.embedding', 'n.embedding')} DESC,
-                                    n.vec_id ASC) AS rk
-                FROM assigned a JOIN assigned n
-                  ON n.cell = a.cell AND n.vec_id <> a.vec_id
-            ) WHERE rk <= {_G_KNN}
-        ),
+        {knn_edges_cte()},
         entries AS MATERIALIZED (
             -- one entry per trained IVF cell: the medoid (closest to
             -- its centroid, vec_id tie-break) — multi-entry beams so
@@ -345,18 +345,82 @@ def _graph_oracle() -> str:
     """
 
 
+def knn_edges_cte(name: str = "edges") -> str:
+    """DuckDB CTE fragment ending in ``{name}`` (src, dst): the oracle
+    twin of :func:`knn_edges_table` — multi-probe top-2-cell candidate
+    blocking, global top-_G_KNN by cosine. Composes after
+    ``ivf_assigned_cte()`` (needs ``assigned`` + ``cent{K}``); every
+    consumer oracle (wave-20 flat search, wave-26 HNSW base layer,
+    wave-27 undirected graph family, wave-37 kNN label vote) uses this
+    ONE text so the index rule can never drift between them."""
+    from weather_flink_spark.plans.analytics_wave4 import (
+        KMEANS_ITERS,
+        _kmeans_dist_duck,
+    )
+    from weather_flink_spark.plans.llm_extra import _cos_duck
+
+    return f"""gprobe AS MATERIALIZED (
+            SELECT vec_id, embedding, bcell FROM (
+                SELECT a.vec_id, a.embedding, c.cid AS bcell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_kmeans_dist_duck('a.embedding', 'c.c')} ASC,
+                                    c.cid ASC) AS rn
+                FROM assigned a CROSS JOIN cent{KMEANS_ITERS} c
+            ) WHERE rn <= 2
+        ),
+        {name} AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY src
+                           ORDER BY cosine DESC, dst ASC) AS rk
+                FROM (
+                    SELECT DISTINCT a.vec_id AS src, n.vec_id AS dst,
+                           {_cos_duck('a.embedding', 'n.embedding')} AS cosine
+                    FROM gprobe a JOIN gprobe n
+                      ON n.bcell = a.bcell AND n.vec_id <> a.vec_id
+                )
+            ) WHERE rk <= {_G_KNN}
+        )"""
+
+
 def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached k-NN edge list (src, dst): top-4 in-cell
-    neighbors per vector — the graph-ANN INDEX artifact, built once
-    per (session, sf) like the IVF assignment and PQ code tables (a
-    production store materializes it at index-build time, not per
-    query)."""
+    """Session-cached k-NN edge list (src, dst): each vector's global
+    top-_G_KNN cosine neighbors among MULTI-PROBE candidates (members
+    of its top-2 nearest trained cells) — the graph-ANN INDEX
+    artifact, built once per (session, sf) like the IVF assignment
+    and PQ code tables (a production store materializes it at
+    index-build time, not per query). r9: multi-probe degree 8, up
+    from in-cell degree 4 (see the _G_KNN note)."""
+    from weather_flink_spark.plans.analytics_wave4 import (
+        _kmeans_dist_col,
+        kmeans_final_assignment,
+    )
     from weather_flink_spark.plans.llm_extra import ivf_assigned_table
     from weather_flink_spark.plans.llm_pipeline import _cached, dot_col
 
     def build() -> DataFrame:
         assigned = ivf_assigned_table(spark, sf_dir)
-        a, n = assigned.alias("a"), assigned.alias("n")
+        cent, _ = kmeans_final_assignment(spark, sf_dir)
+        w_probe = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        probe = (
+            assigned.select("vec_id", "embedding", "nrm")
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "cid",
+                _kmeans_dist_col("embedding", "c").alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= 2)
+            .select("vec_id", "embedding", "nrm", F.col("cid").alias("bcell"))
+        )
+        a, n = probe.alias("a"), probe.alias("n")
         cos_an = dot_col(F.col("a.embedding"), F.col("n.embedding")) / (
             F.col("a.nrm") * F.col("n.nrm")
         )
@@ -366,7 +430,7 @@ def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             a.join(
                 n,
-                (F.col("n.cell") == F.col("a.cell"))
+                (F.col("n.bcell") == F.col("a.bcell"))
                 & (F.col("n.vec_id") != F.col("a.vec_id")),
             )
             .select(
@@ -374,6 +438,7 @@ def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n.vec_id").alias("dst"),
                 cos_an.alias("cosine"),
             )
+            .distinct()
             .withColumn("rk", F.row_number().over(w_knn))
             .filter(F.col("rk") <= _G_KNN)
             .select("src", "dst")
@@ -412,9 +477,12 @@ def graph_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Graph-based ANN — the navigable-small-world family (HNSW's "
         "base layer), the third major ANN architecture in the engine "
         "after IVF (q_sim_ann_ivf*/ivfpq) and hashing "
-        "(q_sim_hamming_topk): a k-NN edge list (top-4 in-cell "
-        "neighbors per vector, one cell-blocked ranking pass over the "
-        "session-cached IVF assignment — never all-pairs) is beam-"
+        "(q_sim_hamming_topk): a k-NN edge list (top-8 MULTI-PROBE "
+        "neighbors per vector — candidates from each node's top-2 "
+        "nearest cells, cell-blocked ranking over the session-cached "
+        "IVF assignment, never all-pairs; r9: was in-cell degree 4, "
+        "which capped 100-query panel recall at 0.24 on the "
+        "near-isotropic corpus) is beam-"
         "searched from MULTI-ENTRY beams — one medoid per trained IVF "
         "cell (k bounded rows), so no single entry's neighborhood "
         "biases every search — with 3 unrolled hops of a DIGIT-SCALED "
@@ -446,7 +514,9 @@ def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _graph_search(
+    spark: SparkSession, sf_dir: str, n_queries: int | None = None
+) -> DataFrame:
     from weather_flink_spark.plans.llm_extra import (
         IVF_N_QUERIES,
         IVF_TOP_K,
@@ -457,7 +527,7 @@ def _graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assigned_table(spark, sf_dir)
     edges = knn_edges_table(spark, sf_dir)
 
-    q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+    q = assigned.filter(F.col("vec_id") < (n_queries or IVF_N_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),

@@ -310,7 +310,10 @@ def l0_xcell_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hnsw_entry_seeds(
-    spark: SparkSession, sf_dir: str, medoids: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    medoids: DataFrame | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Per-query entry seeds: the top-m (m=3) coarse-cell MEDOIDS by
     cosine to the query (node-asc tie-break) — the multi-medoid
@@ -329,7 +332,9 @@ def hnsw_entry_seeds(
     from weather_flink_spark.plans.llm_pipeline import dot_col
 
     assigned = ivf_assigned_table(spark, sf_dir)
-    q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+    q = assigned.filter(
+        F.col("vec_id") < (n_queries or IVF_N_QUERIES)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -410,6 +415,8 @@ def _hnsw_oracle() -> str:
         ivf_assigned_cte,
     )
 
+    from weather_flink_spark.plans.analytics_wave20 import knn_edges_cte
+
     l1_hops, l1_vis = _hops_sql("u", "l1_edges", "uf0", _L1_HOPS, _L1_BEAM_SQL)
     l0_hops, l0_vis = _hops_sql("b", "edges", "bf0", _L0_HOPS, _L0_BEAM_SQL)
     from weather_flink_spark.plans.analytics_wave20 import SZ_CTE
@@ -474,21 +481,16 @@ def _hnsw_oracle() -> str:
                 FROM assigned a CROSS JOIN cent{KMEANS_ITERS} c
             ) WHERE rn = 2
         ),
+        {knn_edges_cte(name="gedges")},
         edges AS MATERIALIZED (
-            SELECT src, dst FROM (
-                SELECT a.vec_id AS src, n.vec_id AS dst,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY {_cos_duck('a.embedding', 'n.embedding')} DESC,
-                                    n.vec_id ASC) AS rk
-                FROM assigned a JOIN assigned n
-                  ON n.cell = a.cell AND n.vec_id <> a.vec_id
-            ) WHERE rk <= 4
+            SELECT src, dst FROM gedges
             UNION
-            -- cross-cell family (r8 task #1): each vector's top-1
-            -- neighbor inside its SECOND-nearest trained cell (rn=2
-            -- under the assignment's own d2-asc/cid-asc order), so
-            -- the base beam can escape its entry cells
+            -- cross-cell family (r8 task #1, kept beside the r9
+            -- multi-probe base index): each vector's top-1 neighbor
+            -- inside its SECOND-nearest trained cell (rn=2 under the
+            -- assignment's own d2-asc/cid-asc order) — guarantees one
+            -- out-of-cell edge even when a node's global top-8 are
+            -- all in-cell
             SELECT src, dst FROM (
                 SELECT a.vec_id AS src, n.vec_id AS dst,
                        ROW_NUMBER() OVER (
@@ -605,11 +607,11 @@ def _beam_hops(frontier: DataFrame, edges: DataFrame, q: DataFrame, node_vec: Da
         "cells are seeded), then DESCENDS — the top-6 of everything "
         "VISITED on the coarse layer, UNIONED with the entry seeds so "
         "every probed cell keeps a base-layer start, seeds "
-        "3 beam-4 hops on the full base graph — the shared in-cell "
-        "knn_edges_table UNION one CROSS-CELL edge per vector (top-1 "
-        "neighbor in its 2nd-nearest cell, r8 verdict #1: lets the "
-        "base beam escape its entry cells; recall at sf0.1 "
-        "0.80 -> 0.84, >= flat graph at every SF). Top-5 of "
+        "3 beam-4 hops on the full base graph — the shared "
+        "MULTI-PROBE knn_edges_table (r9: degree 8 over top-2-cell "
+        "candidates) UNION one guaranteed CROSS-CELL edge per vector "
+        "(top-1 neighbor in its 2nd-nearest cell, r8 verdict #1). "
+        "Top-5 of "
         "everything visited on either layer. The hierarchy is the "
         "log-scale path: at 100 TB the coarse layer routes in hops "
         "over a 4x-smaller graph (16x fewer index pairs) before any "
@@ -636,6 +638,7 @@ def _hnsw_search(
     sf_dir: str,
     medoids: DataFrame | None = None,
     l1_edges: DataFrame | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """The 2-layer search; ``medoids``/``l1_edges`` override the
     refreshed coarse structures so wave-50 can run the SAME searcher
@@ -648,7 +651,9 @@ def _hnsw_search(
     )
 
     assigned = ivf_assigned_table(spark, sf_dir)
-    q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+    q = assigned.filter(
+        F.col("vec_id") < (n_queries or IVF_N_QUERIES)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -658,7 +663,7 @@ def _hnsw_search(
         F.col("embedding").alias("n_emb"),
         F.col("nrm").alias("n_nrm"),
     )
-    f0 = hnsw_entry_seeds(spark, sf_dir, medoids=medoids)
+    f0 = hnsw_entry_seeds(spark, sf_dir, medoids=medoids, n_queries=n_queries)
     from weather_flink_spark.plans.analytics_wave20 import corpus_digits
 
     d = corpus_digits(spark, sf_dir)
@@ -681,7 +686,7 @@ def _hnsw_search(
         .unionByName(f0)
         .distinct()
     )
-    # base graph = shared in-cell kNN index UNION the degree-1
+    # base graph = shared multi-probe kNN index UNION the degree-1
     # cross-cell edges, so the beam can leave the cells its seeds
     # landed in (r8 verdict task #1); the flat searcher (wave-20)
     # keeps the pure in-cell index — its 8 entry medoids already
@@ -1116,7 +1121,8 @@ def hnsw_insert_frame(
     — batch composition can never change it, the curation-verdict
     monotonicity property applied to index writes):
     - base layer: top-_G_KNN cosine among prefix vectors in the
-      node's own cell (the knn_edges_table degree rule);
+      node's TOP-2 probe cells (the r9 multi-probe knn_edges_table
+      degree rule — was own-cell/degree-4 before r9);
     - coarse layer (only if the node passes the seeded-md5 layer
       predicate): top-_L1_KNN among prefix COARSE vectors in the
       node's top-2 probe cells (the multi-probe build rule).
@@ -1141,7 +1147,8 @@ def hnsw_insert_frame(
     base = (
         assigned.join(
             F.broadcast(new),
-            (F.col("cell") == F.col("c1")) & (F.col("vec_id") < F.col("node")),
+            ((F.col("cell") == F.col("c1")) | (F.col("cell") == F.col("c2")))
+            & (F.col("vec_id") < F.col("node")),
         )
         .select(
             "node",
@@ -1261,8 +1268,8 @@ def run_hnsw_insert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(closes the write-path gap of the wave-26 searcher the way "
         "s_stream_ann_search closed the IVF read path): a file stream "
         "of new vectors is, per micro-batch inside foreachBatch, given "
-        "the edges it would receive on insert — base-layer top-4 "
-        "in-cell kNN and (for seeded-md5 coarse members) top-3 "
+        "the edges it would receive on insert — base-layer top-8 "
+        "multi-probe kNN and (for seeded-md5 coarse members) top-3 "
         "multi-probe coarse kNN, both against the node's strict "
         "vec_id-prefix of the static session-cached index, so results "
         "depend only on (node, prefix) and batch composition can never "

@@ -365,21 +365,11 @@ def _und_edges_cte() -> str:
     symmetrized wave-20 k-NN graph — the same ``edges`` text as
     analytics_wave20._graph_oracle composed on ivf_assigned_cte, then
     both directions unioned (distinct)."""
-    from weather_flink_spark.plans.analytics_wave20 import _G_KNN
-    from weather_flink_spark.plans.llm_extra import _cos_duck, ivf_assigned_cte
+    from weather_flink_spark.plans.analytics_wave20 import knn_edges_cte
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_cte
 
     return f"""{ivf_assigned_cte()},
-        edges AS MATERIALIZED (
-            SELECT src, dst FROM (
-                SELECT a.vec_id AS src, n.vec_id AS dst,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY {_cos_duck('a.embedding', 'n.embedding')} DESC,
-                                    n.vec_id ASC) AS rk
-                FROM assigned a JOIN assigned n
-                  ON n.cell = a.cell AND n.vec_id <> a.vec_id
-            ) WHERE rk <= {_G_KNN}
-        ),
+        {knn_edges_cte()},
         und AS MATERIALIZED (
             SELECT src, dst FROM edges
             UNION

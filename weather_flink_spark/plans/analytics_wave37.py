@@ -185,22 +185,12 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_acc_oracle() -> str:
-    from weather_flink_spark.plans.analytics_wave20 import _G_KNN
-    from weather_flink_spark.plans.llm_extra import _cos_duck, ivf_assigned_cte
+    from weather_flink_spark.plans.analytics_wave20 import knn_edges_cte
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_cte
 
     return f"""
         WITH {ivf_assigned_cte()},
-        edges AS MATERIALIZED (
-            SELECT src, dst FROM (
-                SELECT a.vec_id AS src, n.vec_id AS dst,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY {_cos_duck('a.embedding', 'n.embedding')} DESC,
-                                    n.vec_id ASC) AS rk
-                FROM assigned a JOIN assigned n
-                  ON n.cell = a.cell AND n.vec_id <> a.vec_id
-            ) WHERE rk <= {_G_KNN}
-        ),
+        {knn_edges_cte()},
         votes AS (
             SELECT e.src AS vec_id, l.label, COUNT(*) AS c
             FROM edges e
@@ -234,7 +224,7 @@ def _knn_acc_oracle() -> str:
         "kNN label consistency of the embedding space — the standard "
         "cheap embedding-quality eval (neighbors that disagree with "
         "labels retrieve garbage regardless of index quality): each "
-        "vector's predicted label is the majority label of its top-4 "
+        "vector's predicted label is the majority label of its top-8 "
         "out-neighbors in the session-cached wave-20 kNN index "
         "((count DESC, label ASC) argmax — the LPA tie-break), "
         "accuracy per true label. Scale: the eval is one edge-keyed "
