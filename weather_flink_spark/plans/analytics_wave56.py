@@ -12,12 +12,16 @@ panel inverted the real ordering.
 ``q_sim_recall_panel`` is the statistically meaningful read, as a
 first-class oracle-exact entry: recall@5 over a 100-query panel
 (vec_id < 100 — 20x the gate panel) for the three exhaustive-scan
-binary tiers, one output row per tier:
+binary tiers plus the IVF nprobe=2 cell searcher, one output row per
+tier:
 
 - ``binary64``    — wave-43 sign-bit codes, fixed top-20 pool;
 - ``binary256``   — wave-49 exact-quintile thermometer codes,
   digit-scaled top-10(d-1) pool;
-- ``binary256_sampled`` — wave-49's sampled-model codes, same pool.
+- ``binary256_sampled`` — wave-49's sampled-model codes, same pool;
+- ``ivf_nprobe2`` — exact cosine within the query's top-2 trained
+  cells (quantifies the cell-miss rate the graph upgrade was driven
+  by: ~35% of true neighbors share the query's cell here).
 
 Each tier runs the SAME scan shape its gate entry uses (Hamming scan
 -> top-pool by (hamming asc, vec_id asc) -> exact cosine rerank to
@@ -146,6 +150,71 @@ def _tier_recall(
     )
 
 
+def _ivf_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One panel row for the IVF nprobe=2 searcher: probe each panel
+    query's top-2 trained cells, exact cosine among their members,
+    top-5, scored on the panel ground truth."""
+    from weather_flink_spark.plans.analytics_wave4 import (
+        _kmeans_dist_col,
+        kmeans_final_assignment,
+    )
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_table
+    from weather_flink_spark.plans.llm_pipeline import dot_col
+
+    assigned = ivf_assigned_table(spark, sf_dir)
+    cent, _ = kmeans_final_assignment(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < N_PANEL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            "cid",
+            _kmeans_dist_col("q_emb", "c").alias("cd2"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "q_emb", "q_nrm", F.col("cid").alias("probe_cell"))
+    )
+    cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("k", F.row_number().over(w_rank))
+        .filter(F.col("k") <= PANEL_K)
+        .select("query_id", "vec_id")
+    )
+    gt = exact_topk_panel_table(spark, sf_dir)
+    hits = gt.join(top, ["query_id", "vec_id"]).agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return hits.select(
+        F.lit("ivf_nprobe2").alias("tier"),
+        F.lit(N_PANEL).cast("bigint").alias("n_queries"),
+        "n_hits",
+        (
+            F.col("n_hits").cast("double") / F.lit(N_PANEL * PANEL_K)
+        ).alias("recall_at_5"),
+    )
+
+
 def _thermo_sql(p: str, sample_pred: str) -> str:
     """Prefixed thermometer-code CTE chain ending in ``{p}bq`` (vec_id,
     w0..w3) — the wave-49 replay with every CTE name prefixed so the
@@ -233,6 +302,51 @@ def _tier_sql(tier: str, codes: str, words: list[str], pool: str) -> str:
                ) AS BIGINT) AS n_hits"""
 
 
+def _ivf_tier_sql() -> str:
+    """The IVF nprobe=2 panel block: probe the query's top-2 trained
+    cells, exact cosine among their members, top-5."""
+    from weather_flink_spark.plans.analytics_wave4 import (
+        KMEANS_ITERS,
+        _kmeans_dist_duck,
+    )
+    from weather_flink_spark.plans.llm_extra import _cos_duck
+
+    return f"""
+        ivfprobes AS MATERIALIZED (
+            SELECT query_id, probe_cell FROM (
+                SELECT q.vec_id AS query_id, c.cid AS probe_cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_kmeans_dist_duck('q.embedding', 'c.c')} ASC,
+                                    c.cid ASC) AS rn
+                FROM embeddings q CROSS JOIN cent{KMEANS_ITERS} c
+                WHERE q.vec_id < {N_PANEL}
+            ) WHERE rn <= 2
+        ),
+        t_ivf_nprobe2 AS MATERIALIZED (
+            SELECT 'ivf_nprobe2' AS tier,
+                   CAST({N_PANEL} AS BIGINT) AS n_queries,
+                   CAST((
+                       SELECT COUNT(*) FROM panel_exact e
+                       JOIN (
+                           SELECT query_id, vec_id FROM (
+                               SELECT p.query_id, v.vec_id,
+                                      ROW_NUMBER() OVER (
+                                          PARTITION BY p.query_id
+                                          ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
+                                                   v.vec_id ASC) AS k
+                               FROM ivfprobes p
+                               JOIN assigned v
+                                 ON v.cell = p.probe_cell
+                                AND v.vec_id <> p.query_id
+                               JOIN embeddings q ON q.vec_id = p.query_id
+                           ) WHERE k <= {PANEL_K}
+                       ) t ON t.query_id = e.query_id
+                          AND t.vec_id = e.vec_id
+                   ) AS BIGINT) AS n_hits
+        )"""
+
+
 def _panel_oracle() -> str:
     from weather_flink_spark.plans.analytics_wave20 import SZ_CTE
     from weather_flink_spark.plans.analytics_wave43 import (
@@ -243,7 +357,7 @@ def _panel_oracle() -> str:
         _B256_CAND_SQL,
         _TS_PRED_DUCK,
     )
-    from weather_flink_spark.plans.llm_extra import _cos_duck
+    from weather_flink_spark.plans.llm_extra import _cos_duck, ivf_assigned_cte
 
     tiers = ",\n".join(
         f"t_{t} AS MATERIALIZED ({sql})"
@@ -263,7 +377,8 @@ def _panel_oracle() -> str:
         ]
     )
     return f"""
-        WITH {_bq_codes_cte()},
+        WITH {ivf_assigned_cte()},
+        {_bq_codes_cte()},
         {_thermo_sql('e', 'TRUE')},
         {_thermo_sql('s', _TS_PRED_DUCK)},
         {SZ_CTE},
@@ -278,7 +393,8 @@ def _panel_oracle() -> str:
                 WHERE q.vec_id < {N_PANEL}
             ) WHERE k_rank <= {PANEL_K}
         ),
-        {tiers}
+        {tiers},
+        {_ivf_tier_sql()}
         SELECT tier, n_queries, n_hits,
                CAST(n_hits AS DOUBLE) / ({N_PANEL} * {PANEL_K})
                    AS recall_at_5
@@ -286,6 +402,7 @@ def _panel_oracle() -> str:
             SELECT * FROM t_binary64
             UNION ALL SELECT * FROM t_binary256
             UNION ALL SELECT * FROM t_binary256_sampled
+            UNION ALL SELECT * FROM t_ivf_nprobe2
         )
     """
 
@@ -346,6 +463,7 @@ def q_sim_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             _b256_cand(d),
             "binary256_sampled",
         ),
+        _ivf_tier_recall(spark, sf_dir),
     ]
     out = rows[0]
     for r in rows[1:]:
