@@ -58,3 +58,21 @@ def test_entry_verdicts_are_symmetric_and_blocked(spark):
         assert p.best_match_id is not None  # symmetric verdict
         assert p.sample_rate == r.sample_rate  # block key shared
         assert r.n_neardups >= 1
+
+
+def test_union_verdict_counts_are_consistent(spark):
+    """The union entry's flags must equal the tiers' own verdicts and
+    the count must be their sum; the union strictly out-flags any
+    single tier on the fixture."""
+    rows = {r.doc_id: r for r in all_specs()["q_multimodal_dedup_union"].fn(spark, SF).collect()}
+    assert len(rows) == 500
+    ah = {r.doc_id for r in all_specs()["q_multimodal_image_dedup_ahash"].fn(spark, SF).collect() if r.best_match_id is not None}
+    dh = {r.doc_id for r in all_specs()["q_multimodal_image_dedup_dhash"].fn(spark, SF).collect() if r.best_match_id is not None}
+    au = {r.doc_id for r in all_specs()["q_multimodal_audio_dedup_energyhash"].fn(spark, SF).collect() if r.best_match_id is not None}
+    for d, r in rows.items():
+        assert r.image_ahash_hit == (d in ah)
+        assert r.image_dhash_hit == (d in dh)
+        assert r.audio_hit == (d in au)
+        assert r.n_tiers_flagging == int(d in ah) + int(d in dh) + int(d in au)
+    flagged = {d for d, r in rows.items() if r.n_tiers_flagging > 0}
+    assert len(flagged) > max(len(ah), len(dh), len(au))
