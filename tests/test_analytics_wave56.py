@@ -45,18 +45,38 @@ def test_graph_tier_panel_floors(spark):
     hit-rate notch under the post-upgrade measurements (flat 0.662,
     hnsw 0.772 at the fixture — they read 0.242 / 0.454 on the old
     in-cell degree-4 index), with the hierarchy at least matching the
-    flat searcher."""
-    import weather_flink_spark.plans.analytics_wave20 as w20
-    import weather_flink_spark.plans.analytics_wave26 as w26
-
-    gt = w56.exact_topk_panel_table(spark, SF)
-    n = gt.select("query_id").distinct().count() * w56.PANEL_K
-
-    def recall(df):
-        return gt.join(df.select("query_id", "vec_id"), ["query_id", "vec_id"]).count() / n
-
-    flat = recall(w20._graph_search(spark, SF, n_queries=w56.N_PANEL))
-    hnsw = recall(w26._hnsw_search(spark, SF, n_queries=w56.N_PANEL))
+    flat searcher. r9 follow-up: the panel is now the first-class
+    registry entry q_sim_recall_panel_graph (wave-58), so the floors
+    gate the exact rows the driver's oracle compares."""
+    rows = {
+        r.tier: r
+        for r in all_specs()["q_sim_recall_panel_graph"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"flat_graph", "hnsw"}
+    for r in rows.values():
+        assert r.n_queries == w56.N_PANEL
+        assert abs(r.recall_at_5 - r.n_hits / (w56.N_PANEL * w56.PANEL_K)) < 1e-12
+    flat = rows["flat_graph"].recall_at_5
+    hnsw = rows["hnsw"].recall_at_5
     assert flat >= 0.60, flat
     assert hnsw >= 0.70, hnsw
     assert hnsw >= flat - 0.02, (hnsw, flat)
+
+
+def test_graph_panel_searches_match_gate_searchers_on_gate_queries(spark):
+    """The panel searches (n_queries=100) must agree row-for-row with
+    the 5-query gate searchers on the gate queries — same index, same
+    widths, same tie-breaks; the panel only widens the query set."""
+    import weather_flink_spark.plans.analytics_wave58 as w58
+    from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES
+
+    gate_q = lambda df: {  # noqa: E731
+        (r.query_id, r.vec_id, r.k_rank)
+        for r in df.filter(df.query_id < IVF_N_QUERIES).collect()
+    }
+    flat_gate = gate_q(all_specs()["q_sim_ann_graph"].fn(spark, SF))
+    flat_panel = gate_q(w58.flat_panel_result_table(spark, SF))
+    assert flat_gate == flat_panel
+    hnsw_gate = gate_q(all_specs()["q_sim_ann_hnsw"].fn(spark, SF))
+    hnsw_panel = gate_q(w58.hnsw_panel_result_table(spark, SF))
+    assert hnsw_gate == hnsw_panel

@@ -272,7 +272,7 @@ def g_beam(d: int) -> int:
 G_BEAM_SQL = "(2 * ((SELECT d FROM sz) - 1))"
 
 
-def _graph_oracle() -> str:
+def _graph_oracle(n_queries: int | None = None) -> str:
     from weather_flink_spark.plans.analytics_wave4 import KMEANS_ITERS
     from weather_flink_spark.plans.llm_extra import (
         IVF_N_QUERIES,
@@ -280,6 +280,8 @@ def _graph_oracle() -> str:
         _cos_duck,
         ivf_assigned_cte,
     )
+
+    n_queries = n_queries or IVF_N_QUERIES
 
     cos_qn = _cos_duck("q.embedding", "n.embedding")
     hops = []
@@ -331,7 +333,7 @@ def _graph_oracle() -> str:
             FROM embeddings q
             CROSS JOIN entries en
             JOIN embeddings n ON n.vec_id = en.node
-            WHERE q.vec_id < {IVF_N_QUERIES}
+            WHERE q.vec_id < {n_queries}
         ),
         {",".join(hops)}
         SELECT query_id, node AS vec_id, cosine, k_rank FROM (

@@ -403,7 +403,7 @@ def _hops_sql(prefix: str, edges: str, start: str, hops: int, beam: int | str) -
     return ",".join(parts), vis_prev
 
 
-def _hnsw_oracle() -> str:
+def _hnsw_oracle(n_queries: int | None = None) -> str:
     from weather_flink_spark.plans.analytics_wave4 import (
         KMEANS_ITERS,
         _kmeans_dist_duck,
@@ -414,6 +414,8 @@ def _hnsw_oracle() -> str:
         _cos_duck,
         ivf_assigned_cte,
     )
+
+    n_queries = n_queries or IVF_N_QUERIES
 
     from weather_flink_spark.plans.analytics_wave20 import knn_edges_cte
 
@@ -516,7 +518,7 @@ def _hnsw_oracle() -> str:
                 FROM embeddings q
                 CROSS JOIN l1m m
                 JOIN embeddings n ON n.vec_id = m.node
-                WHERE q.vec_id < {IVF_N_QUERIES}
+                WHERE q.vec_id < {n_queries}
             ) WHERE rk <= {_ENTRY_M_SQL}
         ),
         {l1_hops},

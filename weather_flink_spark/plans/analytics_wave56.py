@@ -262,6 +262,26 @@ def _thermo_sql(p: str, sample_pred: str) -> str:
         )"""
 
 
+def panel_exact_cte() -> str:
+    """CTE fragment ending in ``panel_exact`` (query_id, vec_id): the
+    100-query exact cosine top-5 ground truth — ONE text shared by this
+    oracle and the wave-57 graph-tier panel so the two panels can never
+    drift on what "exact" means."""
+    from weather_flink_spark.plans.llm_extra import _cos_duck
+
+    return f"""panel_exact AS MATERIALIZED (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
+                                    v.vec_id ASC) AS k_rank
+                FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+                WHERE q.vec_id < {N_PANEL}
+            ) WHERE k_rank <= {PANEL_K}
+        )"""
+
+
 def _tier_sql(tier: str, codes: str, words: list[str], pool: str) -> str:
     """One tier's panel block: Hamming scan -> top-pool -> rerank ->
     recall row."""
@@ -357,7 +377,7 @@ def _panel_oracle() -> str:
         _B256_CAND_SQL,
         _TS_PRED_DUCK,
     )
-    from weather_flink_spark.plans.llm_extra import _cos_duck, ivf_assigned_cte
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_cte
 
     tiers = ",\n".join(
         f"t_{t} AS MATERIALIZED ({sql})"
@@ -382,17 +402,7 @@ def _panel_oracle() -> str:
         {_thermo_sql('e', 'TRUE')},
         {_thermo_sql('s', _TS_PRED_DUCK)},
         {SZ_CTE},
-        panel_exact AS MATERIALIZED (
-            SELECT query_id, vec_id FROM (
-                SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
-                                    v.vec_id ASC) AS k_rank
-                FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
-                WHERE q.vec_id < {N_PANEL}
-            ) WHERE k_rank <= {PANEL_K}
-        ),
+        {panel_exact_cte()},
         {tiers},
         {_ivf_tier_sql()}
         SELECT tier, n_queries, n_hits,

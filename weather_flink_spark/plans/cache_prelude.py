@@ -58,6 +58,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         analytics_wave43,
         analytics_wave49,
         analytics_wave56,
+        analytics_wave58,
         corpus_extra,
         llm_extra,
         llm_pipeline,
@@ -79,6 +80,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "embtable": llm_pipeline.emb_table,
         "exact_topk": llm_extra.exact_topk_table,
         "exact_topk_panel": analytics_wave56.exact_topk_panel_table,
+        "flat_result_panel": analytics_wave58.flat_panel_result_table,
         "graph_ann_result": _registry_fn("q_sim_ann_graph"),
         "graph_entries": analytics_wave20.graph_entry_nodes,
         "hnsw_l0_xcell": analytics_wave26.l0_xcell_edges_table,
@@ -86,6 +88,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "hnsw_l1_medoids": analytics_wave26.l1_medoids_table,
         "hnsw_l1_nodes": analytics_wave26.l1_nodes_table,
         "hnsw_result": _registry_fn("q_sim_ann_hnsw"),
+        "hnsw_result_panel": analytics_wave58.hnsw_panel_result_table,
         "ivf_assigned": llm_extra.ivf_assigned_table,
         "ivfpq_ann_result": _registry_fn("q_sim_ann_ivfpq"),
         "kmeans_final": analytics_wave4.kmeans_final_assignment,

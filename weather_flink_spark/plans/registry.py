@@ -125,6 +125,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave55,
         analytics_wave56,
         analytics_wave57,
+        analytics_wave58,
         streaming_queries,
     )
 
