@@ -68,11 +68,15 @@ def test_union_verdict_counts_are_consistent(spark):
     assert len(rows) == 500
     ah = {r.doc_id for r in all_specs()["q_multimodal_image_dedup_ahash"].fn(spark, SF).collect() if r.best_match_id is not None}
     dh = {r.doc_id for r in all_specs()["q_multimodal_image_dedup_dhash"].fn(spark, SF).collect() if r.best_match_id is not None}
+    phh = {r.doc_id for r in all_specs()["q_multimodal_image_dedup_phash"].fn(spark, SF).collect() if r.best_match_id is not None}
     au = {r.doc_id for r in all_specs()["q_multimodal_audio_dedup_energyhash"].fn(spark, SF).collect() if r.best_match_id is not None}
     for d, r in rows.items():
         assert r.image_ahash_hit == (d in ah)
         assert r.image_dhash_hit == (d in dh)
+        assert r.image_phash_hit == (d in phh)
         assert r.audio_hit == (d in au)
-        assert r.n_tiers_flagging == int(d in ah) + int(d in dh) + int(d in au)
+        assert r.n_tiers_flagging == int(d in ah) + int(d in dh) + int(
+            d in phh
+        ) + int(d in au)
     flagged = {d for d, r in rows.items() if r.n_tiers_flagging > 0}
-    assert len(flagged) > max(len(ah), len(dh), len(au))
+    assert len(flagged) > max(len(ah), len(dh), len(phh), len(au))

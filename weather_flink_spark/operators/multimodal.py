@@ -377,6 +377,110 @@ def bmp_dhash(b: bytes):
     return width, height, h
 
 
+PHASH_COS_SCALE = 1 << 14  # quantized-cosine fixed-point scale
+
+
+def phash_cos_table(n: int) -> list[list[int]]:
+    """Integer-quantized DCT-II basis for size ``n``:
+    ``C[u][x] = round(cos(pi*(2x+1)*u / (2n)) * PHASH_COS_SCALE)``.
+
+    The SAME integers are injected into the DuckDB oracle as literal
+    VALUES rows, so the whole DCT stays exact integer arithmetic on
+    both engines — no libm cos() parity risk (Java/numpy/DuckDB may
+    disagree in the last ulp; a quantized shared table cannot)."""
+    import math
+
+    return [
+        [
+            round(math.cos(math.pi * (2 * x + 1) * u / (2 * n)) * PHASH_COS_SCALE)
+            for x in range(n)
+        ]
+        for u in range(n)
+    ]
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def bmp_phash(b: bytes):
+    """DCT perceptual hash (pHash) of a parsed BMP: (width, height,
+    hash) or None — the third image tier beside :func:`bmp_ahash`
+    (global tone) and :func:`bmp_dhash` (local gradients): FREQUENCY
+    structure, the tier robust to uniform brightness/contrast moves
+    that flip mean- and gradient-bits.
+
+    2-D DCT-II of the intensity grid via the integer-quantized basis
+    (:func:`phash_cos_table` — exact integer arithmetic end to end);
+    bit ``u*w + v - 1`` is set iff AC coefficient (u, v) is STRICTLY
+    above the lower-median AC coefficient (the standard pHash median
+    threshold, order statistic at 0-based index (m-1)//2). Fixture
+    images are at most 8x5, so the <= 39 AC bits pack into one
+    BIGINT."""
+    parsed = bmp_parse(b)
+    if parsed is None:
+        return None
+    width, height, bpp, stride, _ = parsed
+    if bpp != 24:
+        return None
+    (offset,) = struct.unpack_from("<I", b, 10)
+    img = b[offset : offset + height * stride]
+    grid = [
+        [
+            img[y * stride + x * 3]
+            + img[y * stride + x * 3 + 1]
+            + img[y * stride + x * 3 + 2]
+            for x in range(width)
+        ]
+        for y in range(height)
+    ]
+    ch = phash_cos_table(height)
+    cw = phash_cos_table(width)
+    ac: list[tuple[int, int]] = []  # (bit_index, coefficient)
+    for u in range(height):
+        for v in range(width):
+            if u == 0 and v == 0:
+                continue
+            d = sum(
+                grid[y][x] * ch[u][y] * cw[v][x]
+                for y in range(height)
+                for x in range(width)
+            )
+            ac.append((u * width + v - 1, d))
+    med = sorted(d for _, d in ac)[(len(ac) - 1) // 2]
+    h = 0
+    for bit, d in ac:
+        if d > med:
+            h |= 1 << bit
+    return width, height, h
+
+
+def phash_frame(df: DataFrame) -> DataFrame:
+    """Arrow-batched DCT perceptual hash over (doc_id, payload);
+    corrupt payloads tolerate-hash to nulls (the A2 discipline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                parsed = bmp_phash(bytes(payload))
+                if parsed is None:
+                    rows.append((int(doc_id), None, None, None))
+                else:
+                    rows.append((int(doc_id), *parsed))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "phash"]
+            )
+
+    return df.mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
 def dhash_frame(df: DataFrame) -> DataFrame:
     """Arrow-batched difference hash over (doc_id, payload); corrupt
     payloads tolerate-hash to nulls (the A2 discipline)."""

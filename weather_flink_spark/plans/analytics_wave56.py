@@ -265,7 +265,7 @@ def _thermo_sql(p: str, sample_pred: str) -> str:
 def panel_exact_cte() -> str:
     """CTE fragment ending in ``panel_exact`` (query_id, vec_id): the
     100-query exact cosine top-5 ground truth — ONE text shared by this
-    oracle and the wave-57 graph-tier panel so the two panels can never
+    oracle and the wave-58 graph-tier panel so the two panels can never
     drift on what "exact" means."""
     from weather_flink_spark.plans.llm_extra import _cos_duck
 

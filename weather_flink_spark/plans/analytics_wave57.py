@@ -175,27 +175,32 @@ def q_multimodal_audio_dedup_energyhash(
 
 
 def _union_oracle() -> str:
-    """Compose the three tiers' FULL oracle replays as WITH-subqueries
+    """Compose the four tiers' FULL oracle replays as WITH-subqueries
     (each carries its own CTE chain, so names never collide)."""
     from weather_flink_spark.plans.analytics_wave52 import (
         _dedup_oracle,
         _dhash_cte,
     )
+    from weather_flink_spark.plans.analytics_wave59 import _phash_oracle
 
     ah = _dedup_oracle()
     dh = _dedup_oracle(tbl="dh", col="dhash", extra_cte="," + _dhash_cte())
+    phh = _phash_oracle()
     au = _audio_dedup_oracle()
     return f"""
         SELECT a.doc_id,
                (a.best_match_id IS NOT NULL) AS image_ahash_hit,
                (d.best_match_id IS NOT NULL) AS image_dhash_hit,
+               (p.best_match_id IS NOT NULL) AS image_phash_hit,
                (au.best_match_id IS NOT NULL) AS audio_hit,
                CAST((CASE WHEN a.best_match_id IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN d.best_match_id IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN p.best_match_id IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN au.best_match_id IS NOT NULL THEN 1 ELSE 0 END)
                     AS INTEGER) AS n_tiers_flagging
         FROM (WITH {ah.strip().removeprefix("WITH")}) a
         JOIN (WITH {dh.strip().removeprefix("WITH")}) d ON d.doc_id = a.doc_id
+        JOIN (WITH {phh.strip().removeprefix("WITH")}) p ON p.doc_id = a.doc_id
         JOIN (WITH {au.strip().removeprefix("WITH")}) au ON au.doc_id = a.doc_id
     """
 
@@ -206,16 +211,18 @@ def _union_oracle() -> str:
     doc=(
         "Cross-tier near-dup UNION verdict (r9): one row per document "
         "with each perceptual tier's flag (image average-hash, image "
-        "difference-hash, audio energy-hash) and the count of tiers "
-        "flagging it — the production pattern the union-recall test "
-        "proves (each tier finds structure the others miss: fixture "
-        "243/292/6 matched docs, union 409+). A curation pipeline "
-        "keeps a doc only when 0 tiers flag it, or routes 1-vs-many "
-        "flags to different review queues. Scale: three independent "
-        "band-LSH verdict pipelines joined on doc_id — each is "
-        "hash-scan linear + collision-bounded; the join is one "
-        "doc_id-keyed shuffle. Oracle composes the three tiers' FULL "
-        "replays as WITH-subqueries (no CTE-name collisions)."
+        "difference-hash, image DCT pHash, audio energy-hash) and the "
+        "count of tiers flagging it — the production pattern the "
+        "union-recall test proves (each tier finds structure the "
+        "others miss: fixture 243/292/6 matched docs for "
+        "ahash/dhash/audio, union 409+; the wave-59 phash tier adds "
+        "frequency structure). A curation pipeline keeps a doc only "
+        "when 0 tiers flag it, or routes 1-vs-many flags to different "
+        "review queues. Scale: four independent band-LSH verdict "
+        "pipelines joined on doc_id — each is hash-scan linear + "
+        "collision-bounded; the join is one doc_id-keyed shuffle. "
+        "Oracle composes the four tiers' FULL replays as "
+        "WITH-subqueries (no CTE-name collisions)."
     ),
     tags=("multimodal", "dedup", "lsh", "llm-pipeline"),
 )
@@ -231,20 +238,30 @@ def q_multimodal_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     dh = q_multimodal_image_dedup_dhash(spark, sf_dir).select(
         "doc_id", F.col("best_match_id").isNotNull().alias("image_dhash_hit")
     )
+    from weather_flink_spark.plans.analytics_wave59 import (
+        q_multimodal_image_dedup_phash,
+    )
+
+    phh = q_multimodal_image_dedup_phash(spark, sf_dir).select(
+        "doc_id", F.col("best_match_id").isNotNull().alias("image_phash_hit")
+    )
     au = q_multimodal_audio_dedup_energyhash(spark, sf_dir).select(
         "doc_id", F.col("best_match_id").isNotNull().alias("audio_hit")
     )
     return (
         ah.join(dh, "doc_id")
+        .join(phh, "doc_id")
         .join(au, "doc_id")
         .select(
             "doc_id",
             "image_ahash_hit",
             "image_dhash_hit",
+            "image_phash_hit",
             "audio_hit",
             (
                 F.col("image_ahash_hit").cast("int")
                 + F.col("image_dhash_hit").cast("int")
+                + F.col("image_phash_hit").cast("int")
                 + F.col("audio_hit").cast("int")
             ).cast("int").alias("n_tiers_flagging"),
         )

@@ -126,6 +126,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave56,
         analytics_wave57,
         analytics_wave58,
+        analytics_wave59,
         streaming_queries,
     )
 
