@@ -127,6 +127,9 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave57,
         analytics_wave58,
         analytics_wave59,
+        analytics_wave60,
+        analytics_wave61,
+        analytics_wave62,
         streaming_queries,
     )
 
