@@ -535,9 +535,10 @@ LANG_MARKERS = {
 }
 
 
-@register(
-    "q_text_langid",
-    oracle=f"""
+# ONE oracle text for the langid classifier, shared with the wave-63
+# evaluation entries (confusion/PRF, Cohen's kappa) so the classifier
+# under evaluation can never drift from the classifier registered here
+LANGID_ORACLE = f"""
         WITH t AS (
             SELECT doc_id, lang AS lang_true, string_split(text, ' ') AS tok
             FROM documents
@@ -560,7 +561,12 @@ LANG_MARKERS = {
                END AS lang_pred,
                GREATEST({", ".join("score_" + lg for lg in sorted(LANG_MARKERS))}) AS best_score
         FROM scored
-    """,
+    """
+
+
+@register(
+    "q_text_langid",
+    oracle=LANGID_ORACLE,
     doc=(
         "Language identification by stopword-marker ratio (the classic "
         "cheap n-gram/stopword heuristic): per-language marker hit rate, "

@@ -130,6 +130,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave60,
         analytics_wave61,
         analytics_wave62,
+        analytics_wave63,
         streaming_queries,
     )
 
