@@ -131,6 +131,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave61,
         analytics_wave62,
         analytics_wave63,
+        analytics_wave64,
         streaming_queries,
     )
 
