@@ -147,23 +147,21 @@ def q_events_attribution_shapley(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    chan = (
-        e.filter(F.col("event_type") != _CONV)
+    # the channel set is the bounded model constant (kmeans-k
+    # convention): ONE bounded collect assigns bits driver-side —
+    # never a partitionless window, even over this tiny frame (the
+    # scale net rightly can't tell tiny from data-sized)
+    channels = sorted(
+        r[0]
+        for r in e.filter(F.col("event_type") != _CONV)
         .select("event_type")
         .distinct()
-        .select(
-            F.col("event_type").alias("channel"),
-            (
-                F.row_number().over(
-                    Window.orderBy(F.col("event_type").asc())
-                )
-                - 1
-            ).cast("int").alias("bit"),
-        )
+        .collect()
     )
-    # k is the bounded channel-set size (kmeans-k convention: a model
-    # constant, never data-sized)
-    k = chan.count()
+    k = len(channels)
+    chan = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(channels)], "channel string, bit int"
+    )
 
     w_jid = (
         Window.partitionBy("user_id")

@@ -134,6 +134,20 @@ def _conformal_oracle() -> str:
 def q_stats_conformal_interval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    # the 1-row summary doubles as the (slope, intercept, q_hat) model
+    # the wave-65 streaming scorer serves — session-cache it like the
+    # searcher results so consumers never re-pay the fit + global rank
+    return _cached(
+        "conformal_result",
+        spark,
+        sf_dir,
+        lambda: _conformal_build(spark, sf_dir).localCheckpoint(),
+    )
+
+
+def _conformal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.operators.global_order import (
         attach_global_row_number,
     )

@@ -76,6 +76,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "bq_result": _registry_fn("q_sim_ann_binary_rerank"),
         "cc_labels": llm_extra._cc_labels,
         "cms_hashed": corpus_extra._cms_hashed,
+        "conformal_result": _registry_fn("q_stats_conformal_interval"),
         "cos_buckets": llm_extra._hyperplane_buckets,
         "embtable": llm_pipeline.emb_table,
         "exact_topk": llm_extra.exact_topk_table,

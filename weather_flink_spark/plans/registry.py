@@ -132,6 +132,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave62,
         analytics_wave63,
         analytics_wave64,
+        analytics_wave65,
         streaming_queries,
     )
 
