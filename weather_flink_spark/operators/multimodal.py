@@ -641,6 +641,42 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(kernel, schema=schema)
 
 
+FRAME_INTENSITY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("intensity", T.LongType()),
+    ]
+)
+
+
+def frame_intensities(df: DataFrame, frame_size: int = 32) -> DataFrame:
+    """Per-frame intensity (exact byte sum) over EVERY consecutive
+    full frame of each payload — the stride-1 feature pass a video
+    shot-boundary detector consumes (a real implementation swaps the
+    byte sum for a decoded-luma histogram; the fan-out, schema and
+    batch shape stay). Fan-out happens inside the Arrow batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(payload)
+                for k in range(len(b) // frame_size):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    vals.append(sum(b[k * frame_size : (k + 1) * frame_size]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "intensity": pd.Series(vals, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=FRAME_INTENSITY_SCHEMA)
+
+
 def sample_frames(df: DataFrame, frame_size: int = 32, stride: int = 4) -> DataFrame:
     """Frame sampling: fan each payload out to every ``stride``-th chunk.
 

@@ -133,6 +133,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave63,
         analytics_wave64,
         analytics_wave65,
+        analytics_wave66,
         streaming_queries,
     )
 
