@@ -134,6 +134,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave64,
         analytics_wave65,
         analytics_wave66,
+        analytics_wave67,
         streaming_queries,
     )
 
