@@ -63,6 +63,21 @@ def test_graph_tier_panel_floors(spark):
     assert hnsw >= flat - 0.02, (hnsw, flat)
 
 
+def test_flat_hop_budget_is_digit_scaled():
+    """The late-r9 flat-tier fix: hops = 2d-3 reproduces the r6-8
+    3-hop constant at the d=3 fixture (every committed hash unchanged)
+    and grows ~2/decade, capped at the oracle's structural unroll
+    ceiling; the oracle computes the same count from the sz CTE."""
+    import weather_flink_spark.plans.analytics_wave20 as w20
+
+    assert w20.g_hops(3) == 3
+    assert w20.g_hops(4) == 5
+    assert w20.g_hops(5) == 7
+    assert w20.g_hops(9) == w20._G_MAX_HOPS
+    assert str(w20._G_MAX_HOPS) in w20.G_HOPS_SQL
+    assert "2 * (SELECT d FROM sz) - 3" in w20.G_HOPS_SQL
+
+
 def test_graph_panel_searches_match_gate_searchers_on_gate_queries(spark):
     """The panel searches (n_queries=100) must agree row-for-row with
     the 5-query gate searchers on the gate queries — same index, same

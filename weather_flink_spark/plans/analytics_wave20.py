@@ -12,11 +12,12 @@ ANN (NSW-style beam search), and their streaming twins.
   family, the third major ANN architecture after IVF and hashing):
   a k-NN edge list (top-8 multi-probe neighbors per vector, riding the
   session-cached IVF assignment) is greedily beam-searched from a
-  IVF-medoid entry set — 3 unrolled hops with a digit-scaled beam (2(d-1),
-  d = decimal digits of corpus size — 4 at the sf0.001 fixture,
-  8 at sf0.1), final top-5 of the
-  visited set. Hops are pure join+window rounds, replayed by unrolled
-  CTEs in the oracle.
+  IVF-medoid entry set — digit-scaled hops (2d-3: 3 at the d=3
+  fixture, 5 at sf0.1) with a digit-scaled beam (2(d-1): 4 at the
+  fixture, 6 at sf0.1), final top-5 of the visited set. Hops are pure
+  join+window rounds, replayed by CTEs structurally unrolled to the
+  7-hop ceiling with each hop gated by ``h <= hops(d)`` (an inactive
+  hop is an exact identity), so ONE oracle text adapts per sf.
 - ``s_stream_ann_assign`` — streaming vector ingestion: a file stream
   of JSON vectors is assigned to its trained IVF cell by a
   stream-static broadcast of the k-means model — the "index new
@@ -232,7 +233,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — never all-pairs), the same build rule the coarse layer has used
 # since r6.
 _G_KNN = 8
-_G_HOPS = 3  # unrolled hops
+_G_MAX_HOPS = 7  # structural unroll ceiling (hop h is a no-op when h > g_hops(d))
 
 # --- scale-adaptive search widths (r8, closing the r7 verdict's #1) ---
 # Fixed search beams were the one MEASURED quality regression in the
@@ -272,6 +273,25 @@ def g_beam(d: int) -> int:
 G_BEAM_SQL = "(2 * ((SELECT d FROM sz) - 1))"
 
 
+def g_hops(d: int) -> int:
+    """Flat-graph hop budget: 2d-3 — 3 at the d=3 fixture (every
+    committed hash/recall at sf0.001/0.01 unchanged), 5 at sf0.1
+    (d=4), capped at the structural unroll ceiling. Why hops scale
+    ~2/decade: on a fixed-degree-8 graph the greedy path length grows
+    with log(n)/log(degree); r9 measured the 3-hop budget as THE
+    flat-tier recall ceiling at sf0.1 (panel 0.332 with 3 hops, 0.616
+    with 5, 0.644 at 7 — diminishing; beam widening alone read only
+    0.364 at 3x9). The oracle computes the same count from the sz CTE
+    and gates each structurally-unrolled hop with ``h <= hops`` —
+    an inactive hop is an exact identity (its expansion is empty, so
+    exp{h} = f{h-1} and re-taking the top-beam of an already-beam-
+    sized frontier reproduces it row-for-row)."""
+    return min(2 * d - 3, _G_MAX_HOPS)
+
+
+G_HOPS_SQL = f"LEAST(2 * (SELECT d FROM sz) - 3, {_G_MAX_HOPS})"
+
+
 def _graph_oracle(n_queries: int | None = None) -> str:
     from weather_flink_spark.plans.analytics_wave4 import KMEANS_ITERS
     from weather_flink_spark.plans.llm_extra import (
@@ -286,10 +306,13 @@ def _graph_oracle(n_queries: int | None = None) -> str:
     cos_qn = _cos_duck("q.embedding", "n.embedding")
     hops = []
     prev = "f0"
-    for h in range(1, _G_HOPS + 1):
+    for h in range(1, _G_MAX_HOPS + 1):
         hops.append(
             f"""exp{h} AS (
-                -- expand: the frontier's out-edges, scored vs the query
+                -- expand: the frontier's out-edges, scored vs the query;
+                -- hop {h} is gated by the digit-scaled hop budget — when
+                -- inactive the expansion is empty and this hop is an
+                -- exact identity (see g_hops)
                 SELECT query_id, node, cosine FROM {prev}
                 UNION
                 SELECT f.query_id, e.dst AS node,
@@ -298,6 +321,7 @@ def _graph_oracle(n_queries: int | None = None) -> str:
                 JOIN edges e ON e.src = f.node
                 JOIN embeddings q ON q.vec_id = f.query_id
                 JOIN embeddings v ON v.vec_id = e.dst
+                WHERE {h} <= {G_HOPS_SQL}
             ),
             f{h} AS (
                 SELECT query_id, node, cosine FROM (
@@ -341,7 +365,7 @@ def _graph_oracle(n_queries: int | None = None) -> str:
                    ROW_NUMBER() OVER (
                        PARTITION BY query_id
                        ORDER BY cosine DESC, node ASC) AS k_rank
-            FROM vis{_G_HOPS}
+            FROM vis{_G_MAX_HOPS}
             WHERE node <> query_id
         ) WHERE k_rank <= {IVF_TOP_K}
     """
@@ -487,9 +511,12 @@ def graph_entry_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near-isotropic corpus) is beam-"
         "searched from MULTI-ENTRY beams — one medoid per trained IVF "
         "cell (k bounded rows), so no single entry's neighborhood "
-        "biases every search — with 3 unrolled hops of a DIGIT-SCALED "
-        "beam (2(d-1), d = decimal digits of corpus size: 4 at the "
-        "500-row fixture, 8 at sf0.1 — fixed beams were the measured "
+        "biases every search — with DIGIT-SCALED hops (2d-3, d = "
+        "decimal digits of corpus size: 3 at the 500-row fixture, 5 "
+        "at sf0.1 — the fixed 3-hop budget was the measured flat-tier "
+        "recall ceiling at sf0.1, panel 0.332 -> 0.616; see g_hops) "
+        "of a DIGIT-SCALED beam (2(d-1): 4 at the fixture, 6 at "
+        "sf0.1 — fixed beams were the measured "
         "recall decay of r7, SURVEY §14); the "
         "answer is the top-5 of everything VISITED. Each hop is one "
         "edge join + one per-query window over <= beam*(1+degree) rows "
@@ -556,7 +583,7 @@ def _graph_search(
     w_beam = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("node").asc()
     )
-    for _ in range(_G_HOPS):
+    for _ in range(g_hops(corpus_digits(spark, sf_dir))):
         # eager localCheckpoint per hop (the star-contraction lesson):
         # each hop references its frontier several times, so
         # un-truncated lineage re-plans every earlier hop 2^k times —
