@@ -135,6 +135,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave65,
         analytics_wave66,
         analytics_wave67,
+        analytics_wave68,
         streaming_queries,
     )
 
