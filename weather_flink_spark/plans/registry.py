@@ -136,6 +136,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave66,
         analytics_wave67,
         analytics_wave68,
+        analytics_wave69,
         streaming_queries,
     )
 
