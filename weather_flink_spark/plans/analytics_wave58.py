@@ -17,8 +17,9 @@ by construction).
 and the SAME shared ``panel_exact`` ground-truth text as wave-56, one
 output row per traversal tier:
 
-- ``flat_graph`` — wave-20's multi-entry 3-hop beam search over the
-  shared multi-probe degree-8 kNN index;
+- ``flat_graph`` — wave-20's multi-entry digit-scaled (2d-3) hop beam
+  search (3 hops only at the d=3 fixture, 5 at sf0.1 — see
+  ``g_hops()``) over the shared multi-probe degree-8 kNN index;
 - ``hnsw`` — wave-26's 2-layer search (multi-medoid entry, 3 coarse
   hops, descent, 3 base hops over kNN + cross-cell edges).
 

@@ -159,6 +159,15 @@ def q_events_attribution_shapley(
         .collect()
     )
     k = len(channels)
+    # Spark's factorial() returns NULL past 20!, which would silently
+    # null the weighted sums instead of failing loudly; production
+    # journeys cap channels via top-k+OTHER (docstring) — enforce it
+    if k > 20:
+        raise ValueError(
+            f"q_events_attribution_shapley: {k} distinct channels > 20 "
+            "(factorial overflow); cap channels upstream with the "
+            "top-k+OTHER convention described in the docstring"
+        )
     chan = spark.createDataFrame(
         [(c, i) for i, c in enumerate(channels)], "channel string, bit int"
     )

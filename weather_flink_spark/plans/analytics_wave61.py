@@ -192,6 +192,22 @@ def _conformal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", resid.alias("ar"))
     )
     n_cal = cal.agg(F.count("*").cast("bigint").alias("n_cal")).localCheckpoint()
+    # degenerate-input guard: if the calibration split is smaller than
+    # the conformal rank index ceil((den-num)(n+1)/den) (n_cal < 9 at
+    # alpha=0.1), the qhat frame would be empty and the Spark side
+    # would emit 0 rows while the oracle's scalar subquery emits one
+    # NULL-q_hat row — fail loudly instead of diverging silently
+    n_cal_val = int(n_cal.first()["n_cal"])
+    rank_needed = (
+        (_ALPHA_DEN - _ALPHA_NUM) * (n_cal_val + 1) + _ALPHA_DEN - 1
+    ) // _ALPHA_DEN
+    if rank_needed > n_cal_val:
+        raise ValueError(
+            f"q_stats_conformal_interval: calibration split has "
+            f"{n_cal_val} rows but the alpha={_ALPHA_NUM}/{_ALPHA_DEN} "
+            f"conformal quantile needs rank {rank_needed}; supply at "
+            f"least {rank_needed} calibration rows"
+        )
     ranked = attach_global_row_number(
         cal,
         [F.col("ar").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],

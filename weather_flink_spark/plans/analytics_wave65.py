@@ -108,6 +108,7 @@ def stream_fixture_rows(sf_dir: str, n_rows: int = 200) -> list[dict]:
 def s_stream_conformal_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
+    import shutil
     import tempfile
 
     from weather_flink_spark.plans.streaming_queries import _configure
@@ -119,7 +120,12 @@ def s_stream_conformal_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = os.path.join(
         tempfile.gettempdir(), f"wfs_stream_conformal_{os.getpid()}"
     )
-    os.makedirs(d, exist_ok=True)
+    # pid reuse (or a prior run at a different n_rows) would leave
+    # stale part-*.jsonl behind and corrupt the stream/batch
+    # bit-equality contract — start from an empty directory
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
     mid = len(rows) // 2
     for i, chunk in enumerate((rows[:mid], rows[mid:])):
         with open(os.path.join(d, f"part-{i}.jsonl"), "w") as f:
