@@ -308,7 +308,7 @@ def _graph_oracle(n_queries: int | None = None) -> str:
     prev = "f0"
     for h in range(1, _G_MAX_HOPS + 1):
         hops.append(
-            f"""exp{h} AS (
+            f"""exp{h} AS MATERIALIZED (
                 -- expand: the frontier's out-edges, scored vs the query;
                 -- hop {h} is gated by the digit-scaled hop budget — when
                 -- inactive the expansion is empty and this hop is an
@@ -323,7 +323,7 @@ def _graph_oracle(n_queries: int | None = None) -> str:
                 JOIN embeddings v ON v.vec_id = e.dst
                 WHERE {h} <= {G_HOPS_SQL}
             ),
-            f{h} AS (
+            f{h} AS MATERIALIZED (
                 SELECT query_id, node, cosine FROM (
                     SELECT *, ROW_NUMBER() OVER (
                         PARTITION BY query_id
@@ -331,7 +331,7 @@ def _graph_oracle(n_queries: int | None = None) -> str:
                     FROM exp{h}
                 ) WHERE rk <= {G_BEAM_SQL}
             ),
-            vis{h} AS (
+            vis{h} AS MATERIALIZED (
                 SELECT query_id, node, cosine FROM exp{h}
                 {f"UNION SELECT query_id, node, cosine FROM vis{h - 1}" if h > 1 else ""}
             )"""

@@ -375,7 +375,7 @@ def _hops_sql(prefix: str, edges: str, start: str, hops: int, beam: int | str) -
     for h in range(1, hops + 1):
         vis = f"{prefix}vis{h}"
         parts.append(
-            f"""{prefix}exp{h} AS (
+            f"""{prefix}exp{h} AS MATERIALIZED (
                 SELECT query_id, node, cosine FROM {prev}
                 UNION
                 SELECT f.query_id, e.dst AS node,
@@ -385,7 +385,7 @@ def _hops_sql(prefix: str, edges: str, start: str, hops: int, beam: int | str) -
                 JOIN embeddings q ON q.vec_id = f.query_id
                 JOIN embeddings v ON v.vec_id = e.dst
             ),
-            {prefix}f{h} AS (
+            {prefix}f{h} AS MATERIALIZED (
                 SELECT query_id, node, cosine FROM (
                     SELECT *, ROW_NUMBER() OVER (
                         PARTITION BY query_id
@@ -393,7 +393,7 @@ def _hops_sql(prefix: str, edges: str, start: str, hops: int, beam: int | str) -
                     FROM {prefix}exp{h}
                 ) WHERE rk <= {beam}
             ),
-            {vis} AS (
+            {vis} AS MATERIALIZED (
                 SELECT query_id, node, cosine FROM {prefix}exp{h}
                 {f"UNION SELECT query_id, node, cosine FROM {vis_prev}" if vis_prev else ""}
             )"""

@@ -976,8 +976,14 @@ def _kmeans_cte_parts() -> list[str]:
     """The shared CTE chain cent0 → a0 → cent1 → … → a{ITERS} (final
     assignment over the learned centroids) — reused by the training
     query's oracle and the learned-IVF search oracle."""
+    # MATERIALIZED: DuckDB inlines CTEs per reference (the MMR-oracle
+    # lesson, plans/analytics_wave10.py) — the finals a{ITERS}/cent{ITERS}
+    # fan out to many consumers (gprobe/xprobe/l1/medoids/...) in the
+    # graph-ANN oracles, and the chain itself re-executes per inline;
+    # the frames are tiny (n x 1 assignment, k centroids), so
+    # materialization costs nothing and collapses the replay to once
     assign_tpl = """
-        a{k} AS (
+        a{k} AS MATERIALIZED (
             SELECT vec_id, embedding, cid, d2 FROM (
                 SELECT e.vec_id, e.embedding, c.cid, {dist} AS d2,
                        ROW_NUMBER() OVER (
@@ -987,7 +993,7 @@ def _kmeans_cte_parts() -> list[str]:
             ) WHERE rn = 1
         )"""
     recompute_tpl = """
-        cent{k1} AS (
+        cent{k1} AS MATERIALIZED (
             SELECT cid, LIST(m ORDER BY pos ASC) AS c FROM (
                 SELECT cid, pos,
                        CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)

@@ -398,7 +398,8 @@ def ivf_assigned_cte() -> str:
 
     parts = _kmeans_cte_parts()
     parts.append(
-        f"assigned AS (SELECT vec_id, embedding, cid AS cell FROM a{KMEANS_ITERS})"
+        "assigned AS MATERIALIZED "
+        f"(SELECT vec_id, embedding, cid AS cell FROM a{KMEANS_ITERS})"
     )
     return ",".join(parts)
 
