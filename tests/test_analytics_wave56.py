@@ -63,6 +63,26 @@ def test_graph_tier_panel_floors(spark):
     assert hnsw >= flat - 0.02, (hnsw, flat)
 
 
+def test_knn_index_degree_and_probe_are_digit_scaled():
+    """The r10 index scaling (r9 verdict task #1): degree 4(d-1) and
+    probe d-1 reproduce the r9 constants (8, 2) exactly at the d=3
+    fixture — every committed hash at sf0.001/0.01 unchanged — and
+    give 12/3 at sf0.1 (d=4), where the scale-blind index was the
+    measured recall ceiling (panel flat 0.616 / hnsw 0.626 vs
+    binary256 0.736; with the scaled index: 0.906 / 0.920). The
+    oracle computes the same values from the sz CTE."""
+    import weather_flink_spark.plans.analytics_wave20 as w20
+
+    assert w20.g_degree(3) == w20._G_KNN == 8
+    assert w20.g_probe(3) == 2
+    assert w20.g_degree(4) == 12
+    assert w20.g_probe(4) == 3
+    assert "4 * ((SELECT d FROM sz) - 1)" in w20.G_DEGREE_SQL
+    assert "(SELECT d FROM sz) - 1" in w20.G_PROBE_SQL
+    cte = w20.knn_edges_cte()
+    assert w20.G_DEGREE_SQL in cte and w20.G_PROBE_SQL in cte
+
+
 def test_flat_hop_budget_is_digit_scaled():
     """The late-r9 flat-tier fix: hops = 2d-3 reproduces the r6-8
     3-hop constant at the d=3 fixture (every committed hash unchanged)

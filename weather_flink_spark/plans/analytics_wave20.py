@@ -229,10 +229,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell, capping degree-4 in-cell navigability at panel recall 0.24
 # (flat) / 0.45 (hnsw); multi-probe degree 8 measured 0.66 / 0.77 at
 # the same search widths. Candidate pairs still come from bounded
-# cell blocks (each vector appears in exactly its top-2 cells' blocks
-# — never all-pairs), the same build rule the coarse layer has used
-# since r6.
-_G_KNN = 8
+# cell blocks (each vector appears in exactly its top-g_probe cells'
+# blocks — never all-pairs), the same build rule the coarse layer has
+# used since r6.
+#
+# r10 (closing the r9 verdict's #1): the INDEX is digit-scaled like
+# the search widths — the r9 panels proved beam/hop scaling alone
+# left both graph tiers as the lowest-recall ANN options at sf0.1
+# (flat 0.616 / hnsw 0.626 vs the exhaustive binary256 scan's 0.736)
+# because degree 8 / top-2-cell were scale-blind: on a fixed-degree
+# graph the reachable set per hop is degree-bounded while the true
+# top-5's cell spread grows with n. Degree 4(d-1) and probe d-1
+# reproduce the r9 constants exactly at the d=3 fixture (every
+# committed hash below sf0.1 unchanged) and give degree 12 over
+# top-3-cell candidates at sf0.1 (d=4).
+_G_KNN = 8  # r9 constant == g_degree(3); kept for the fixture-pinned notes
 _G_MAX_HOPS = 7  # structural unroll ceiling (hop h is a no-op when h > g_hops(d))
 
 # --- scale-adaptive search widths (r8, closing the r7 verdict's #1) ---
@@ -271,6 +282,34 @@ def g_beam(d: int) -> int:
 
 
 G_BEAM_SQL = "(2 * ((SELECT d FROM sz) - 1))"
+
+
+def g_degree(d: int) -> int:
+    """kNN index out-degree: 4(d-1) — 8 at the d=3 fixture (the r9
+    constant, every committed hash at sf0.001/0.01 unchanged), 12 at
+    sf0.1 (d=4). Rationale: greedy-graph recall needs degree to grow
+    ~log n (real NSW/HNSW sizes M with corpus); the r9 panel measured
+    scale-blind degree 8 as the sf0.1 recall ceiling — flat 0.616 /
+    hnsw 0.626 vs binary256's 0.736 — while beams/hops were already
+    digit-scaled. Index cost stays linear-per-node: n * degree edges."""
+    return 4 * (d - 1)
+
+
+G_DEGREE_SQL = "(4 * ((SELECT d FROM sz) - 1))"
+
+
+def g_probe(d: int) -> int:
+    """Multi-probe cell count for kNN-index CANDIDATE blocking: d-1 —
+    2 at the d=3 fixture (the r9 constant), 3 at sf0.1 (d=4). Each
+    vector ranks candidates from its top-(d-1) nearest trained cells;
+    pair work per cell block scales with (n*probe/k)^2 but stays
+    cell-blocked (never all-pairs), and probe growth is what makes the
+    extra degree slots actually diverse — on the near-isotropic corpus
+    only ~35% of true neighbors share the query's top cell."""
+    return d - 1
+
+
+G_PROBE_SQL = "((SELECT d FROM sz) - 1)"
 
 
 def g_hops(d: int) -> int:
@@ -373,12 +412,14 @@ def _graph_oracle(n_queries: int | None = None) -> str:
 
 def knn_edges_cte(name: str = "edges") -> str:
     """DuckDB CTE fragment ending in ``{name}`` (src, dst): the oracle
-    twin of :func:`knn_edges_table` — multi-probe top-2-cell candidate
-    blocking, global top-_G_KNN by cosine. Composes after
-    ``ivf_assigned_cte()`` (needs ``assigned`` + ``cent{K}``); every
-    consumer oracle (wave-20 flat search, wave-26 HNSW base layer,
-    wave-27 undirected graph family, wave-37 kNN label vote) uses this
-    ONE text so the index rule can never drift between them."""
+    twin of :func:`knn_edges_table` — DIGIT-SCALED multi-probe
+    top-g_probe-cell candidate blocking, global top-g_degree by cosine
+    (r10: both were scale-blind literals 2/8). Composes after
+    ``ivf_assigned_cte()`` AND ``SZ_CTE`` (needs ``assigned``,
+    ``cent{K}`` and ``sz``); every consumer oracle (wave-20 flat
+    search, wave-26 HNSW base layer, wave-27 undirected graph family,
+    wave-37 kNN label vote, wave-64 hubness) uses this ONE text so the
+    index rule can never drift between them."""
     from weather_flink_spark.plans.analytics_wave4 import (
         KMEANS_ITERS,
         _kmeans_dist_duck,
@@ -393,7 +434,7 @@ def knn_edges_cte(name: str = "edges") -> str:
                            ORDER BY {_kmeans_dist_duck('a.embedding', 'c.c')} ASC,
                                     c.cid ASC) AS rn
                 FROM assigned a CROSS JOIN cent{KMEANS_ITERS} c
-            ) WHERE rn <= 2
+            ) WHERE rn <= {G_PROBE_SQL}
         ),
         {name} AS MATERIALIZED (
             SELECT src, dst FROM (
@@ -407,7 +448,7 @@ def knn_edges_cte(name: str = "edges") -> str:
                     FROM gprobe a JOIN gprobe n
                       ON n.bcell = a.bcell AND n.vec_id <> a.vec_id
                 )
-            ) WHERE rk <= {_G_KNN}
+            ) WHERE rk <= {G_DEGREE_SQL}
         )"""
 
 
@@ -418,7 +459,9 @@ def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact, built once per (session, sf) like the IVF assignment
     and PQ code tables (a production store materializes it at
     index-build time, not per query). r9: multi-probe degree 8, up
-    from in-cell degree 4 (see the _G_KNN note)."""
+    from in-cell degree 4; r10: degree and probe count digit-scaled
+    (g_degree/g_probe — 8/2 at the fixture unchanged, 12/3 at sf0.1;
+    see the _G_KNN note)."""
     from weather_flink_spark.plans.analytics_wave4 import (
         _kmeans_dist_col,
         kmeans_final_assignment,
@@ -427,6 +470,7 @@ def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.llm_pipeline import _cached, dot_col
 
     def build() -> DataFrame:
+        d = corpus_digits(spark, sf_dir)
         assigned = ivf_assigned_table(spark, sf_dir)
         cent, _ = kmeans_final_assignment(spark, sf_dir)
         w_probe = Window.partitionBy("vec_id").orderBy(
@@ -443,7 +487,7 @@ def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _kmeans_dist_col("embedding", "c").alias("d2"),
             )
             .withColumn("rn", F.row_number().over(w_probe))
-            .filter(F.col("rn") <= 2)
+            .filter(F.col("rn") <= g_probe(d))
             .select("vec_id", "embedding", "nrm", F.col("cid").alias("bcell"))
         )
         a, n = probe.alias("a"), probe.alias("n")
@@ -466,7 +510,7 @@ def knn_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
             .withColumn("rk", F.row_number().over(w_knn))
-            .filter(F.col("rk") <= _G_KNN)
+            .filter(F.col("rk") <= g_degree(d))
             .select("src", "dst")
             .persist()
         )

@@ -610,8 +610,11 @@ def _beam_hops(frontier: DataFrame, edges: DataFrame, q: DataFrame, node_vec: Da
         "VISITED on the coarse layer, UNIONED with the entry seeds so "
         "every probed cell keeps a base-layer start, seeds "
         "3 beam-4 hops on the full base graph — the shared "
-        "MULTI-PROBE knn_edges_table (r9: degree 8 over top-2-cell "
-        "candidates) UNION one guaranteed CROSS-CELL edge per vector "
+        "MULTI-PROBE knn_edges_table (r10: DIGIT-SCALED degree 4(d-1) "
+        "over top-(d-1)-cell candidates — the r9 constants 8/2 at the "
+        "d=3 fixture, 12/3 at sf0.1, where the scale-blind index was "
+        "the measured panel-recall ceiling) UNION one guaranteed "
+        "CROSS-CELL edge per vector "
         "(top-1 neighbor in its 2nd-nearest cell, r8 verdict #1). "
         "Top-5 of "
         "everything visited on either layer. The hierarchy is the "
@@ -1092,11 +1095,15 @@ def q_sample_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _probe2_cells(model: list[tuple[int, list[float]]], col: str = "embedding"):
-    """(cell1, cell2) expressions: the two nearest trained centroids
-    (d2 ASC, cid ASC tie-break — the multi-probe rule the batch coarse
-    kNN build uses), computed by sorting the bounded k-row (d2, cid)
-    struct array."""
+def _probe_cells(
+    model: list[tuple[int, list[float]]],
+    n_probe: int = 2,
+    col: str = "embedding",
+):
+    """List of ``n_probe`` cell expressions: the nearest trained
+    centroids (d2 ASC, cid ASC tie-break — the multi-probe rule the
+    batch kNN builds use), computed by sorting the bounded k-row
+    (d2, cid) struct array."""
 
     def dist2(c_vals: list[float]):
         arr = F.array(*[F.lit(float(x)) for x in c_vals])
@@ -1111,36 +1118,46 @@ def _probe2_cells(model: list[tuple[int, list[float]]], col: str = "embedding"):
             ]
         )
     )
-    return pairs[0]["cid"], pairs[1]["cid"]
+    return [pairs[i]["cid"] for i in range(n_probe)]
 
 
 def hnsw_insert_frame(
-    batch_df: DataFrame, assigned: DataFrame, model: list[tuple[int, list[float]]]
+    batch_df: DataFrame,
+    assigned: DataFrame,
+    model: list[tuple[int, list[float]]],
+    digits: int = 3,
 ) -> DataFrame:
     """The edges a new vector receives on insert into the 2-layer
     graph, computed against the STATIC index restricted to the node's
     strict vec_id-prefix (so the result depends only on (node, prefix)
     — batch composition can never change it, the curation-verdict
     monotonicity property applied to index writes):
-    - base layer: top-_G_KNN cosine among prefix vectors in the
-      node's TOP-2 probe cells (the r9 multi-probe knn_edges_table
-      degree rule — was own-cell/degree-4 before r9);
+    - base layer: top-g_degree(digits) cosine among prefix vectors in
+      the node's top-g_probe(digits) probe cells (the r10 digit-scaled
+      knn_edges_table rule — 8 over top-2 at the d=3 fixture, exactly
+      the r9 constants; was own-cell/degree-4 before r9);
     - coarse layer (only if the node passes the seeded-md5 layer
       predicate): top-_L1_KNN among prefix COARSE vectors in the
-      node's top-2 probe cells (the multi-probe build rule).
+      node's top-2 probe cells (the coarse build rule, probe fixed
+      at 2 like _l1_edges_from).
+    ``digits`` is the static index corpus' digit count (wave-20
+    corpus_digits) so insert edges follow the same scale-adaptive
+    build rule as the batch index.
     Medoid/highway refresh is deliberately out of scope — like
     production graph-ANN services, structural rebalance runs as
     periodic compaction (the batch build), not per insert."""
+    from weather_flink_spark.plans.analytics_wave20 import g_degree, g_probe
     from weather_flink_spark.plans.llm_pipeline import dot_col, norm_col
 
-    c1, c2 = _probe2_cells(model)
+    base_cells = _probe_cells(model, n_probe=g_probe(digits))
+    coarse_cells = base_cells[:2]
     new = batch_df.select(
         F.col("vec_id").alias("node"),
         F.col("embedding").alias("n_emb"),
         norm_col(F.col("embedding")).alias("n_nrm"),
         F.expr(_L1_PRED_SPARK).alias("is_coarse"),
-        c1.alias("c1"),
-        c2.alias("c2"),
+        F.array(*base_cells).alias("bcells"),
+        F.array(*coarse_cells).alias("ccells"),
     )
     cos = dot_col(F.col("n_emb"), F.col("embedding")) / (F.col("n_nrm") * F.col("nrm"))
     w_edge = Window.partitionBy("node", "layer").orderBy(
@@ -1149,7 +1166,7 @@ def hnsw_insert_frame(
     base = (
         assigned.join(
             F.broadcast(new),
-            ((F.col("cell") == F.col("c1")) | (F.col("cell") == F.col("c2")))
+            F.array_contains(F.col("bcells"), F.col("cell"))
             & (F.col("vec_id") < F.col("node")),
         )
         .select(
@@ -1163,7 +1180,7 @@ def hnsw_insert_frame(
         assigned.filter(F.expr(_L1_PRED_SPARK))
         .join(
             F.broadcast(new.filter(F.col("is_coarse"))),
-            ((F.col("cell") == F.col("c1")) | (F.col("cell") == F.col("c2")))
+            F.array_contains(F.col("ccells"), F.col("cell"))
             & (F.col("vec_id") < F.col("node")),
         )
         .select(
@@ -1173,12 +1190,13 @@ def hnsw_insert_frame(
             cos.alias("cosine"),
         )
     )
-    from weather_flink_spark.plans.analytics_wave20 import _G_KNN
-
-    # base cap = the static index's out-DEGREE (_G_KNN, fixed build
-    # constant), not the digit-scaled search beam — pre-r8 the two
-    # happened to share the literal 4
-    lim = F.when(F.col("layer") == "base", F.lit(_G_KNN)).otherwise(F.lit(_L1_KNN))
+    # base cap = the static index's out-DEGREE (digit-scaled g_degree,
+    # the build rule), not the digit-scaled search beam — pre-r8 the
+    # two happened to share the literal 4
+    lim = (
+        F.when(F.col("layer") == "base", F.lit(g_degree(digits)))
+        .otherwise(F.lit(_L1_KNN))
+    )
     return (
         base.unionByName(coarse)
         .withColumn("edge_rank", F.row_number().over(w_edge))
@@ -1233,9 +1251,15 @@ def run_hnsw_insert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     acc: list = []
 
+    from weather_flink_spark.plans.analytics_wave20 import corpus_digits
+
+    dig = corpus_digits(spark, sf_dir)
+
     def insert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # bounded collect: <= |batch| x (_G_KNN + _L1_KNN) rows
-        acc.extend(hnsw_insert_frame(batch_df, assigned, model).collect())
+        # bounded collect: <= |batch| x (g_degree + _L1_KNN) rows
+        acc.extend(
+            hnsw_insert_frame(batch_df, assigned, model, digits=dig).collect()
+        )
 
     ckpt = os.path.join(d, "_ckpt")
     stream = (

@@ -365,10 +365,11 @@ def _und_edges_cte() -> str:
     symmetrized wave-20 k-NN graph — the same ``edges`` text as
     analytics_wave20._graph_oracle composed on ivf_assigned_cte, then
     both directions unioned (distinct)."""
-    from weather_flink_spark.plans.analytics_wave20 import knn_edges_cte
+    from weather_flink_spark.plans.analytics_wave20 import SZ_CTE, knn_edges_cte
     from weather_flink_spark.plans.llm_extra import ivf_assigned_cte
 
     return f"""{ivf_assigned_cte()},
+        {SZ_CTE},
         {knn_edges_cte()},
         und AS MATERIALIZED (
             SELECT src, dst FROM edges

@@ -185,11 +185,12 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_acc_oracle() -> str:
-    from weather_flink_spark.plans.analytics_wave20 import knn_edges_cte
+    from weather_flink_spark.plans.analytics_wave20 import SZ_CTE, knn_edges_cte
     from weather_flink_spark.plans.llm_extra import ivf_assigned_cte
 
     return f"""
         WITH {ivf_assigned_cte()},
+        {SZ_CTE},
         {knn_edges_cte()},
         votes AS (
             SELECT e.src AS vec_id, l.label, COUNT(*) AS c

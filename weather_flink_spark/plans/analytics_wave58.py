@@ -19,7 +19,8 @@ output row per traversal tier:
 
 - ``flat_graph`` — wave-20's multi-entry digit-scaled (2d-3) hop beam
   search (3 hops only at the d=3 fixture, 5 at sf0.1 — see
-  ``g_hops()``) over the shared multi-probe degree-8 kNN index;
+  ``g_hops()``) over the shared digit-scaled kNN index (r10: degree
+  4(d-1) / probe d-1 — 8/2 at the fixture, 12/3 at sf0.1);
 - ``hnsw`` — wave-26's 2-layer search (multi-medoid entry, 3 coarse
   hops, descent, 3 base hops over kNN + cross-cell edges).
 

@@ -11,7 +11,8 @@ hubness diagnostic.
   integer/string arithmetic on floor(totalprice).
 
 - ``q_emb_knn_hubness`` — in-degree distribution of the shared
-  multi-probe degree-8 kNN index (the graph-ANN base layer): one row
+  digit-scaled multi-probe kNN index (the graph-ANN base layer;
+  degree 8 / probe 2 at the d=3 fixture): one row
   per in-degree with its node count. The 0-in-degree row is the
   ANTIHUB count — nodes NO beam search can ever reach through edges
   (only via entry seeding), the standard hubness failure mode of
@@ -128,11 +129,12 @@ def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hubness_oracle() -> str:
-    from weather_flink_spark.plans.analytics_wave20 import knn_edges_cte
+    from weather_flink_spark.plans.analytics_wave20 import SZ_CTE, knn_edges_cte
     from weather_flink_spark.plans.llm_extra import ivf_assigned_cte
 
     return f"""
         WITH {ivf_assigned_cte()},
+        {SZ_CTE},
         {knn_edges_cte()},
         indeg AS (
             SELECT e.vec_id,
@@ -151,8 +153,9 @@ def _hubness_oracle() -> str:
     "q_emb_knn_hubness",
     oracle=_hubness_oracle(),
     doc=(
-        "In-degree distribution of the shared multi-probe degree-8 "
-        "kNN index (r9) — the hubness diagnostic for the graph-ANN "
+        "In-degree distribution of the shared digit-scaled multi-probe "
+        "kNN index (r9; r10: degree 4(d-1) / probe d-1 — 8/2 at the "
+        "d=3 fixture, 12/3 at sf0.1) — the hubness diagnostic for the graph-ANN "
         "base layer (Radovanovic 2010): one row per in-degree with "
         "its node count. The in_degree=0 row counts ANTIHUBS — nodes "
         "no beam search can reach through edges (only entry seeding "
