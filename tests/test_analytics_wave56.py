@@ -98,6 +98,65 @@ def test_flat_hop_budget_is_digit_scaled():
     assert "2 * (SELECT d FROM sz) - 3" in w20.G_HOPS_SQL
 
 
+def test_stream_ann_search_panel_parity(spark):
+    """r9 verdict task #7: the streaming searcher is held to the PANEL
+    quality surface, not just the 5 gate queries — stream all 100
+    panel queries through run_ann_search_stream and assert row-for-row
+    equality with an independently composed batch nprobe=1 search
+    (the batch side reads the table's ASSIGNED cell; the stream
+    recomputes each query's cell from the broadcast model via the
+    shared ivf_cell_exprs rule — two code paths that must agree), and
+    therefore equal panel recall@5 against the shared exact ground
+    truth."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.plans.analytics_wave25 import run_ann_search_stream
+    from weather_flink_spark.plans.llm_extra import IVF_TOP_K, ivf_assigned_table
+    from weather_flink_spark.plans.llm_pipeline import dot_col
+
+    streamed = {
+        (r.query_id, r.k_rank, r.vec_id)
+        for r in run_ann_search_stream(spark, SF, n_queries=w56.N_PANEL).collect()
+    }
+    assigned = ivf_assigned_table(spark, SF)
+    q = assigned.filter(F.col("vec_id") < w56.N_PANEL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+    )
+    cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    batch = {
+        (r.query_id, r.k_rank, r.vec_id)
+        for r in assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("k_rank", F.row_number().over(w_rank))
+        .filter(F.col("k_rank") <= IVF_TOP_K)
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    gt = {
+        (r.query_id, r.vec_id)
+        for r in w56.exact_topk_panel_table(spark, SF).collect()
+    }
+    hits = sum((q_, v) in gt for q_, _, v in streamed)
+    recall = hits / (w56.N_PANEL * w56.PANEL_K)
+    # nprobe=1 sits under the panel's nprobe=2 tier (fixture 0.548)
+    # but far above zero — the point is the STREAM now reads off the
+    # panel, equal to batch by the set assertion above
+    assert 0.2 <= recall <= 1.0, recall
+
+
 def test_graph_panel_searches_match_gate_searchers_on_gate_queries(spark):
     """The panel searches (n_queries=100) must agree row-for-row with
     the 5-query gate searchers on the gate queries — same index, same

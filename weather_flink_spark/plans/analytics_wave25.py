@@ -496,14 +496,18 @@ def ivf_search_frame(batch_df: DataFrame, assigned: DataFrame, model) -> DataFra
     )
 
 
-def run_ann_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_ann_search_stream(
+    spark: SparkSession, sf_dir: str, n_queries: int | None = None
+) -> DataFrame:
     """Stream the bounded query set (2 jsonl files, deterministic
     mtimes => 2 micro-batches), answer each micro-batch inside
     foreachBatch via ivf_search_frame against the static cached index,
     and return the accumulated answers. Results carry no batch_id —
     an answer depends only on (index, query vector), so batch
     composition cannot change it (the curation-verdict monotonicity
-    property applied to the read path)."""
+    property applied to the read path). ``n_queries`` widens the
+    streamed query set (default IVF_N_QUERIES; the wave-56 panel
+    parity test streams all 100 panel queries)."""
     import json
     import os
     import shutil
@@ -522,15 +526,18 @@ def run_ann_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded collect: the trained model is k=8 rows by construction
     model = sorted(((r["cid"], list(r["c"])) for r in cent.collect()), key=lambda x: x[0])
 
+    n_queries = n_queries or IVF_N_QUERIES
     t = papq.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
     rows = [
         json.dumps({"vec_id": int(v), "embedding": [float(x) for x in e]})
         for v, e in zip(
-            t.column("vec_id").to_pylist()[:IVF_N_QUERIES],
-            t.column("embedding").to_pylist()[:IVF_N_QUERIES],
+            t.column("vec_id").to_pylist()[:n_queries],
+            t.column("embedding").to_pylist()[:n_queries],
         )
     ]
-    d = os.path.join(tempfile.gettempdir(), f"wfs_stream_annsearch_{os.getpid()}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"wfs_stream_annsearch_{os.getpid()}_{n_queries}"
+    )
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     mid = len(rows) // 2
@@ -585,9 +592,12 @@ def run_ann_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top-k against the static session-cached index — stream-static "
         "join against a persisted index, batch-sized work, never "
         "batch x corpus. Answers depend only on (index, query vector), "
-        "so batch composition cannot change them; the test proves the "
+        "so batch composition cannot change them; tests prove the "
         "streamed answers equal q_sim_ann_ivf's batch answers on the "
-        "same vectors row for row."
+        "same vectors row for row AND (r10) that streaming all 100 "
+        "wave-56 panel queries matches an independently composed "
+        "batch search row-for-row — the streaming twin reads off the "
+        "same panel quality surface as every batch tier."
     ),
     tags=("streaming", "similarity", "ann", "ivf"),
 )
