@@ -1,0 +1,82 @@
+"""Wave-70: the 100-query PQ-tier recall panel (r9 verdict task #2)."""
+
+from __future__ import annotations
+
+from weather_flink_spark.plans import analytics_wave56 as w56
+from weather_flink_spark.plans import analytics_wave70 as w70
+from weather_flink_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pq_panel_shape_and_floors(spark):
+    """One row per PQ tier; floors one hit-rate notch under the
+    measured fixture values (pq_adc 0.124 / opq_adc 0.102 / ivfpq
+    0.250), and the composed IVFADC searcher must beat the brute-force
+    natural-code scan — its exact cosine re-rank of the ADC shortlist
+    is the whole point of the architecture. (The honest scale read
+    lives in SURVEY §14: at sf0.1 the panel shows OPQ nearly doubling
+    natural-code recall, 0.050 -> 0.092, with ivfpq at 0.114 — PQ
+    4-byte codes are the lowest-recall tiers at scale.)"""
+    rows = {
+        r.tier: r
+        for r in all_specs()["q_sim_recall_panel_pq"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"pq_adc", "opq_adc", "ivfpq"}
+    for r in rows.values():
+        assert r.n_queries == w56.N_PANEL
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert abs(r.recall_at_5 - r.n_hits / (w56.N_PANEL * w56.PANEL_K)) < 1e-12
+    assert rows["pq_adc"].recall_at_5 >= 0.08
+    assert rows["opq_adc"].recall_at_5 >= 0.08
+    assert rows["ivfpq"].recall_at_5 >= 0.20
+    assert rows["ivfpq"].recall_at_5 > rows["pq_adc"].recall_at_5
+
+
+def test_pq_panel_searches_match_gate_searchers_on_gate_queries(spark):
+    """The panel runs (n_queries=100) must agree row-for-row with the
+    5-query gate code paths on the gate queries — the panel only
+    widens the query set. Covers all three tiers: the brute-force ADC
+    pair (wave-25 adc_topk_tables) and the IVFADC searcher (wave-15
+    q_sim_ann_ivfpq)."""
+    from weather_flink_spark.plans.analytics_wave25 import adc_topk_tables
+    from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES
+
+    nat_gate, opq_gate = adc_topk_tables(spark, SF)
+    nat_panel, opq_panel = adc_topk_tables(spark, SF, n_queries=w56.N_PANEL)
+    for gate, panel in [(nat_gate, nat_panel), (opq_gate, opq_panel)]:
+        g = {(r.query_id, r.vec_id) for r in gate.collect()}
+        p = {
+            (r.query_id, r.vec_id)
+            for r in panel.filter(panel.query_id < IVF_N_QUERIES).collect()
+        }
+        assert g == p and len(g) > 0
+
+    ivfpq_gate = {
+        (r.query_id, r.vec_id, r.k_rank)
+        for r in all_specs()["q_sim_ann_ivfpq"].fn(spark, SF).collect()
+    }
+    panel_res = w70.ivfpq_panel_result_table(spark, SF)
+    ivfpq_panel = {
+        (r.query_id, r.vec_id, r.k_rank)
+        for r in panel_res.filter(panel_res.query_id < IVF_N_QUERIES).collect()
+    }
+    assert ivfpq_gate == ivfpq_panel
+
+
+def test_every_searcher_tier_reads_recall_from_a_panel():
+    """The r9 verdict's done-criterion for task #2: every searcher
+    tier in the engine appears in one of the three 100-query panels.
+    Tier names are pinned here so a new searcher entry must either
+    join a panel or consciously edit this list."""
+    specs = all_specs()
+    oracles = {
+        "q_sim_recall_panel": {"binary64", "binary256", "binary256_sampled", "ivf_nprobe2"},
+        "q_sim_recall_panel_graph": {"flat_graph", "hnsw"},
+        "q_sim_recall_panel_pq": {"pq_adc", "opq_adc", "ivfpq"},
+    }
+    for name, tiers in oracles.items():
+        text = specs[name].oracle
+        assert text is not None
+        for t in tiers:
+            assert f"'{t}'" in text, (name, t)

@@ -132,15 +132,21 @@ def _ivfpq_oracle() -> str:
     pq_parts = []
     for m in range(_PQ_M):
         d2 = _pq_dist_duck_ab(m, "v.embedding", "c.embedding")
+        # rank by the d2 alias in a nested subquery — repeating the
+        # 64-term decimal expression in the window ORDER BY makes
+        # DuckDB re-evaluate it per sort key (~2.3x slower, r10)
         pq_parts.append(
             f"""pq{m} AS MATERIALIZED (
                 SELECT vec_id, code FROM (
-                    SELECT v.vec_id, c.vec_id AS code,
+                    SELECT vec_id, code,
                            ROW_NUMBER() OVER (
-                               PARTITION BY v.vec_id
-                               ORDER BY {d2} ASC, c.vec_id ASC) AS rn
-                    FROM embeddings v
-                    JOIN embeddings c ON c.vec_id < {_PQ_KC}
+                               PARTITION BY vec_id
+                               ORDER BY d2 ASC, code ASC) AS rn
+                    FROM (
+                        SELECT v.vec_id, c.vec_id AS code, {d2} AS d2
+                        FROM embeddings v
+                        JOIN embeddings c ON c.vec_id < {_PQ_KC}
+                    )
                 ) WHERE rn = 1
             )"""
         )
@@ -244,7 +250,12 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_search(
+    spark: SparkSession, sf_dir: str, n_queries: int = IVF_N_QUERIES
+) -> DataFrame:
+    """The IVFADC searcher; ``n_queries`` widens the query set (default
+    the 5 gate queries; the wave-70 panel runs all 100 panel queries
+    through this same code path)."""
     from weather_flink_spark.plans.analytics_wave4 import (
         _kmeans_dist_col,
         kmeans_final_assignment,
@@ -254,7 +265,7 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, _ = kmeans_final_assignment(spark, sf_dir)
     codes = pq_codes_table(spark, sf_dir)
 
-    q = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),

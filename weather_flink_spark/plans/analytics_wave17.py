@@ -90,7 +90,9 @@ def _ivfpq_recall_oracle() -> str:
         "approximate side is q_sim_ann_ivfpq verbatim, so the measured "
         "recall is exactly what that query serves. Deterministic "
         "(decimal ADC, tie-broken ranks) and oracle-checkable end to "
-        "end."
+        "end. Retained as the 5-query smoke/parity gate; the "
+        "representative read is the 100-query panel "
+        "(q_sim_recall_panel_pq, r10)."
     ),
     tags=("similarity", "ann", "evaluation", "pq"),
 )

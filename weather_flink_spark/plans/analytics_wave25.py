@@ -148,29 +148,37 @@ def _opq_replay_parts() -> list[str]:
     parts += householder_cte_parts()
     parts += rotation_cte_parts()
     for m in range(OPQ_M):
+        # rank by the d2 ALIAS in a nested subquery, never by repeating
+        # the 64-term decimal expression in the window ORDER BY — DuckDB
+        # re-evaluates window sort keys, so the repeated-expression form
+        # measured ~2.3x slower with identical results (r10)
         parts.append(
             f"""oc{m} AS MATERIALIZED (
                 SELECT vec_id, code, d2 FROM (
-                    SELECT v.vec_id, c.vec_id AS code,
-                           {_dist_cols_duck('v.rq', 'c.rq', m)} AS d2,
+                    SELECT vec_id, code, d2,
                            ROW_NUMBER() OVER (
-                               PARTITION BY v.vec_id
-                               ORDER BY {_dist_cols_duck('v.rq', 'c.rq', m)} ASC,
-                                        c.vec_id ASC) AS rn
-                    FROM rotq v JOIN rotq c ON c.vec_id < {_PQ_KC}
+                               PARTITION BY vec_id
+                               ORDER BY d2 ASC, code ASC) AS rn
+                    FROM (
+                        SELECT v.vec_id, c.vec_id AS code,
+                               {_dist_cols_duck('v.rq', 'c.rq', m)} AS d2
+                        FROM rotq v JOIN rotq c ON c.vec_id < {_PQ_KC}
+                    )
                 ) WHERE rn = 1
             )"""
         )
         parts.append(
             f"""nc{m} AS MATERIALIZED (
                 SELECT vec_id, code, d2 FROM (
-                    SELECT v.vec_id, c.vec_id AS code,
-                           {_dist_q6_duck('v.embedding', 'c.embedding', m)} AS d2,
+                    SELECT vec_id, code, d2,
                            ROW_NUMBER() OVER (
-                               PARTITION BY v.vec_id
-                               ORDER BY {_dist_q6_duck('v.embedding', 'c.embedding', m)} ASC,
-                                        c.vec_id ASC) AS rn
-                    FROM embeddings v JOIN embeddings c ON c.vec_id < {_PQ_KC}
+                               PARTITION BY vec_id
+                               ORDER BY d2 ASC, code ASC) AS rn
+                    FROM (
+                        SELECT v.vec_id, c.vec_id AS code,
+                               {_dist_q6_duck('v.embedding', 'c.embedding', m)} AS d2
+                        FROM embeddings v JOIN embeddings c ON c.vec_id < {_PQ_KC}
+                    )
                 ) WHERE rn = 1
             )"""
         )
@@ -299,26 +307,32 @@ def _adc_recall_oracle() -> str:
         opq_lut AS MATERIALIZED ({opq_lut}),
         nat_adc AS (
             SELECT query_id, vec_id FROM (
-                SELECT l.query_id, cd.vec_id, SUM(l.d2q) AS adc,
+                SELECT s.query_id, s.vec_id,
                        ROW_NUMBER() OVER (
-                           PARTITION BY l.query_id
-                           ORDER BY SUM(l.d2q) ASC, cd.vec_id ASC) AS rk
-                FROM ({nat_codes}) cd
-                JOIN nat_lut l ON l.m = cd.m AND l.code = cd.code
-                WHERE cd.vec_id <> l.query_id
-                GROUP BY l.query_id, cd.vec_id
+                           PARTITION BY s.query_id
+                           ORDER BY s.adc ASC, s.vec_id ASC) AS rk
+                FROM (
+                    SELECT l.query_id, cd.vec_id, SUM(l.d2q) AS adc
+                    FROM ({nat_codes}) cd
+                    JOIN nat_lut l ON l.m = cd.m AND l.code = cd.code
+                    WHERE cd.vec_id <> l.query_id
+                    GROUP BY l.query_id, cd.vec_id
+                ) s
             ) WHERE rk <= {_ADC_K}
         ),
         opq_adc AS (
             SELECT query_id, vec_id FROM (
-                SELECT l.query_id, cd.vec_id, SUM(l.d2q) AS adc,
+                SELECT s.query_id, s.vec_id,
                        ROW_NUMBER() OVER (
-                           PARTITION BY l.query_id
-                           ORDER BY SUM(l.d2q) ASC, cd.vec_id ASC) AS rk
-                FROM ({opq_codes}) cd
-                JOIN opq_lut l ON l.m = cd.m AND l.code = cd.code
-                WHERE cd.vec_id <> l.query_id
-                GROUP BY l.query_id, cd.vec_id
+                           PARTITION BY s.query_id
+                           ORDER BY s.adc ASC, s.vec_id ASC) AS rk
+                FROM (
+                    SELECT l.query_id, cd.vec_id, SUM(l.d2q) AS adc
+                    FROM ({opq_codes}) cd
+                    JOIN opq_lut l ON l.m = cd.m AND l.code = cd.code
+                    WHERE cd.vec_id <> l.query_id
+                    GROUP BY l.query_id, cd.vec_id
+                ) s
             ) WHERE rk <= {_ADC_K}
         )
         SELECT e.query_id,
@@ -352,6 +366,76 @@ def _adc_topk(codes_long: DataFrame, lut: DataFrame) -> DataFrame:
     )
 
 
+def adc_lut(q: DataFrame, c: DataFrame) -> DataFrame:
+    """Long-format ADC lookup table (query_id, m, code, d2q): exact
+    decimal subspace distance between each query subvector (``qv``)
+    and each codeword subvector (``cv``), one row per subspace."""
+    per_m = [
+        q.crossJoin(F.broadcast(c)).select(
+            "query_id",
+            F.lit(m).alias("m"),
+            "code",
+            F.expr(_dist_cols_spark("qv", "cv", m)).alias("d2q"),
+        )
+        for m in range(OPQ_M)
+    ]
+    out = per_m[0]
+    for p in per_m[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_codes_long(tbl: DataFrame) -> DataFrame:
+    """Unpivot a wide code table (vec_id, code_0..3) to long
+    (vec_id, m, code)."""
+    per_m = [
+        tbl.select("vec_id", F.lit(m).alias("m"), F.col(f"code_{m}").alias("code"))
+        for m in range(OPQ_M)
+    ]
+    out = per_m[0]
+    for p in per_m[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def adc_topk_tables(
+    spark: SparkSession, sf_dir: str, n_queries: int = _N_ADC_Q
+) -> tuple[DataFrame, DataFrame]:
+    """(nat_top, opq_top): brute-force ADC top-5 per query over the
+    natural-basis PQ codes and the OPQ-rotated codes, query set =
+    ``vec_id < n_queries`` (default the 5 gate queries; the wave-70
+    panel runs all 100 panel queries through this same code path)."""
+    from weather_flink_spark.operators import pca
+    from weather_flink_spark.plans.analytics_wave13 import pq_codes_table
+
+    e_q = pca.quantize_embeddings(
+        load(spark, sf_dir, "embeddings"), "embedding", dim=64
+    ).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("decimal(12,6)")).alias("q6"),
+    )
+    nat_q = e_q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q6").alias("qv")
+    )
+    nat_c = e_q.filter(F.col("vec_id") < _PQ_KC).select(
+        F.col("vec_id").alias("code"), F.col("q6").alias("cv")
+    )
+    rq = opq_rotated_table(spark, sf_dir)
+    opq_q = rq.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("rq").alias("qv")
+    )
+    opq_c = rq.filter(F.col("vec_id") < _PQ_KC).select(
+        F.col("vec_id").alias("code"), F.col("rq").alias("cv")
+    )
+    nat_top = _adc_topk(
+        pq_codes_long(pq_codes_table(spark, sf_dir)), adc_lut(nat_q, nat_c)
+    )
+    opq_top = _adc_topk(
+        pq_codes_long(opq_codes_table(spark, sf_dir)), adc_lut(opq_q, opq_c)
+    )
+    return nat_top, opq_top
+
+
 @register(
     "q_emb_opq_adc_recall",
     oracle=_adc_recall_oracle(),
@@ -367,65 +451,19 @@ def _adc_topk(codes_long: DataFrame, lut: DataFrame) -> DataFrame:
         "(rotated recall doubles at sf0.1, dips at sf0.01) while the "
         "quantization objective improves at every SF (q_emb_opq_rotate "
         "is the gate); both columns are surfaced so the relationship "
-        "is data, not a claim. Fully oracle-replayed end to end."
+        "is data, not a claim. Fully oracle-replayed end to end. "
+        "Retained as the 5-query smoke/parity gate; the representative "
+        "read is the 100-query panel (q_sim_recall_panel_pq, r10), "
+        "where OPQ's recall gain at scale is no longer noise: 0.050 "
+        "nat vs 0.092 opq at sf0.1."
     ),
     tags=("embedding", "pq", "opq", "ann", "evaluation"),
 )
 def q_emb_opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_flink_spark.operators import pca
-    from weather_flink_spark.plans.analytics_wave13 import pq_codes_table
     from weather_flink_spark.plans.llm_extra import exact_topk_table
 
     exact = exact_topk_table(spark, sf_dir)
-
-    # natural side: quantized original embeddings
-    e_q = pca.quantize_embeddings(
-        load(spark, sf_dir, "embeddings"), "embedding", dim=64
-    ).select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("decimal(12,6)")).alias("q6"),
-    )
-    nat_q = e_q.filter(F.col("vec_id") < _N_ADC_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("q6").alias("qv")
-    )
-    nat_c = e_q.filter(F.col("vec_id") < _PQ_KC).select(
-        F.col("vec_id").alias("code"), F.col("q6").alias("cv")
-    )
-    rq = opq_rotated_table(spark, sf_dir)
-    opq_q = rq.filter(F.col("vec_id") < _N_ADC_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("rq").alias("qv")
-    )
-    opq_c = rq.filter(F.col("vec_id") < _PQ_KC).select(
-        F.col("vec_id").alias("code"), F.col("rq").alias("cv")
-    )
-
-    def lut(q: DataFrame, c: DataFrame) -> DataFrame:
-        per_m = [
-            q.crossJoin(F.broadcast(c)).select(
-                "query_id",
-                F.lit(m).alias("m"),
-                "code",
-                F.expr(_dist_cols_spark("qv", "cv", m)).alias("d2q"),
-            )
-            for m in range(OPQ_M)
-        ]
-        out = per_m[0]
-        for p in per_m[1:]:
-            out = out.unionByName(p)
-        return out
-
-    def codes_long(tbl: DataFrame) -> DataFrame:
-        per_m = [
-            tbl.select("vec_id", F.lit(m).alias("m"), F.col(f"code_{m}").alias("code"))
-            for m in range(OPQ_M)
-        ]
-        out = per_m[0]
-        for p in per_m[1:]:
-            out = out.unionByName(p)
-        return out
-
-    nat_top = _adc_topk(codes_long(pq_codes_table(spark, sf_dir)), lut(nat_q, nat_c))
-    opq_top = _adc_topk(codes_long(opq_codes_table(spark, sf_dir)), lut(opq_q, opq_c))
+    nat_top, opq_top = adc_topk_tables(spark, sf_dir)
 
     hit = (
         exact.join(

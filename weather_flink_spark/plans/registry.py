@@ -137,6 +137,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave67,
         analytics_wave68,
         analytics_wave69,
+        analytics_wave70,
         streaming_queries,
     )
 
