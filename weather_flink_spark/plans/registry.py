@@ -138,6 +138,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave68,
         analytics_wave69,
         analytics_wave70,
+        analytics_wave71,
         streaming_queries,
     )
 
