@@ -232,6 +232,19 @@ def _pq_panel_oracle() -> str:
     tags=("similarity", "ann", "pq", "opq", "evaluation"),
 )
 def q_sim_recall_panel_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    # 3-row result cached per session: the r10 frontier entry re-reads
+    # these rows, so the ADC scans must not re-run per consumer
+    return _cached(
+        "panel_rows_pq",
+        spark,
+        sf_dir,
+        lambda: _pq_panel(spark, sf_dir).localCheckpoint(),
+    )
+
+
+def _pq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.analytics_wave25 import adc_topk_tables
     from weather_flink_spark.plans.analytics_wave56 import exact_topk_panel_table
     from weather_flink_spark.plans.analytics_wave58 import _tier_row

@@ -104,6 +104,8 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "opq_rotated": analytics_wave25.opq_rotated_table,
         "order_part_edges": analytics_wave4.order_part_edges_table,
         "pairs": llm_pipeline.near_dup_pairs,
+        "panel_rows_bin": _registry_fn("q_sim_recall_panel"),
+        "panel_rows_pq": _registry_fn("q_sim_recall_panel_pq"),
         "pca_power_model": llm_wave5.pca_power_model,
         "pq_codes": analytics_wave13.pq_codes_table,
         "pr_graph": analytics_extra._pr_graph,

@@ -139,6 +139,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave69,
         analytics_wave70,
         analytics_wave71,
+        analytics_wave72,
         streaming_queries,
     )
 
