@@ -7,9 +7,17 @@ transforms over ``mapInPandas``. The Spark-side plumbing — schemas,
 batch iteration, row fan-out, partitioning — is real and tested, and
 the engine ships one GENUINE image codec: an uncompressed-24bpp BMP
 encoder/parser (``bmp_encode``/``bmp_parse``, pure byte arithmetic, no
-external libraries) whose outputs are oracle-checkable. Compressed
-codecs (JPEG/ffmpeg/librosa) are not in this environment; where a
-kernel would need one, a deterministic fake is switchable per call.
+external libraries) whose outputs are oracle-checkable. Round 10 adds
+the first COMPRESSED container: a non-interlaced RGB8 PNG
+encoder/decoder (``png_encode``/``png_parse``) with a hand-rolled
+DEFLATE writer (stored blocks AND literal-only fixed-Huffman — both
+RFC 1951 shapes), real zlib/CRC framing, and a full 5-filter
+(None/Sub/Up/Average/Paeth) unfilter pass on decode; stdlib ``zlib``
+does the inflate (it is the spec decoder — deterministic by RFC 1950/
+1951, unlike compressor OUTPUT, which is why the committed fixtures
+hash decoded pixels, never payload bytes). Heavier compressed codecs
+(JPEG/ffmpeg/librosa) are not in this environment; where a kernel
+would need one, a deterministic fake is switchable per call.
 
 At 100 TB the pattern is: binary stays columnar in parquet (never
 exploded through a shuffle), feature extraction is a narrow map over
@@ -20,6 +28,7 @@ fan-out happens AFTER any filter that can prune payloads.
 from __future__ import annotations
 
 import struct
+import zlib  # stdlib: inflate + adler32/crc32 for the PNG container
 from collections.abc import Iterator
 
 import pandas as pd
@@ -302,17 +311,66 @@ def bmp_ahash(b: bytes):
         return None
     (offset,) = struct.unpack_from("<I", b, 10)
     img = b[offset : offset + height * stride]
+    intens = [
+        img[p] + img[p + 1] + img[p + 2]
+        for p in (
+            (j // width) * stride + (j % width) * 3
+            for j in range(width * height)
+        )
+    ]
+    return width, height, _intens_ahash(intens, width, height)
+
+
+def _intens_ahash(intens: list[int], width: int, height: int) -> int:
+    """Average-hash core over a row-major intensity list — shared by
+    the BMP and PNG containers (the hash is a property of the DECODED
+    pixels, not the container)."""
     n = width * height
-    intens = []
-    for j in range(n):
-        p = (j // width) * stride + (j % width) * 3
-        intens.append(img[p] + img[p + 1] + img[p + 2])
     total = sum(intens)
     h = 0
     for j, v in enumerate(intens):
         if v * n > total:
             h |= 1 << j
-    return width, height, h
+    return h
+
+
+def _intens_dhash(intens: list[int], width: int, height: int) -> int:
+    """Horizontal difference-hash core over a row-major intensity
+    list — bit r*(w-1)+x iff pixel (r, x+1) out-brightens (r, x)."""
+    h = 0
+    for r in range(height):
+        for x in range(width - 1):
+            if intens[r * width + x + 1] > intens[r * width + x]:
+                h |= 1 << (r * (width - 1) + x)
+    return h
+
+
+def _intens_phash(intens: list[int], width: int, height: int) -> int:
+    """DCT perceptual-hash core over a row-major intensity list (the
+    integer-quantized basis of :func:`phash_cos_table`; bit u*w+v-1
+    iff AC coefficient (u, v) strictly above the lower-median AC)."""
+    grid = [
+        [intens[y * width + x] for x in range(width)] for y in range(height)
+    ]
+    ch = phash_cos_table(height)
+    cw = phash_cos_table(width)
+    ac: list[tuple[int, int]] = []
+    for u in range(height):
+        for v in range(width):
+            if u == 0 and v == 0:
+                continue
+            d = sum(
+                grid[y][x] * ch[u][y] * cw[v][x]
+                for y in range(height)
+                for x in range(width)
+            )
+            ac.append((u * width + v - 1, d))
+    med = sorted(d for _, d in ac)[(len(ac) - 1) // 2]
+    h = 0
+    for bit, d in ac:
+        if d > med:
+            h |= 1 << bit
+    return h
 
 
 def ahash_frame(df: DataFrame) -> DataFrame:
@@ -366,15 +424,14 @@ def bmp_dhash(b: bytes):
         return None
     (offset,) = struct.unpack_from("<I", b, 10)
     img = b[offset : offset + height * stride]
-    h = 0
-    for r in range(height):
-        for x in range(width - 1):
-            p = r * stride + x * 3
-            left = img[p] + img[p + 1] + img[p + 2]
-            right = img[p + 3] + img[p + 4] + img[p + 5]
-            if right > left:
-                h |= 1 << (r * (width - 1) + x)
-    return width, height, h
+    intens = [
+        img[p] + img[p + 1] + img[p + 2]
+        for p in (
+            (j // width) * stride + (j % width) * 3
+            for j in range(width * height)
+        )
+    ]
+    return width, height, _intens_dhash(intens, width, height)
 
 
 PHASH_COS_SCALE = 1 << 14  # quantized-cosine fixed-point scale
@@ -431,34 +488,14 @@ def bmp_phash(b: bytes):
         return None
     (offset,) = struct.unpack_from("<I", b, 10)
     img = b[offset : offset + height * stride]
-    grid = [
-        [
-            img[y * stride + x * 3]
-            + img[y * stride + x * 3 + 1]
-            + img[y * stride + x * 3 + 2]
-            for x in range(width)
-        ]
-        for y in range(height)
+    intens = [
+        img[p] + img[p + 1] + img[p + 2]
+        for p in (
+            (j // width) * stride + (j % width) * 3
+            for j in range(width * height)
+        )
     ]
-    ch = phash_cos_table(height)
-    cw = phash_cos_table(width)
-    ac: list[tuple[int, int]] = []  # (bit_index, coefficient)
-    for u in range(height):
-        for v in range(width):
-            if u == 0 and v == 0:
-                continue
-            d = sum(
-                grid[y][x] * ch[u][y] * cw[v][x]
-                for y in range(height)
-                for x in range(width)
-            )
-            ac.append((u * width + v - 1, d))
-    med = sorted(d for _, d in ac)[(len(ac) - 1) // 2]
-    h = 0
-    for bit, d in ac:
-        if d > med:
-            h |= 1 << bit
-    return width, height, h
+    return width, height, _intens_phash(intens, width, height)
 
 
 def phash_frame(df: DataFrame) -> DataFrame:
@@ -705,3 +742,429 @@ def sample_frames(df: DataFrame, frame_size: int = 32, stride: int = 4) -> DataF
             )
 
     return df.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (round 10): the first COMPRESSED container
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def deflate_stored(raw: bytes) -> bytes:
+    """DEFLATE stored blocks (RFC 1951 BTYPE=00), hand-rolled: 3-bit
+    header (BFINAL + 00) padded to the byte boundary, then
+    LEN/NLEN/data. Byte-deterministic by construction."""
+    out = bytearray()
+    pos = 0
+    while True:
+        chunk = raw[pos : pos + 0xFFFF]
+        pos += len(chunk)
+        final = 1 if pos >= len(raw) else 0
+        out.append(final)  # BFINAL in bit 0, BTYPE=00, pad bits 0
+        out += struct.pack("<HH", len(chunk), len(chunk) ^ 0xFFFF)
+        out += chunk
+        if final:
+            return bytes(out)
+
+
+class _BitWriter:
+    """RFC 1951 bit packing: bytes fill LSB-first; non-Huffman fields
+    are written LSB-first, Huffman codes MSB-first."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def _bit(self, bit: int) -> None:
+        self.acc |= bit << self.n
+        self.n += 1
+        if self.n == 8:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.n = 0
+
+    def put_lsb(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            self._bit((value >> i) & 1)
+
+    def put_huff(self, code: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._bit((code >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def deflate_fixed(raw: bytes) -> bytes:
+    """Literal-only fixed-Huffman DEFLATE (RFC 1951 BTYPE=01), one
+    final block: literals 0-143 are the 8-bit codes 0x30+v, 144-255
+    the 9-bit codes 0x190+(v-144), end-of-block the 7-bit all-zero
+    code. No LZ77 matches — a valid, deterministic stream any inflater
+    (stdlib zlib included) decodes."""
+    w = _BitWriter()
+    w.put_lsb(1, 1)  # BFINAL
+    w.put_lsb(1, 2)  # BTYPE=01 (fixed)
+    for v in raw:
+        if v < 144:
+            w.put_huff(0x30 + v, 8)
+        else:
+            w.put_huff(0x190 + (v - 144), 9)
+    w.put_huff(0, 7)  # end of block (symbol 256)
+    return w.flush()
+
+
+def _zlib_frame(deflate_body: bytes, raw: bytes) -> bytes:
+    # 0x78 0x01: deflate/32K window, FCHECK making the pair % 31 == 0
+    return (
+        b"\x78\x01" + deflate_body + struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(
+    width: int,
+    height: int,
+    pixel_source: bytes,
+    fixed_huffman: bool = False,
+) -> bytes:
+    """Serialize a valid non-interlaced RGB8 PNG.
+
+    Raw pixel bytes (3 per pixel, NO row padding — the PNG raster)
+    cycle ``pixel_source``, so a SQL oracle reproduces every DECODED
+    byte from the source rule alone. Scanline filters alternate
+    None/Sub by row (real filter work on decode), and the IDAT stream
+    is hand-rolled DEFLATE: stored blocks or literal-only
+    fixed-Huffman per ``fixed_huffman``."""
+    src = pixel_source if pixel_source else b"\x00"
+    n = width * height * 3
+    pix = bytes(src[i % len(src)] for i in range(n))
+    lines = bytearray()
+    for r in range(height):
+        row = pix[r * width * 3 : (r + 1) * width * 3]
+        f = r % 2
+        lines.append(f)
+        if f == 0:
+            lines += row
+        else:  # Sub: delta vs the pixel 3 bytes left (0 past the edge)
+            lines += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(len(row))
+            )
+    body = deflate_fixed(bytes(lines)) if fixed_huffman else deflate_stored(bytes(lines))
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_frame(body, bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(f: int, row: bytearray, prior: bytes) -> bytearray | None:
+    """Reconstruct one scanline per the PNG filter spec (bpp=3). All
+    five filter types are implemented — a decoder that only handles
+    the filters its own encoder emits is not a decoder."""
+    if f == 0:
+        return row
+    if f == 1:  # Sub
+        for i in range(len(row)):
+            row[i] = (row[i] + (row[i - 3] if i >= 3 else 0)) & 0xFF
+        return row
+    if f == 2:  # Up
+        for i in range(len(row)):
+            row[i] = (row[i] + prior[i]) & 0xFF
+        return row
+    if f == 3:  # Average
+        for i in range(len(row)):
+            a = row[i - 3] if i >= 3 else 0
+            row[i] = (row[i] + (a + prior[i]) // 2) & 0xFF
+        return row
+    if f == 4:  # Paeth
+        for i in range(len(row)):
+            a = row[i - 3] if i >= 3 else 0
+            c = prior[i - 3] if i >= 3 else 0
+            row[i] = (row[i] + _paeth(a, prior[i], c)) & 0xFF
+        return row
+    return None
+
+
+def png_parse(b: bytes):
+    """Parse + decode a PNG: (width, height, pixels) or None.
+
+    Real container work: signature, chunk walk with CRC verification,
+    IHDR validation (8-bit RGB, non-interlaced), IDAT concatenation,
+    zlib inflate (stdlib — the RFC 1950/1951 decoder), and per-row
+    unfiltering (all 5 filter types). ``pixels`` is the raw RGB raster
+    (3 bytes/pixel, no padding). Corrupt input returns None (the A2
+    drop-bad-records discipline)."""
+    try:
+        if bytes(b[:8]) != _PNG_SIG:
+            return None
+        pos, w, h = 8, None, None
+        idat = bytearray()
+        while pos + 12 <= len(b):
+            ln, tag = struct.unpack_from(">I4s", b, pos)
+            pos += 8
+            data = bytes(b[pos : pos + ln])
+            if len(data) != ln:
+                return None
+            pos += ln
+            (crc,) = struct.unpack_from(">I", b, pos)
+            pos += 4
+            if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+                return None
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">II5B", data
+                )
+                if depth != 8 or ctype != 2 or comp or filt or inter:
+                    return None
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+        if w is None or h is None or not idat:
+            return None
+        lines = zlib.decompress(bytes(idat))
+        stride = w * 3 + 1
+        if len(lines) != h * stride:
+            return None
+        out = bytearray()
+        prior = bytes(w * 3)
+        for r in range(h):
+            recon = _unfilter(
+                lines[r * stride],
+                bytearray(lines[r * stride + 1 : (r + 1) * stride]),
+                prior,
+            )
+            if recon is None:
+                return None
+            out += recon
+            prior = bytes(recon)
+        return w, h, bytes(out)
+    except Exception:
+        return None
+
+
+def png_hashes(b: bytes):
+    """All three perceptual hashes over a DECODED PNG: (width, height,
+    ahash, dhash, phash) or None — the same grid cores the BMP tiers
+    use (the hash is a property of the pixels, not the container)."""
+    parsed = png_parse(b)
+    if parsed is None:
+        return None
+    w, h, pix = parsed
+    intens = [pix[3 * j] + pix[3 * j + 1] + pix[3 * j + 2] for j in range(w * h)]
+    if w < 2:
+        return None
+    return (
+        w,
+        h,
+        _intens_ahash(intens, w, h),
+        _intens_dhash(intens, w, h),
+        _intens_phash(intens, w, h),
+    )
+
+
+def encode_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload): a real PNG per document — the SAME dims rule
+    as the BMP fixture (width 4+doc_id%5, height 2+doc_id%4), pixel
+    bytes cycling the UTF-8 text; DEFLATE mode alternates by doc_id
+    (even -> stored, odd -> fixed-Huffman) so one corpus exercises
+    both RFC 1951 block shapes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = [
+                png_encode(
+                    4 + int(d) % 5,
+                    2 + int(d) % 4,
+                    t.encode("utf-8"),
+                    fixed_huffman=int(d) % 2 == 1,
+                )
+                for d, t in zip(batch["doc_id"], batch[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+PNG_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def png_hash_frame(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode + all three perceptual hashes over
+    (doc_id, payload) PNGs — one parse per payload; corrupt payloads
+    tolerate-hash to nulls (the A2 discipline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                parsed = png_hashes(bytes(payload))
+                if parsed is None:
+                    rows.append((int(doc_id), None, None, None, None, None))
+                else:
+                    rows.append((int(doc_id), *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "ahash", "dhash", "phash"],
+            )
+
+    return df.mapInPandas(kernel, schema=PNG_HASH_SCHEMA)
+
+
+DECODE_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("deflate_mode", T.StringType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode over (doc_id, payload): dims, the
+    DEFLATE block type read from the actual IDAT stream (first block
+    header bits — not the doc_id rule, so the oracle compare proves
+    the writer emitted what it claims), raster size, and the decoded
+    pixel-byte sum. Corrupt payloads tolerate-decode to nulls."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(payload)
+                parsed = png_parse(b)
+                if parsed is None:
+                    rows.append((int(doc_id), None, None, None, None, None))
+                    continue
+                w, h, pix = parsed
+                # BTYPE of the first deflate block: bits 1-2 of the
+                # first byte after the 2-byte zlib header of IDAT
+                idat_first = b.index(b"IDAT") + 4 + 2
+                btype = (b[idat_first] >> 1) & 3
+                mode = {0: "stored", 1: "fixed", 2: "dynamic"}.get(btype)
+                rows.append(
+                    (int(doc_id), w, h, mode, len(pix), int(sum(pix)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "deflate_mode",
+                    "n_pixel_bytes",
+                    "pixel_sum",
+                ],
+            )
+
+    return df.mapInPandas(kernel, schema=DECODE_PNG_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("thumb", T.ArrayType(T.LongType())),
+        T.StructField("thumb_ahash", T.LongType()),
+    ]
+)
+
+
+def resize_thumb(pix: bytes, w: int, h: int, tw: int, th: int) -> list[int]:
+    """Nearest-neighbor downscale of an RGB raster to a (tw x th)
+    intensity thumbnail: target cell (x, y) reads source pixel
+    (x*w // tw, y*h // th) — integer-exact, the standard pHash-prep
+    resample."""
+    out = []
+    for y in range(th):
+        sy = y * h // th
+        for x in range(tw):
+            sx = x * w // tw
+            p = (sy * w + sx) * 3
+            out.append(pix[p] + pix[p + 1] + pix[p + 2])
+    return out
+
+
+def resize_frame(df: DataFrame, tw: int = 3, th: int = 2) -> DataFrame:
+    """Arrow-batched decode + nearest-neighbor resize over (doc_id,
+    payload) PNGs — the RESIZE stage of the multimodal quartet
+    (decode / feature-extract / resize / frame-sample). Emits the
+    fixed-size intensity thumbnail plus its mean-threshold ahash
+    (the scale-normalized hash real pipelines compute AFTER resize, so
+    images of different dims become comparable). Corrupt payloads
+    tolerate to nulls (the A2 discipline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                parsed = png_parse(bytes(payload))
+                if parsed is None:
+                    rows.append((int(doc_id), None, None, None, None))
+                    continue
+                w, h, pix = parsed
+                thumb = resize_thumb(pix, w, h, tw, th)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        thumb,
+                        _intens_ahash(thumb, tw, th),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "thumb", "thumb_ahash"],
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZE_SCHEMA)

@@ -105,10 +105,18 @@ def _dhash_cte() -> str:
         )"""
 
 
-def _dedup_oracle(tbl: str = "ah", col: str = "ahash", extra_cte: str = "") -> str:
+def _dedup_oracle(
+    tbl: str = "ah",
+    col: str = "ahash",
+    extra_cte: str = "",
+    base_cte: str | None = None,
+) -> str:
+    """The shared banded-dedup oracle text; ``base_cte`` swaps the
+    hash-building CTE chain (default: the BMP ahash replay — the PNG
+    tier passes its padding-free replay, wave-73)."""
     bands = ", ".join(f"({b})" for b in range(_N_BANDS))
     return f"""
-        WITH {_ahash_cte()}{extra_cte},
+        WITH {base_cte if base_cte is not None else _ahash_cte()}{extra_cte},
         banded AS (
             SELECT a.doc_id, a.width, a.height, a.{col} AS ahash, b.b,
                    (a.{col} >> (b.b * {_BAND_BITS})) & {2 ** _BAND_BITS - 1}

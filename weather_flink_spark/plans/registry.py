@@ -140,6 +140,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave70,
         analytics_wave71,
         analytics_wave72,
+        analytics_wave73,
         streaming_queries,
     )
 
