@@ -96,8 +96,29 @@ def _dtw_oracle() -> str:
         f"CAST((1000 * gc{k}) // gtot AS BIGINT) AS r{k}"
         for k in range(_N_BUCKETS)
     )
-    chain = ",\n               ".join(f"{e} AS {a}" for a, e in _dtw_chain())
     l1 = " + ".join(f"abs(p{k} - r{k})" for k in range(_N_BUCKETS))
+    # The DP cells are grouped into anti-diagonal LAYERS of nested
+    # subqueries instead of one chained-alias SELECT: DuckDB expands
+    # lateral column aliases by textual substitution, so the chained
+    # form's d_8_8 tree grows ~3^depth and the optimizer spent a
+    # measured 42 s PLANNING the 6.8 KB query (execution was 1.4 s).
+    # A subquery boundary makes each cell a real column reference —
+    # identical values, ~0.1 s planning (r10). Each anti-diagonal
+    # references only cells from strictly earlier diagonals, so the
+    # layering is exactly the DP's data-flow order.
+    cells = dict()
+    for a, e in _dtw_chain():
+        _, i, j = a.split("_")
+        cells[(int(i), int(j))] = (a, e)
+    inner = f"SELECT user_id, {up}, {rp} FROM u CROSS JOIN g"
+    for s in range(2, 2 * _N_BUCKETS + 1):
+        layer = [
+            cells[(i, s - i)]
+            for i in range(1, _N_BUCKETS + 1)
+            if 1 <= s - i <= _N_BUCKETS
+        ]
+        exprs = ", ".join(f"{e} AS {a}" for a, e in layer)
+        inner = f"SELECT *, {exprs} FROM ({inner})"
     return f"""
         WITH b AS (
             SELECT user_id, hour(ts) // 3 AS b FROM events
@@ -113,12 +134,8 @@ def _dtw_oracle() -> str:
                    CAST(COUNT(*) AS BIGINT) AS gtot
             FROM b
         ),
-        prof AS (
-            SELECT user_id, {up}, {rp}
-            FROM u CROSS JOIN g
-        )
+        prof AS ({inner})
         SELECT user_id,
-               {chain},
                d_{_N_BUCKETS}_{_N_BUCKETS} AS dtw_pm,
                {l1} AS l1_pm,
                ({l1}) - d_{_N_BUCKETS}_{_N_BUCKETS} AS warp_gain
