@@ -91,6 +91,48 @@ def test_missing_live_entry_fails_even_in_degraded_window(tmp_path, capsys):
     assert "MISSING q_agg_groupby" in capsys.readouterr().out
 
 
+def test_ambient_scaled_band_masks_contention(tmp_path, capsys):
+    """r10 verdict task #3 (masked-ambient case): an entry at 2.5x raw
+    under ambient 1.4 sits inside the 2.8x ambient-scaled band — not
+    flagged, but the raw number is still printed (AMBIENT-MASKED)."""
+    mod = _load_module()
+    _baseline(tmp_path, mod, {"q_a": 1.0})
+    bench = _write(
+        tmp_path,
+        "bench.json",
+        {"queries": {"q_a": 2.5}, "ambient_factor": 1.4},
+    )
+    assert mod.check(bench) == 0
+    out = capsys.readouterr().out
+    assert "AMBIENT-MASKED q_a" in out
+    assert "2.50x raw" in out
+    assert "OVER-BUDGET" not in out
+
+
+def test_ambient_scaled_band_still_catches_genuine_regression(tmp_path, capsys):
+    """r10 verdict task #3 (caught-genuine-regression case): a real
+    regression scales WITH ambient — 3.5x raw under ambient 1.4 is past
+    the 2.8x scaled band and still fails. And the scale is CAPPED: at
+    ambient 3.0 the band is still 2 x 1.5 = 3.0x, so a 3.5x entry flags
+    (as a degraded-window rc2, per the existing protocol)."""
+    mod = _load_module()
+    _baseline(tmp_path, mod, {"q_a": 1.0})
+    bench = _write(
+        tmp_path,
+        "bench.json",
+        {"queries": {"q_a": 3.5}, "ambient_factor": 1.4},
+    )
+    assert mod.check(bench) == 1
+    assert "OVER-BUDGET q_a" in capsys.readouterr().out
+    bench_hot = _write(
+        tmp_path,
+        "bench_hot.json",
+        {"queries": {"q_a": 3.5}, "ambient_factor": 3.0},
+    )
+    assert mod.check(bench_hot) == 2
+    assert "OVER-BUDGET-IN-DEGRADED-WINDOW q_a" in capsys.readouterr().out
+
+
 def test_stale_baseline_entry_warns_only(tmp_path, capsys):
     mod = _load_module()
     _baseline(tmp_path, mod, {"q_gone_forever_xyz": 0.5})

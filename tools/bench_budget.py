@@ -41,6 +41,21 @@ ABS_FLOOR_SEC = 0.3
 # machine-wide degraded: flags are labeled "re-time before believing"
 # (exit code 2) instead of hard over-budget failures (exit code 1)
 AMBIENT_DEGRADED = 1.5
+# r10 verdict task #3: the flag band scales with the measured ambient
+# factor, BOUNDED at this cap — co-tenant contention (which inflates the
+# calibration subset and the entries alike) stops burning waivers, while
+# a genuine code regression (which scales WITH ambient, so its raw ratio
+# is regression x ambient) still lands past the scaled band. The cap
+# keeps a heavily loaded window from masking real regressions outright:
+# past the cap the window is degraded anyway (exit 2, re-time protocol).
+AMBIENT_BAND_CAP = 1.5
+
+
+def band_scale(ambient: float | None) -> float:
+    """Bounded ambient normalization applied to RATIO_LIMIT."""
+    if ambient is None:
+        return 1.0
+    return min(max(ambient, 1.0), AMBIENT_BAND_CAP)
 
 
 def load_queries(path: Path) -> tuple[dict[str, float], float | None]:
@@ -79,17 +94,23 @@ def rebaseline(files: list[str], round_tag: str, protocol: str) -> None:
 
 
 def over_entries(
-    bench: dict[str, float], baseline: dict, adjudications: dict
+    bench: dict[str, float],
+    baseline: dict,
+    adjudications: dict,
+    ambient: float | None = None,
 ) -> list[tuple[str, float, float, float]]:
     """(name, baseline_s, bench_s, ratio) for every entry past the
-    >RATIO_LIMIT and >ABS_FLOOR_SEC budget, minus bounded waivers."""
+    ambient-scaled >RATIO_LIMIT and >ABS_FLOOR_SEC budget, minus
+    bounded waivers. Raw ratios are reported; only the flag threshold
+    is ambient-normalized (bounded at AMBIENT_BAND_CAP)."""
+    limit = RATIO_LIMIT * band_scale(ambient)
     over: list[tuple[str, float, float, float]] = []
     for k, v in bench.items():
         base = baseline.get(k)
         if base is None:
             continue  # new entry since the baseline: no budget yet
         b = base["seconds"]
-        if v > RATIO_LIMIT * b and v - b > ABS_FLOOR_SEC:
+        if v > limit * b and v - b > ABS_FLOOR_SEC:
             adj = adjudications.get(k)
             if adj and v <= adj["max_seconds"]:
                 continue
@@ -146,9 +167,14 @@ def add_new(
 def check(bench_file: Path) -> int:
     bench, ambient, baseline, adjudications = load_tables(bench_file)
     degraded = ambient is not None and ambient > AMBIENT_DEGRADED
+    limit = RATIO_LIMIT * band_scale(ambient)
     if ambient is not None:
         label = "DEGRADED window" if degraded else "ok"
-        print(f"ambient_factor {ambient} ({label}, threshold {AMBIENT_DEGRADED})")
+        print(
+            f"ambient_factor {ambient} ({label}, threshold {AMBIENT_DEGRADED}); "
+            f"flag band {RATIO_LIMIT}x scaled to {limit:.2f}x "
+            f"(cap {AMBIENT_BAND_CAP})"
+        )
     missing = [k for k in baseline if k not in bench]
     # A baseline entry absent from the bench table is a silent gap
     # (renamed, or skipped before timing) — fail it like an over-budget
@@ -169,6 +195,20 @@ def check(bench_file: Path) -> int:
                 print(f"MISSING {k}: baselined + registered but absent from bench table")
             else:
                 print(f"WARN stale-baseline {k}: no longer in the registry")
+    # transparency: entries past the RAW 2x band but inside the
+    # ambient-scaled band are recorded (not flagged) — the raw number
+    # stays visible so a pattern across rounds is still catchable
+    for k, v in sorted(bench.items()):
+        base = baseline.get(k)
+        if not base:
+            continue
+        b = base["seconds"]
+        if RATIO_LIMIT * b < v <= limit * b and v - b > ABS_FLOOR_SEC:
+            print(
+                f"AMBIENT-MASKED {k}: baseline {b:.3f} s -> {v:.3f} s "
+                f"({v / b:.2f}x raw, inside the {limit:.2f}x "
+                f"ambient-scaled band)"
+            )
     # a recorded adjudication waives a flag ONLY while the measurement
     # stays under its stated ceiling — a real regression past the
     # ceiling still fails (waivers applied inside over_entries)
@@ -178,7 +218,7 @@ def check(bench_file: Path) -> int:
         if (
             adj
             and base
-            and v > RATIO_LIMIT * base["seconds"]
+            and v > limit * base["seconds"]
             and v - base["seconds"] > ABS_FLOOR_SEC
             and v <= adj["max_seconds"]
         ):
@@ -186,7 +226,7 @@ def check(bench_file: Path) -> int:
                 f"ADJUDICATED {k}: {v:.3f} s (<= {adj['max_seconds']} s "
                 f"waiver, {adj['round']}: {adj['reason']})"
             )
-    over = over_entries(bench, baseline, adjudications)
+    over = over_entries(bench, baseline, adjudications, ambient)
     for k, b, v, r in sorted(over, key=lambda t: -t[3]):
         if degraded:
             print(
@@ -200,7 +240,7 @@ def check(bench_file: Path) -> int:
     print(
         f"{len(bench)} benched / {len(baseline)} baselined "
         f"({n_new} new, {len(missing)} missing from bench): "
-        f"{len(over)} over-budget (> {RATIO_LIMIT}x and > {ABS_FLOOR_SEC}s), "
+        f"{len(over)} over-budget (> {limit:.2f}x and > {ABS_FLOOR_SEC}s), "
         f"{len(missing_live)} live-but-unbenched"
     )
     if over and degraded and not missing_live:
