@@ -14,7 +14,7 @@ def test_panel_shape_and_tier_ordering(spark):
     and the sampled model must hold parity with the exact one within
     one panel hit per query set (0.01)."""
     rows = {r.tier: r for r in all_specs()["q_sim_recall_panel"].fn(spark, SF).collect()}
-    assert set(rows) == {"binary64", "binary256", "binary256_sampled", "ivf_nprobe2"}
+    assert set(rows) == {"binary64", "binary256", "binary256_sampled", "ivf"}
     for r in rows.values():
         assert r.n_queries == w56.N_PANEL
         assert 0.0 <= r.recall_at_5 <= 1.0

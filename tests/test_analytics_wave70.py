@@ -22,7 +22,7 @@ def test_pq_panel_shape_and_floors(spark):
         r.tier: r
         for r in all_specs()["q_sim_recall_panel_pq"].fn(spark, SF).collect()
     }
-    assert set(rows) == {"pq_adc", "opq_adc", "ivfpq"}
+    assert set(rows) == {"pq_adc", "opq_adc", "ivfpq", "ivfpq_refined"}
     for r in rows.values():
         assert r.n_queries == w56.N_PANEL
         assert 0.0 <= r.recall_at_5 <= 1.0
@@ -31,6 +31,11 @@ def test_pq_panel_shape_and_floors(spark):
     assert rows["opq_adc"].recall_at_5 >= 0.08
     assert rows["ivfpq"].recall_at_5 >= 0.20
     assert rows["ivfpq"].recall_at_5 > rows["pq_adc"].recall_at_5
+    # the r11 REFINE stage (digit-scaled nprobe + 40(d-1) exact-rerank
+    # budget): fixture measures 0.512 — floor one notch under, and it
+    # must clearly beat the baseline ivfpq operating point (0.250)
+    assert rows["ivfpq_refined"].recall_at_5 >= 0.45
+    assert rows["ivfpq_refined"].recall_at_5 > rows["ivfpq"].recall_at_5 + 0.1
 
 
 def test_pq_panel_searches_match_gate_searchers_on_gate_queries(spark):
@@ -71,9 +76,9 @@ def test_every_searcher_tier_reads_recall_from_a_panel():
     join a panel or consciously edit this list."""
     specs = all_specs()
     oracles = {
-        "q_sim_recall_panel": {"binary64", "binary256", "binary256_sampled", "ivf_nprobe2"},
+        "q_sim_recall_panel": {"binary64", "binary256", "binary256_sampled", "ivf"},
         "q_sim_recall_panel_graph": {"flat_graph", "hnsw"},
-        "q_sim_recall_panel_pq": {"pq_adc", "opq_adc", "ivfpq"},
+        "q_sim_recall_panel_pq": {"pq_adc", "opq_adc", "ivfpq", "ivfpq_refined"},
     }
     for name, tiers in oracles.items():
         text = specs[name].oracle

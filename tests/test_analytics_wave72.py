@@ -13,10 +13,11 @@ ALL_TIERS = {
     "binary64",
     "binary256",
     "binary256_sampled",
-    "ivf_nprobe2",
+    "ivf",
     "pq_adc",
     "opq_adc",
     "ivfpq",
+    "ivfpq_refined",
     "flat_graph",
     "hnsw",
 }
@@ -51,8 +52,24 @@ def test_frontier_monotone_facts(spark):
         assert rows[t].index_bytes_per_vector == 2
         assert rows[t].full_vector_reads == 0
     # the composed IVFADC reads only its shortlist, far under a rerank
-    # pool scan of the probed cells
-    assert rows["ivfpq"].full_vector_reads < rows["ivf_nprobe2"].full_vector_reads
+    # pool scan of the probed cells — at BOTH operating points (the
+    # r11 refined tier's 40(d-1) budget stays under the scaled-probe
+    # full scan too)
+    assert rows["ivfpq"].full_vector_reads < rows["ivf"].full_vector_reads
+    assert (
+        rows["ivfpq_refined"].full_vector_reads < rows["ivf"].full_vector_reads
+    )
+    # the refine stage buys recall with bounded extra full reads at the
+    # same 10 B/vector footprint
+    assert rows["ivfpq_refined"].recall_at_5 > rows["ivfpq"].recall_at_5
+    assert (
+        rows["ivfpq_refined"].index_bytes_per_vector
+        == rows["ivfpq"].index_bytes_per_vector
+    )
+    assert (
+        rows["ivfpq_refined"].full_vector_reads
+        > rows["ivfpq"].full_vector_reads
+    )
     # graph budgets are provisioned and strictly under the exhaustive
     # scan even at the 500-vector fixture (the budget/exhaustive ratio
     # SHRINKS with scale — digit-scaled vs linear; pinned in

@@ -34,7 +34,9 @@ def test_jaro_winkler_matches_duckdb_exactly():
         assert _jaro_winkler_py(a, b) == want, (a, b)
 
 
-def test_ivf_nprobe2_never_worse_than_nprobe1(spark, sf_dir):
+def test_ivf_multiprobe_never_worse_than_nprobe1(spark, sf_dir):
+    # nprobe is digit-scaled (d-1 >= 2 on every fixture), so the
+    # multi-probe candidate set is always a superset of nprobe=1's
     one = {
         (r.query_id, r.k_rank): r.cosine
         for r in _fn("q_sim_ann_ivf")(spark, sf_dir).collect()

@@ -120,7 +120,14 @@ def _pq_dist_duck_ab(m: int, a: str, b: str) -> str:
     return " + ".join(terms)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(
+    nprobe_sql: str = str(IVFPQ_NPROBE),
+    shortlist_sql: str = str(IVFPQ_SHORTLIST),
+    prelude: str = "",
+) -> str:
+    """The IVFADC oracle, parametrized on the probe/shortlist widths so
+    the r11 refined entry (digit-scaled widths read from an ``sz``
+    scalar subquery passed via ``prelude``) replays the same search."""
     from weather_flink_spark.plans.analytics_wave4 import (
         KMEANS_ITERS,
         _kmeans_dist_duck,
@@ -164,7 +171,7 @@ def _ivfpq_oracle() -> str:
         for m in range(_PQ_M)
     )
     return f"""
-        WITH {ivf_assigned_cte()},
+        WITH {prelude}{ivf_assigned_cte()},
         probes AS MATERIALIZED (
             SELECT query_id, q_emb, probe_cell FROM (
                 SELECT e.vec_id AS query_id, e.embedding AS q_emb,
@@ -175,7 +182,7 @@ def _ivfpq_oracle() -> str:
                        ) AS rn
                 FROM embeddings e CROSS JOIN cent{KMEANS_ITERS} c
                 WHERE e.vec_id < {IVF_N_QUERIES}
-            ) WHERE rn <= {IVFPQ_NPROBE}
+            ) WHERE rn <= {nprobe_sql}
         ),
         {",".join(pq_parts)},
         codes AS MATERIALIZED (
@@ -201,7 +208,7 @@ def _ivfpq_oracle() -> str:
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY query_id ORDER BY adc ASC, vec_id ASC
                 ) AS s_rank FROM cand
-            ) WHERE s_rank <= {IVFPQ_SHORTLIST}
+            ) WHERE s_rank <= {shortlist_sql}
         )
         SELECT query_id, vec_id, cell, adc_d2, cosine, k_rank FROM (
             SELECT query_id, vec_id, cell, CAST(adc AS DOUBLE) AS adc_d2,
@@ -251,11 +258,18 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_search(
-    spark: SparkSession, sf_dir: str, n_queries: int = IVF_N_QUERIES
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = IVF_N_QUERIES,
+    nprobe: int = IVFPQ_NPROBE,
+    shortlist: int = IVFPQ_SHORTLIST,
 ) -> DataFrame:
     """The IVFADC searcher; ``n_queries`` widens the query set (default
     the 5 gate queries; the wave-70 panel runs all 100 panel queries
-    through this same code path)."""
+    through this same code path). ``nprobe``/``shortlist`` widen the
+    probe fan-out and the exactly-reranked ADC shortlist (defaults =
+    the baseline 'ivfpq' operating point; the r11 refined tier,
+    q_sim_ann_ivfpq_refined, passes the digit-scaled widths)."""
     from weather_flink_spark.plans.analytics_wave4 import (
         _kmeans_dist_col,
         kmeans_final_assignment,
@@ -285,7 +299,7 @@ def _ivfpq_search(
             _kmeans_dist_col("q_emb", "c").alias("cd2"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_emb", "q_nrm", F.col("cid").alias("probe_cell"))
     )
 
@@ -337,7 +351,7 @@ def _ivfpq_search(
     short = (
         cand.withColumn("adc", adc)
         .withColumn("s_rank", F.row_number().over(w_short))
-        .filter(F.col("s_rank") <= IVFPQ_SHORTLIST)
+        .filter(F.col("s_rank") <= shortlist)
     )
 
     # --- exact re-rank of the bounded shortlist

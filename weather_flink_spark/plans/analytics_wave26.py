@@ -1326,11 +1326,13 @@ def _filtered_ann_oracle() -> str:
         _cos_duck,
         ivf_assigned_cte,
     )
-    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE
+    from weather_flink_spark.plans.analytics_wave20 import SZ_CTE
+    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE_SQL
 
     dist = _kmeans_dist_duck("e.embedding", "c.c")
     return f"""
-        WITH {ivf_assigned_cte()},
+        WITH {SZ_CTE},
+        {ivf_assigned_cte()},
         lab AS (SELECT vec_id, label FROM embeddings),
         qs AS MATERIALIZED (
             SELECT e.vec_id AS query_id, e.embedding AS q_emb, l.label AS q_label
@@ -1346,7 +1348,7 @@ def _filtered_ann_oracle() -> str:
                                     c.cid ASC
                        ) AS rn
                 FROM qs q CROSS JOIN cent{KMEANS_ITERS} c
-            ) WHERE rn <= {IVF_NPROBE}
+            ) WHERE rn <= {IVF_NPROBE_SQL}
         ),
         cand AS MATERIALIZED (
             SELECT p.query_id, v.vec_id,
@@ -1403,7 +1405,9 @@ def _filtered_ann_oracle() -> str:
         "among vectors satisfying a metadata predicate (here: the "
         "query's own label class, ~1/10 selectivity). PRE-FILTER "
         "semantics: the label predicate is pushed INTO the probed "
-        "nprobe=2 cells' candidate scan (filter-then-rank), so the "
+        "digit-scaled nprobe = d-1 cells' candidate scan (2 at the "
+        "d=3 fixture, r10 verdict task #5 convention; "
+        "filter-then-rank), so the "
         "search always returns k results from the allowed set — the "
         "post-filter alternative (rank-then-filter the unfiltered "
         "top-k) would return < k and lose recall at selective "
@@ -1427,8 +1431,9 @@ def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_TOP_K,
         ivf_assigned_table,
     )
+    from weather_flink_spark.plans.analytics_wave20 import corpus_digits
     from weather_flink_spark.plans.llm_pipeline import dot_col
-    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE
+    from weather_flink_spark.plans.similarity_extra import ivf_nprobe
 
     assigned = ivf_assigned_table(spark, sf_dir)
     lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
@@ -1450,7 +1455,7 @@ def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             _kmeans_dist_col("q_emb", "c").alias("cd2"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= ivf_nprobe(corpus_digits(spark, sf_dir)))
         .select("query_id", "q_emb", "q_nrm", "q_label", F.col("cid").alias("probe_cell"))
     )
     cos_qv = dot_col(F.col("q_emb"), F.col("embedding")) / (

@@ -12,16 +12,19 @@ panel inverted the real ordering.
 ``q_sim_recall_panel`` is the statistically meaningful read, as a
 first-class oracle-exact entry: recall@5 over a 100-query panel
 (vec_id < 100 — 20x the gate panel) for the three exhaustive-scan
-binary tiers plus the IVF nprobe=2 cell searcher, one output row per
-tier:
+binary tiers plus the IVF cell searcher at its digit-scaled probe
+count (nprobe = d-1, r10 verdict task #5), one output row per tier:
 
 - ``binary64``    — wave-43 sign-bit codes, fixed top-20 pool;
 - ``binary256``   — wave-49 exact-quintile thermometer codes,
   digit-scaled top-10(d-1) pool;
 - ``binary256_sampled`` — wave-49's sampled-model codes, same pool;
-- ``ivf_nprobe2`` — exact cosine within the query's top-2 trained
-  cells (quantifies the cell-miss rate the graph upgrade was driven
-  by: ~35% of true neighbors share the query's cell here).
+- ``ivf``         — exact cosine within the query's top-(d-1)
+  trained cells (2 at the d=3 fixture — the pre-r11 constant; 3 at
+  sf0.1, where the panel measured the fixed nprobe=2 as the cell-miss
+  ceiling: 0.474 -> 0.608 scaled; quantifies the cell-miss rate the
+  graph upgrade was driven by: ~35% of true neighbors share the
+  query's top cell here).
 
 Each tier runs the SAME scan shape its gate entry uses (Hamming scan
 -> top-pool by (hamming asc, vec_id asc) -> exact cosine rerank to
@@ -151,13 +154,16 @@ def _tier_recall(
 
 
 def _ivf_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One panel row for the IVF nprobe=2 searcher: probe each panel
-    query's top-2 trained cells, exact cosine among their members,
-    top-5, scored on the panel ground truth."""
+    """One panel row for the IVF searcher at the digit-scaled probe
+    count: probe each panel query's top-(d-1) trained cells, exact
+    cosine among their members, top-5, scored on the panel ground
+    truth."""
     from weather_flink_spark.plans.analytics_wave4 import (
         _kmeans_dist_col,
         kmeans_final_assignment,
     )
+    from weather_flink_spark.plans.analytics_wave20 import corpus_digits
+    from weather_flink_spark.plans.similarity_extra import ivf_nprobe
     from weather_flink_spark.plans.llm_extra import ivf_assigned_table
     from weather_flink_spark.plans.llm_pipeline import dot_col
 
@@ -181,7 +187,7 @@ def _ivf_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _kmeans_dist_col("q_emb", "c").alias("cd2"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= ivf_nprobe(corpus_digits(spark, sf_dir)))
         .select("query_id", "q_emb", "q_nrm", F.col("cid").alias("probe_cell"))
     )
     cos = dot_col(F.col("q_emb"), F.col("embedding")) / (
@@ -206,7 +212,7 @@ def _ivf_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_hits")
     )
     return hits.select(
-        F.lit("ivf_nprobe2").alias("tier"),
+        F.lit("ivf").alias("tier"),
         F.lit(N_PANEL).cast("bigint").alias("n_queries"),
         "n_hits",
         (
@@ -323,13 +329,15 @@ def _tier_sql(tier: str, codes: str, words: list[str], pool: str) -> str:
 
 
 def _ivf_tier_sql() -> str:
-    """The IVF nprobe=2 panel block: probe the query's top-2 trained
-    cells, exact cosine among their members, top-5."""
+    """The IVF panel block at the digit-scaled probe count: probe the
+    query's top-(d-1) trained cells (from the sz scalar subquery),
+    exact cosine among their members, top-5."""
     from weather_flink_spark.plans.analytics_wave4 import (
         KMEANS_ITERS,
         _kmeans_dist_duck,
     )
     from weather_flink_spark.plans.llm_extra import _cos_duck
+    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE_SQL
 
     return f"""
         ivfprobes AS MATERIALIZED (
@@ -341,10 +349,10 @@ def _ivf_tier_sql() -> str:
                                     c.cid ASC) AS rn
                 FROM embeddings q CROSS JOIN cent{KMEANS_ITERS} c
                 WHERE q.vec_id < {N_PANEL}
-            ) WHERE rn <= 2
+            ) WHERE rn <= {IVF_NPROBE_SQL}
         ),
-        t_ivf_nprobe2 AS MATERIALIZED (
-            SELECT 'ivf_nprobe2' AS tier,
+        t_ivf AS MATERIALIZED (
+            SELECT 'ivf' AS tier,
                    CAST({N_PANEL} AS BIGINT) AS n_queries,
                    CAST((
                        SELECT COUNT(*) FROM panel_exact e
@@ -412,7 +420,7 @@ def _panel_oracle() -> str:
             SELECT * FROM t_binary64
             UNION ALL SELECT * FROM t_binary256
             UNION ALL SELECT * FROM t_binary256_sampled
-            UNION ALL SELECT * FROM t_ivf_nprobe2
+            UNION ALL SELECT * FROM t_ivf
         )
     """
 
@@ -424,7 +432,9 @@ def _panel_oracle() -> str:
         "100-query recall@5 panel over the three exhaustive-scan "
         "binary ANN tiers (r9): sign-bit 64 (top-20 pool), exact-"
         "quintile thermometer 256 and sampled-model thermometer 256 "
-        "(digit-scaled top-10(d-1) pools) — each run with its gate "
+        "(digit-scaled top-10(d-1) pools) plus the IVF cell searcher "
+        "at its digit-scaled probe count (nprobe = d-1, r11) — each "
+        "run with its gate "
         "entry's exact scan shape against a panel-sized exact ground "
         "truth. 20x the gate panel, so one flipped hit moves recall "
         "by 0.002 instead of 0.04 — the statistically meaningful "

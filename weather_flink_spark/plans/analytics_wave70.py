@@ -20,7 +20,10 @@ panels, one output row per PQ tier:
   rotated arm;
 - ``ivfpq``   — the production IVFADC searcher verbatim
   (wave-15 ``_ivfpq_search`` at ``n_queries=100``): nprobe=2 trained
-  cells, ADC shortlist 15, exact cosine re-rank to top-5.
+  cells, ADC shortlist 15, exact cosine re-rank to top-5;
+- ``ivfpq_refined`` (r11) — the same searcher at the digit-scaled
+  REFINE operating point (wave-74: nprobe = d-1, rerank budget
+  C = 40(d-1)) — fixture 0.512 / sf0.1 0.388, past binary64's 0.326.
 
 All three are ADC-table-shaped scans (no unrolled beam replay), so the
 20x panel is near-free on both engines — the oracle replays the OPQ
@@ -111,8 +114,11 @@ def _pq_panel_oracle() -> str:
         _dist_q6_duck,
         _opq_replay_parts,
     )
+    from weather_flink_spark.plans.analytics_wave20 import SZ_CTE
     from weather_flink_spark.plans.analytics_wave56 import panel_exact_cte
+    from weather_flink_spark.plans.analytics_wave74 import REFINE_SHORTLIST_SQL
     from weather_flink_spark.plans.llm_extra import _cos_duck, ivf_assigned_cte
+    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE_SQL
 
     assert _N_ADC_Q <= N_PANEL  # the gate queries are a panel prefix
     # 100-query LUTs, long format (query_id, m, code, d2q) — the same
@@ -137,10 +143,15 @@ def _pq_panel_oracle() -> str:
     opq_codes = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, code FROM oc{m}" for m in range(OPQ_M)
     )
-    # IVFADC tier: probe routing + ADC shortlist + exact cosine re-rank
-    # (the wave-15 searcher's semantics over the natural codes/LUT)
-    ivfpq_ctes = f"""
-        ppq_probes AS MATERIALIZED (
+    # IVFADC tiers: probe routing + ADC shortlist + exact cosine
+    # re-rank (the wave-15 searcher's semantics over the natural
+    # codes/LUT) — generated twice: the baseline 'ivfpq' operating
+    # point (nprobe=2, shortlist 15) and the r11 'ivfpq_refined'
+    # digit-scaled one (nprobe = d-1, shortlist 40(d-1) from the sz
+    # scalar subquery — the exact-rerank REFINE stage, wave-74)
+    def _ivfadc_ctes(px: str, nprobe_sql: str, shortlist_sql: str) -> str:
+        return f"""
+        {px}_probes AS MATERIALIZED (
             SELECT query_id, probe_cell FROM (
                 SELECT q.vec_id AS query_id, c.cid AS probe_cell,
                        ROW_NUMBER() OVER (
@@ -149,9 +160,9 @@ def _pq_panel_oracle() -> str:
                                     c.cid ASC) AS rn
                 FROM embeddings q CROSS JOIN cent{KMEANS_ITERS} c
                 WHERE q.vec_id < {N_PANEL}
-            ) WHERE rn <= {IVFPQ_NPROBE}
+            ) WHERE rn <= {nprobe_sql}
         ),
-        ppq_short AS MATERIALIZED (
+        {px}_short AS MATERIALIZED (
             SELECT query_id, vec_id FROM (
                 SELECT s.query_id, s.vec_id,
                        ROW_NUMBER() OVER (
@@ -159,7 +170,7 @@ def _pq_panel_oracle() -> str:
                            ORDER BY s.adc ASC, s.vec_id ASC) AS s_rank
                 FROM (
                     SELECT p.query_id, v.vec_id, SUM(l.d2q) AS adc
-                    FROM ppq_probes p
+                    FROM {px}_probes p
                     JOIN assigned v
                       ON v.cell = p.probe_cell AND v.vec_id <> p.query_id
                     JOIN ({nat_codes}) cd ON cd.vec_id = v.vec_id
@@ -168,10 +179,12 @@ def _pq_panel_oracle() -> str:
                      AND l.m = cd.m AND l.code = cd.code
                     GROUP BY p.query_id, v.vec_id
                 ) s
-            ) WHERE s_rank <= {IVFPQ_SHORTLIST}
+            ) WHERE s_rank <= {shortlist_sql}
         )"""
-    ivfpq_tier = f"""
-        SELECT 'ivfpq' AS tier,
+
+    def _ivfadc_tier(px: str, tier: str) -> str:
+        return f"""
+        SELECT '{tier}' AS tier,
                CAST({N_PANEL} AS BIGINT) AS n_queries,
                CAST((
                    SELECT COUNT(*) FROM panel_exact e
@@ -182,12 +195,20 @@ def _pq_panel_oracle() -> str:
                                       PARTITION BY s.query_id
                                       ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
                                                s.vec_id ASC) AS k
-                           FROM ppq_short s
+                           FROM {px}_short s
                            JOIN embeddings q ON q.vec_id = s.query_id
                            JOIN embeddings v ON v.vec_id = s.vec_id
                        ) WHERE k <= {PANEL_K}
                    ) t ON t.query_id = e.query_id AND t.vec_id = e.vec_id
                ) AS BIGINT) AS n_hits"""
+
+    ivfpq_ctes = (
+        _ivfadc_ctes("ppq", str(IVFPQ_NPROBE), str(IVFPQ_SHORTLIST))
+        + ",\n"
+        + _ivfadc_ctes("rpq", IVF_NPROBE_SQL, REFINE_SHORTLIST_SQL)
+    )
+    ivfpq_tier = _ivfadc_tier("ppq", "ivfpq")
+    refined_tier = _ivfadc_tier("rpq", "ivfpq_refined")
     return (
         "WITH RECURSIVE "
         + ", ".join(_opq_replay_parts())
@@ -196,10 +217,12 @@ def _pq_panel_oracle() -> str:
         {panel_exact_cte()},
         nat_lut AS MATERIALIZED ({nat_lut}),
         opq_lut AS MATERIALIZED ({opq_lut}),
+        {SZ_CTE},
         {ivfpq_ctes},
         t_pq_adc AS MATERIALIZED ({_adc_tier_sql('pq_adc', nat_codes, 'nat_lut')}),
         t_opq_adc AS MATERIALIZED ({_adc_tier_sql('opq_adc', opq_codes, 'opq_lut')}),
-        t_ivfpq AS MATERIALIZED ({ivfpq_tier})
+        t_ivfpq AS MATERIALIZED ({ivfpq_tier}),
+        t_ivfpq_refined AS MATERIALIZED ({refined_tier})
         SELECT tier, n_queries, n_hits,
                CAST(n_hits AS DOUBLE) / ({N_PANEL} * {PANEL_K})
                    AS recall_at_5
@@ -207,6 +230,7 @@ def _pq_panel_oracle() -> str:
             SELECT * FROM t_pq_adc
             UNION ALL SELECT * FROM t_opq_adc
             UNION ALL SELECT * FROM t_ivfpq
+            UNION ALL SELECT * FROM t_ivfpq_refined
         )
         """
     )
@@ -216,12 +240,14 @@ def _pq_panel_oracle() -> str:
     "q_sim_recall_panel_pq",
     oracle=_pq_panel_oracle(),
     doc=(
-        "100-query recall@5 panel over the three PQ-code tiers (r10, "
+        "100-query recall@5 panel over the four PQ-code tiers (r10+r11, "
         "closing the r9 verdict's task #2): brute-force ADC over the "
         "natural-basis PQ codes, the same scan over the OPQ-rotated "
-        "codes, and the production IVFADC searcher (nprobe=2, ADC "
-        "shortlist 15, exact cosine re-rank) run verbatim at 100 "
-        "queries — all scored on the SAME shared panel ground truth as "
+        "codes, and the production IVFADC searcher at both operating "
+        "points — baseline (nprobe=2, ADC shortlist 15) and the r11 "
+        "digit-scaled REFINE stage (nprobe = d-1, rerank budget "
+        "40(d-1), wave-74) — run verbatim at 100 "
+        "queries, all scored on the SAME shared panel ground truth as "
         "the binary and graph panels. These were the last two recall "
         "reads on 5-query gates (the gate class the r9 panels proved "
         "can invert orderings); with this entry every searcher tier in "
@@ -251,10 +277,19 @@ def _pq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gt = exact_topk_panel_table(spark, sf_dir)
     nat_top, opq_top = adc_topk_tables(spark, sf_dir, n_queries=N_PANEL)
+    from weather_flink_spark.plans.analytics_wave74 import (
+        ivfpq_refined_panel_result_table,
+    )
+
     rows = [
         _tier_row("pq_adc", nat_top, gt),
         _tier_row("opq_adc", opq_top, gt),
         _tier_row("ivfpq", ivfpq_panel_result_table(spark, sf_dir), gt),
+        _tier_row(
+            "ivfpq_refined",
+            ivfpq_refined_panel_result_table(spark, sf_dir),
+            gt,
+        ),
     ]
     out = rows[0]
     for r in rows[1:]:

@@ -2,7 +2,7 @@
 operating-point table an index-selection job reads (r9 verdict task
 #5).
 
-With ten searcher tiers each reporting panel recall, the missing
+With eleven searcher tiers each reporting panel recall, the missing
 artifact was the joined view a capacity planner actually uses: for
 every tier, WHAT recall does it buy at WHAT scan cost and WHAT index
 footprint. ``q_sim_tier_frontier`` emits one row per tier:
@@ -25,8 +25,8 @@ footprint. ``q_sim_tier_frontier`` emits one row per tier:
   members; 0 for the pure-ADC tiers — they never touch a vector);
 - ``index_bytes_per_vector`` — logical index footprint per corpus
   vector: raw doubles 512 B (exhaustive), sign-bit 16 B, thermometer
-  32 B, IVF cell id 8 B, PQ 2 B (4 codes x 4 bits), IVFPQ 10 B
-  (codes + cell), flat graph 8 x degree(d) (digit-scaled!), HNSW
+  32 B, IVF cell id 8 B, PQ 2 B (4 codes x 4 bits), IVFPQ and its r11
+  refined operating point 10 B (codes + cell), flat graph 8 x degree(d) (digit-scaled!), HNSW
   10 x degree(d) (base edges + the ~25% coarse layer's own edges
   amortized: 0.25 x 8 x degree = 2 x degree).
 
@@ -92,10 +92,14 @@ def _graph_budgets(d: int) -> tuple[int, int]:
     return flat, hnsw
 
 
-def ivf_probed_members_total(spark: SparkSession, sf_dir: str) -> int:
-    """Measured: total members of the panel queries' top-2 trained
-    cells (self excluded) — the exact candidate count the IVF and
-    IVFPQ tiers evaluate across the panel. Bounded collect: 1 value."""
+def ivf_probed_members_total(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2
+) -> int:
+    """Measured: total members of the panel queries' top-``nprobe``
+    trained cells (self excluded) — the exact candidate count the IVF
+    and IVFPQ tiers evaluate across the panel (nprobe=2 for the
+    baseline ivfpq tier; the digit-scaled d-1 for the r11 ivf and
+    ivfpq_refined tiers). Bounded collect: 1 value."""
     from weather_flink_spark.plans.analytics_wave4 import (
         _kmeans_dist_col,
         kmeans_final_assignment,
@@ -112,7 +116,7 @@ def ivf_probed_members_total(spark: SparkSession, sf_dir: str) -> int:
         q.crossJoin(F.broadcast(cent))
         .select("query_id", "cid", _kmeans_dist_col("q_emb", "c").alias("cd2"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", F.col("cid").alias("probe_cell"))
     )
     return (
@@ -132,6 +136,8 @@ def _frontier_oracle() -> str:
     )
     from weather_flink_spark.plans.analytics_wave15 import IVFPQ_SHORTLIST
     from weather_flink_spark.plans.analytics_wave20 import SZ_CTE
+    from weather_flink_spark.plans.analytics_wave74 import REFINE_SHORTLIST_SQL
+    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE_SQL
     from weather_flink_spark.plans.analytics_wave43 import _BQ_CAND
     from weather_flink_spark.plans.analytics_wave49 import _B256_CAND_SQL
     from weather_flink_spark.plans.analytics_wave56 import (
@@ -163,7 +169,7 @@ def _frontier_oracle() -> str:
         nn AS (SELECT COUNT(*) AS n FROM embeddings),
         {ivf_assigned_cte()},
         iprob AS (
-            SELECT query_id, probe_cell FROM (
+            SELECT query_id, probe_cell, rn FROM (
                 SELECT q.vec_id AS query_id, c.cid AS probe_cell,
                        ROW_NUMBER() OVER (
                            PARTITION BY q.vec_id
@@ -171,9 +177,17 @@ def _frontier_oracle() -> str:
                                     c.cid ASC) AS rn
                 FROM embeddings q CROSS JOIN cent{KMEANS_ITERS} c
                 WHERE q.vec_id < {N_PANEL}
-            ) WHERE rn <= 2
+            ) WHERE rn <= {IVF_NPROBE_SQL}
         ),
-        icand AS (
+        icand2 AS (
+            -- baseline ivfpq operating point: nprobe fixed at 2
+            SELECT CAST(COUNT(*) AS BIGINT) AS c
+            FROM iprob p JOIN assigned v
+              ON v.cell = p.probe_cell AND v.vec_id <> p.query_id
+            WHERE p.rn <= 2
+        ),
+        icands AS (
+            -- digit-scaled nprobe = d-1: the r11 ivf + ivfpq_refined point
             SELECT CAST(COUNT(*) AS BIGINT) AS c
             FROM iprob p JOIN assigned v
               ON v.cell = p.probe_cell AND v.vec_id <> p.query_id
@@ -194,9 +208,9 @@ def _frontier_oracle() -> str:
                CAST({scan_all} AS BIGINT),
                CAST({N_PANEL} * {_B256_CAND_SQL} AS BIGINT),
                CAST({_BYTES_B256} AS BIGINT)
-        UNION ALL SELECT 'ivf_nprobe2', 'measured',
-               (SELECT c FROM icand),
-               (SELECT c FROM icand),
+        UNION ALL SELECT 'ivf', 'measured',
+               (SELECT c FROM icands),
+               (SELECT c FROM icands),
                CAST({_BYTES_IVF} AS BIGINT)
         UNION ALL SELECT 'pq_adc', 'measured',
                CAST({scan_all} AS BIGINT),
@@ -207,8 +221,12 @@ def _frontier_oracle() -> str:
                CAST(0 AS BIGINT),
                CAST({_BYTES_PQ} AS BIGINT)
         UNION ALL SELECT 'ivfpq', 'measured',
-               (SELECT c FROM icand),
+               (SELECT c FROM icand2),
                CAST({N_PANEL} * {IVFPQ_SHORTLIST} AS BIGINT),
+               CAST({_BYTES_IVFPQ} AS BIGINT)
+        UNION ALL SELECT 'ivfpq_refined', 'measured',
+               (SELECT c FROM icands),
+               CAST({N_PANEL} * {REFINE_SHORTLIST_SQL} AS BIGINT),
                CAST({_BYTES_IVFPQ} AS BIGINT)
         UNION ALL SELECT 'flat_graph', 'provisioned',
                CAST({N_PANEL} * {flat_budget} AS BIGINT),
@@ -239,7 +257,7 @@ def _frontier_oracle() -> str:
     "q_sim_tier_frontier",
     oracle=_frontier_oracle(),
     doc=(
-        "Recall-vs-cost frontier over all ten searcher tiers (r10, r9 "
+        "Recall-vs-cost frontier over all eleven searcher tiers (r10, r9 "
         "verdict task #5): panel recall@5 joined with each tier's "
         "scan cost (total candidate evaluations + total full-precision "
         "vector reads across the 100-query panel; measured from data "
@@ -264,9 +282,17 @@ def q_sim_tier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.plans.registry import all_specs
 
     specs = all_specs()
+    from weather_flink_spark.plans.analytics_wave74 import refine_shortlist
+    from weather_flink_spark.plans.similarity_extra import ivf_nprobe
+
     d = corpus_digits(spark, sf_dir)
     n = emb_table(spark, sf_dir).count()
-    icand = ivf_probed_members_total(spark, sf_dir)
+    icand2 = ivf_probed_members_total(spark, sf_dir, nprobe=2)
+    icands = (
+        icand2
+        if ivf_nprobe(d) == 2
+        else ivf_probed_members_total(spark, sf_dir, nprobe=ivf_nprobe(d))
+    )
     flat_b, hnsw_b = _graph_budgets(d)
     scan_all = N_PANEL * (n - 1)
 
@@ -302,10 +328,17 @@ def q_sim_tier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             N_PANEL * _b256_cand(d),
             _BYTES_B256,
         ),
-        ("ivf_nprobe2", "measured", icand, icand, _BYTES_IVF),
+        ("ivf", "measured", icands, icands, _BYTES_IVF),
         ("pq_adc", "measured", scan_all, 0, _BYTES_PQ),
         ("opq_adc", "measured", scan_all, 0, _BYTES_PQ),
-        ("ivfpq", "measured", icand, N_PANEL * IVFPQ_SHORTLIST, _BYTES_IVFPQ),
+        ("ivfpq", "measured", icand2, N_PANEL * IVFPQ_SHORTLIST, _BYTES_IVFPQ),
+        (
+            "ivfpq_refined",
+            "measured",
+            icands,
+            N_PANEL * refine_shortlist(d),
+            _BYTES_IVFPQ,
+        ),
         (
             "flat_graph",
             "provisioned",

@@ -60,6 +60,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         analytics_wave56,
         analytics_wave58,
         analytics_wave70,
+        analytics_wave74,
         corpus_extra,
         llm_extra,
         llm_pipeline,
@@ -93,6 +94,10 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "hnsw_result_panel": analytics_wave58.hnsw_panel_result_table,
         "ivf_assigned": llm_extra.ivf_assigned_table,
         "ivfpq_ann_result": _registry_fn("q_sim_ann_ivfpq"),
+        "ivfpq_refined_ann_result": _registry_fn("q_sim_ann_ivfpq_refined"),
+        "ivfpq_refined_result_panel": (
+            analytics_wave74.ivfpq_refined_panel_result_table
+        ),
         "ivfpq_result_panel": analytics_wave70.ivfpq_panel_result_table,
         "kmeans_final": analytics_wave4.kmeans_final_assignment,
         "knn_edges": analytics_wave20.knn_edges_table,

@@ -141,6 +141,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave71,
         analytics_wave72,
         analytics_wave73,
+        analytics_wave74,
         streaming_queries,
     )
 

@@ -77,7 +77,27 @@ def q_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r9 constant == ivf_nprobe(3); kept for the fixture-pinned notes and
+# as the UNSCALED operating point of the baseline 'ivfpq' tier (whose
+# fixed shortlist 15 measurably does NOT benefit from wider probes —
+# see q_sim_ann_ivfpq_refined for why).
 IVF_NPROBE = 2
+
+
+def ivf_nprobe(d: int) -> int:
+    """Digit-scaled IVF probe count: d-1 — 2 at the d=3 fixture (the
+    r7-r10 constant, every committed hash at sf0.001/0.01 unchanged),
+    3 at sf0.1 (d=4). Rationale (r10 verdict task #5): the 100-query
+    panel measured nprobe=2 as the IVF tier's cell-miss ceiling at
+    sf0.1 (recall 0.474; the top-2 cells hold ~55% of true neighbors
+    there, shrinking as the corpus outgrows the fixed k=8 cells) while
+    the graph index's equivalent knobs were already digit-scaled. Same
+    convention as wave-20 g_probe: affine in (d-1), exact on both
+    engines via the sz scalar subquery."""
+    return d - 1
+
+
+IVF_NPROBE_SQL = "((SELECT d FROM sz) - 1)"
 
 
 def _nprobe_oracle() -> str:
@@ -85,10 +105,12 @@ def _nprobe_oracle() -> str:
         KMEANS_ITERS,
         _kmeans_dist_duck,
     )
+    from weather_flink_spark.plans.analytics_wave20 import SZ_CTE
 
     dist = _kmeans_dist_duck("e.embedding", "c.c")
     return f"""
-        WITH {ivf_assigned_cte()},
+        WITH {SZ_CTE},
+        {ivf_assigned_cte()},
         probes AS (
             SELECT query_id, q_emb, probe_cell FROM (
                 SELECT e.vec_id AS query_id, e.embedding AS q_emb,
@@ -99,7 +121,7 @@ def _nprobe_oracle() -> str:
                        ) AS rn
                 FROM embeddings e CROSS JOIN cent{KMEANS_ITERS} c
                 WHERE e.vec_id < {IVF_N_QUERIES}
-            ) WHERE rn <= {IVF_NPROBE}
+            ) WHERE rn <= {IVF_NPROBE_SQL}
         )
         SELECT query_id, vec_id, cell, cosine, k_rank FROM (
             SELECT p.query_id, v.vec_id, v.cell,
@@ -119,14 +141,20 @@ def _nprobe_oracle() -> str:
     "q_sim_ann_ivf_nprobe",
     oracle=_nprobe_oracle(),
     doc=(
-        "Multi-probe IVF ANN (nprobe=2) over the TRAINED k-means index: "
-        "vectors live in exactly one learned cell (shared session-cached "
-        "assignment — fixed k, bounded broadcast), but each query fans "
-        "out to its 2 nearest centroids by the training metric (L2) and "
-        "takes the global top-5 by cosine across both probed cells — the "
-        "standard recall-vs-cost knob over q_sim_ann_ivf's nprobe=1. "
-        "Probe selection costs |queries|·k against the 8-row broadcast "
-        "model; search cost is nprobe/cells of the corpus per query."
+        "Multi-probe IVF ANN over the TRAINED k-means index with a "
+        "DIGIT-SCALED probe count (r10 verdict task #5): vectors live "
+        "in exactly one learned cell (shared session-cached assignment "
+        "— fixed k, bounded broadcast), each query fans out to its "
+        "nprobe = d-1 nearest centroids by the training metric (L2) — "
+        "2 at the d=3 fixture (the r7-r10 constant, committed hashes "
+        "unchanged), 3 at sf0.1 (d=4), where the panel measured "
+        "nprobe=2 as the cell-miss ceiling (0.474; scaled: 0.608) — "
+        "and takes the global top-5 by cosine across the probed cells, "
+        "the standard recall-vs-cost knob over q_sim_ann_ivf's "
+        "nprobe=1. The oracle computes the same count from the sz "
+        "scalar subquery. Probe selection costs |queries|·k against "
+        "the 8-row broadcast model; search cost is nprobe/cells of the "
+        "corpus per query."
     ),
     tags=("similarity", "ann", "ivf"),
 )
@@ -135,6 +163,7 @@ def q_sim_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmeans_dist_col,
         kmeans_final_assignment,
     )
+    from weather_flink_spark.plans.analytics_wave20 import corpus_digits
 
     assigned = ivf_assigned_table(spark, sf_dir)
     cent, _ = kmeans_final_assignment(spark, sf_dir)
@@ -152,7 +181,7 @@ def q_sim_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "q_emb", "q_nrm", "cid", _kmeans_dist_col("q_emb", "c").alias("cd2")
         )
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= ivf_nprobe(corpus_digits(spark, sf_dir)))
         .select("query_id", "q_emb", "q_nrm", F.col("cid").alias("probe_cell"))
     )
     cos_qv = dot_col(F.col("q_emb"), F.col("embedding")) / (
