@@ -40,7 +40,7 @@ def test_png_roundtrip_both_modes_and_filters():
     for d in range(20):
         w, h = 4 + d % 5, 2 + d % 4
         src = f"doc {d} text content with some variety {d * 7}".encode()
-        b = png_encode(w, h, src, fixed_huffman=d % 2 == 1)
+        b = png_encode(w, h, src, mode=("stored", "fixed", "dynamic")[d % 3])
         got = png_parse(b)
         assert got is not None
         gw, gh, pix = got
@@ -110,7 +110,7 @@ def test_cross_container_hash_equality_on_padding_free_widths():
         if (w * 3) % 4 != 0:
             continue
         src = f"cross check {d}".encode()
-        png = png_hashes(png_encode(w, h, src, fixed_huffman=d % 2 == 1))
+        png = png_hashes(png_encode(w, h, src, mode=("stored", "fixed", "dynamic")[d % 3]))
         bmp = bmp_encode(w, h, src)
         assert png[2] == bmp_ahash(bmp)[2]
         assert png[3] == bmp_dhash(bmp)[2]
@@ -122,7 +122,7 @@ def test_cross_container_hash_equality_on_padding_free_widths():
 def test_png_corrupt_payloads_tolerate_to_none():
     assert png_parse(b"garbage") is None
     assert png_parse(b"") is None
-    good = png_encode(5, 3, b"x", fixed_huffman=True)
+    good = png_encode(5, 3, b"x", mode="fixed")
     bad = bytearray(good)
     bad[20] ^= 0xFF  # flip an IHDR byte -> CRC mismatch
     assert png_parse(bytes(bad)) is None
@@ -132,13 +132,67 @@ def test_png_corrupt_payloads_tolerate_to_none():
 
 def test_png_decode_entry_reads_block_type_from_the_stream(spark):
     """deflate_mode comes from the actual IDAT bit stream; the fixture
-    alternates stored/fixed by doc_id, so both modes must appear and
-    agree with the rule."""
+    cycles stored/fixed/dynamic by doc_id%3 (r11), so all THREE RFC
+    1951 block shapes must appear and agree with the rule."""
     rows = all_specs()["q_multimodal_decode_png"].fn(spark, SF).collect()
     assert len(rows) == 500
+    seen = set()
     for r in rows:
-        assert r.deflate_mode == ("fixed" if r.doc_id % 2 == 1 else "stored")
+        assert r.deflate_mode == ("stored", "fixed", "dynamic")[r.doc_id % 3]
         assert r.n_pixel_bytes == r.width * r.height * 3
+        seen.add(r.deflate_mode)
+    assert seen == {"stored", "fixed", "dynamic"}
+
+
+def test_deflate_dynamic_is_valid_rfc1951():
+    """The r11 dynamic-Huffman writer (BTYPE=10 — what real-world PNG
+    encoders emit; r10 verdict task #4) must inflate bit-exactly with
+    stdlib zlib on every edge the fixtures can produce: empty payload,
+    single-symbol alphabet, full byte range (9-bit-territory values
+    >= 144 included), long streams past the stored-block 0xFFFF limit."""
+    from weather_flink_spark.operators.multimodal import (
+        _zlib_frame,
+        deflate_dynamic,
+    )
+
+    cases = [
+        b"",
+        b"a",
+        b"\x00" * 70000,
+        b"hello world" * 50,
+        bytes(range(256)) * 7,
+        "héllo wörld ünïcode ".encode("utf-8") * 37,
+    ]
+    for raw in cases:
+        body = deflate_dynamic(raw)
+        assert body[0] & 7 == 0b101  # BFINAL=1, BTYPE=10 in bits 1-2
+        assert zlib.decompress(_zlib_frame(body, raw)) == raw
+    # the header is DATA-BUILT (a real dynamic table, not a disguised
+    # fixed one): different histograms produce different headers
+    a = deflate_dynamic(b"aaaabbbbcccc")
+    b = deflate_dynamic(bytes(range(200)))
+    assert a[:8] != b[:8]
+
+
+def test_png_pixels_and_hashes_identical_across_all_three_modes():
+    """The r10 verdict task #4 done-bar: a dynamic-Huffman IDAT of the
+    same raster decodes to pixel-identical output (and therefore
+    hash-identical perceptual tiers) as the fixed-Huffman and stored
+    encodings — compression mode provably cannot move a dedup verdict."""
+    for d in range(12):
+        w, h = 4 + d % 5, 2 + d % 4
+        src = f"cross-mode doc {d} payload {d * 13}".encode()
+        parsed = {
+            m: png_parse(png_encode(w, h, src, mode=m))
+            for m in ("stored", "fixed", "dynamic")
+        }
+        assert parsed["stored"] is not None
+        assert parsed["stored"] == parsed["fixed"] == parsed["dynamic"]
+        hashes = {
+            m: png_hashes(png_encode(w, h, src, mode=m))
+            for m in ("stored", "fixed", "dynamic")
+        }
+        assert hashes["stored"] == hashes["fixed"] == hashes["dynamic"]
 
 
 def test_png_dedup_entry_finds_neardups(spark):
@@ -177,7 +231,10 @@ def test_resize_nearest_neighbor_arithmetic(spark):
     for doc_id, text in docs:
         w, h = 4 + doc_id % 5, 2 + doc_id % 4
         _, _, pix = png_parse(
-            png_encode(w, h, text.encode("utf-8"), fixed_huffman=doc_id % 2 == 1)
+            png_encode(
+                w, h, text.encode("utf-8"),
+                mode=("stored", "fixed", "dynamic")[doc_id % 3],
+            )
         )
         expect = resize_thumb(pix, w, h, 3, 2)
         r = rows[doc_id]

@@ -777,37 +777,51 @@ def deflate_stored(raw: bytes) -> bytes:
             return bytes(out)
 
 
+def _rev_bits(code: int, nbits: int) -> int:
+    """Bit-reverse ``code`` within ``nbits`` (Huffman codes are written
+    MSB-first into an LSB-first stream)."""
+    r = 0
+    for _ in range(nbits):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
 class _BitWriter:
     """RFC 1951 bit packing: bytes fill LSB-first; non-Huffman fields
-    are written LSB-first, Huffman codes MSB-first."""
+    are written LSB-first, Huffman codes MSB-first (bit-reversed into
+    the LSB accumulator). Bulk-shift accumulator — identical bit
+    stream to the r10 per-bit writer, ~10x fewer Python ops (the
+    encode kernels' measured hot path)."""
 
     def __init__(self) -> None:
         self.out = bytearray()
         self.acc = 0
         self.n = 0
 
-    def _bit(self, bit: int) -> None:
-        self.acc |= bit << self.n
-        self.n += 1
-        if self.n == 8:
-            self.out.append(self.acc)
-            self.acc = 0
-            self.n = 0
-
     def put_lsb(self, value: int, nbits: int) -> None:
-        for i in range(nbits):
-            self._bit((value >> i) & 1)
+        self.acc |= value << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
 
     def put_huff(self, code: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self._bit((code >> i) & 1)
+        self.put_lsb(_rev_bits(code, nbits), nbits)
 
     def flush(self) -> bytes:
         if self.n:
-            self.out.append(self.acc)
+            self.out.append(self.acc & 0xFF)
             self.acc = 0
             self.n = 0
         return bytes(self.out)
+
+
+_FIXED_LIT_TABLE = [
+    (_rev_bits(0x30 + v, 8), 8) if v < 144 else (_rev_bits(0x190 + (v - 144), 9), 9)
+    for v in range(256)
+]
 
 
 def deflate_fixed(raw: bytes) -> bytes:
@@ -819,12 +833,138 @@ def deflate_fixed(raw: bytes) -> bytes:
     w = _BitWriter()
     w.put_lsb(1, 1)  # BFINAL
     w.put_lsb(1, 2)  # BTYPE=01 (fixed)
+    tbl = _FIXED_LIT_TABLE
     for v in raw:
-        if v < 144:
-            w.put_huff(0x30 + v, 8)
-        else:
-            w.put_huff(0x190 + (v - 144), 9)
+        rc, nb = tbl[v]
+        w.put_lsb(rc, nb)
     w.put_huff(0, 7)  # end of block (symbol 256)
+    return w.flush()
+
+
+# RFC 1951 §3.2.7: the fixed permutation in which code-length-code
+# lengths are transmitted
+_CL_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+
+def _huffman_code_lengths(
+    freqs: dict[int, int], max_len: int, pad_sym: int
+) -> dict[int, int]:
+    """Deterministic length-limited Huffman code lengths: classic
+    heap-merge depths (ties broken by symbol id), clamped to
+    ``max_len`` with a Kraft-sum fix (validity over optimality — the
+    fix only lengthens codes, never produces an over-subscribed set).
+    Trees with a single used symbol are padded with ``pad_sym`` at
+    length 1: stdlib zlib's inflater rejects incomplete literal/length
+    and code-length trees, so every emitted tree is complete."""
+    import heapq
+
+    syms = sorted(sym for sym, f in freqs.items() if f > 0)
+    if not syms:
+        syms = [pad_sym]
+    if len(syms) == 1:
+        other = pad_sym if syms[0] != pad_sym else (pad_sym + 1)
+        return {syms[0]: 1, other: 1}
+    heap = [(freqs[sym], sym, sym) for sym in syms]
+    heapq.heapify(heap)
+    parent: dict[int, int] = {}
+    next_id = max(syms) + 1
+    while len(heap) > 1:
+        f1, t1, n1 = heapq.heappop(heap)
+        f2, t2, n2 = heapq.heappop(heap)
+        parent[n1] = parent[n2] = next_id
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), next_id))
+        next_id += 1
+    lens: dict[int, int] = {}
+    for sym in syms:
+        d, node = 0, sym
+        while node in parent:
+            node = parent[node]
+            d += 1
+        lens[sym] = min(d, max_len)
+    kraft = sum(1 << (max_len - ln) for ln in lens.values())
+    cap = 1 << max_len
+    while kraft > cap:
+        sym = max(
+            (x for x in lens if lens[x] < max_len),
+            key=lambda x: (lens[x], x),
+        )
+        # lengthening by 1 halves the symbol's Kraft contribution
+        kraft -= 1 << (max_len - lens[sym] - 1)
+        lens[sym] += 1
+    return lens
+
+
+def _canonical_codes(lens: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """RFC 1951 §3.2.2 canonical code assignment: (code, nbits) per
+    symbol, codes of one length consecutive in symbol order."""
+    bl_count: dict[int, int] = {}
+    for ln in lens.values():
+        bl_count[ln] = bl_count.get(ln, 0) + 1
+    code = 0
+    next_code: dict[int, int] = {}
+    for ln in range(1, max(lens.values()) + 1):
+        code = (code + bl_count.get(ln - 1, 0)) << 1
+        next_code[ln] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym in sorted(lens):
+        ln = lens[sym]
+        out[sym] = (next_code[ln], ln)
+        next_code[ln] += 1
+    return out
+
+
+def deflate_dynamic(raw: bytes) -> bytes:
+    """Literal-only DYNAMIC-Huffman DEFLATE (RFC 1951 BTYPE=10), one
+    final block — the block shape real-world encoders emit (r10
+    verdict task #4; until r11 the chunk-walk path had only ever seen
+    stored and fixed-Huffman streams).
+
+    A REAL dynamic header, built from the data: literal/length code
+    lengths are a length-limited (15) canonical Huffman code over the
+    byte histogram plus the end-of-block symbol; the two-entry
+    distance tree (both length 1) is complete-but-unused (no LZ77
+    matches, like deflate_fixed); the code-length sequence is
+    transmitted with its own canonical Huffman code (limit 7) through
+    the RFC's 19-symbol permuted order. No 16/17/18 run-length codes
+    — every length is a plain CL symbol, which keeps the header
+    deterministic and byte-exact for the committed fixtures while
+    exercising the full two-level decode (CL tree -> lit/len + dist
+    trees -> payload) in any inflater, stdlib zlib included."""
+    freqs: dict[int, int] = {}
+    for v in raw:
+        freqs[v] = freqs.get(v, 0) + 1
+    freqs[256] = 1  # end-of-block
+    lit_lens = _huffman_code_lengths(freqs, 15, pad_sym=0)
+    lit_codes = _canonical_codes(lit_lens)
+    dist_lens = {0: 1, 1: 1}  # complete, never referenced
+    n_lit, n_dist = 257, 2
+    cl_seq = [lit_lens.get(sym, 0) for sym in range(n_lit)] + [
+        dist_lens[sym] for sym in range(n_dist)
+    ]
+    cl_freqs: dict[int, int] = {}
+    for ln in cl_seq:
+        cl_freqs[ln] = cl_freqs.get(ln, 0) + 1
+    cl_lens = _huffman_code_lengths(cl_freqs, 7, pad_sym=0)
+    cl_codes = _canonical_codes(cl_lens)
+    ordered = [cl_lens.get(sym, 0) for sym in _CL_ORDER]
+    hclen = max(4, max(i + 1 for i, ln in enumerate(ordered) if ln) if any(ordered) else 4)
+    w = _BitWriter()
+    w.put_lsb(1, 1)  # BFINAL
+    w.put_lsb(2, 2)  # BTYPE=10 (dynamic)
+    w.put_lsb(n_lit - 257, 5)  # HLIT
+    w.put_lsb(n_dist - 1, 5)  # HDIST
+    w.put_lsb(hclen - 4, 4)  # HCLEN
+    for ln in ordered[:hclen]:
+        w.put_lsb(ln, 3)
+    for ln in cl_seq:
+        w.put_huff(*cl_codes[ln])
+    rev = {
+        sym: (_rev_bits(code, nb), nb) for sym, (code, nb) in lit_codes.items()
+    }
+    for v in raw:
+        rc, nb = rev[v]
+        w.put_lsb(rc, nb)
+    w.put_huff(*lit_codes[256])
     return w.flush()
 
 
@@ -835,11 +975,18 @@ def _zlib_frame(deflate_body: bytes, raw: bytes) -> bytes:
     )
 
 
+_DEFLATE_MODES = {
+    "stored": deflate_stored,
+    "fixed": deflate_fixed,
+    "dynamic": deflate_dynamic,
+}
+
+
 def png_encode(
     width: int,
     height: int,
     pixel_source: bytes,
-    fixed_huffman: bool = False,
+    mode: str = "stored",
 ) -> bytes:
     """Serialize a valid non-interlaced RGB8 PNG.
 
@@ -847,8 +994,9 @@ def png_encode(
     cycle ``pixel_source``, so a SQL oracle reproduces every DECODED
     byte from the source rule alone. Scanline filters alternate
     None/Sub by row (real filter work on decode), and the IDAT stream
-    is hand-rolled DEFLATE: stored blocks or literal-only
-    fixed-Huffman per ``fixed_huffman``."""
+    is hand-rolled DEFLATE in all three RFC 1951 block shapes per
+    ``mode``: stored (BTYPE=00), literal-only fixed-Huffman (01), or
+    dynamic-Huffman (10, r11)."""
     src = pixel_source if pixel_source else b"\x00"
     n = width * height * 3
     pix = bytes(src[i % len(src)] for i in range(n))
@@ -864,7 +1012,7 @@ def png_encode(
                 (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
                 for i in range(len(row))
             )
-    body = deflate_fixed(bytes(lines)) if fixed_huffman else deflate_stored(bytes(lines))
+    body = _DEFLATE_MODES[mode](bytes(lines))
     ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
@@ -988,12 +1136,228 @@ def png_hashes(b: bytes):
     )
 
 
+# ---------------------------------------------------------------------------
+# JPEG-shaped lossy DCT codec (r11, r10 verdict task #7): 8x8 block DCT
+# with the standard JPEG luminance quantization table, on an INTEGER
+# transform so both engines replay the lossy roundtrip bit-exactly.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# Integer DCT-II basis, the real-codec trick (H.264/JPEG fixed-point
+# transforms): M[u][x] = round(cos((2x+1)u*pi/16) * 32). All forward/
+# inverse arithmetic is exact integer, so Spark and DuckDB agree on
+# every reconstructed pixel even though the codec is LOSSY.
+_DCT_M = [
+    [round(_math.cos((2 * x + 1) * u * _math.pi / 16) * 32) for x in range(8)]
+    for u in range(8)
+]
+_DCT_D = [sum(v * v for v in row) for row in _DCT_M]  # row norms (exact)
+# ITU T.81 Annex K luminance quantization table (the public JPEG table)
+_DCT_Q = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+# step = Q * _DCT_STEP: the transform carries a ~1024x scale (32^2 per
+# axis), so STEP=1024 puts quantization at the JPEG operating point —
+# genuinely lossy on the text-noise fixtures (max |err| ~18), which is
+# the point: the perceptual tiers must survive REAL coefficient loss.
+_DCT_STEP = 1024
+_DCT_S = 30  # inverse-weight scale: W[u][v] = round(2^S / (D_u * D_v))
+_DCT_W = [
+    [round((1 << _DCT_S) / (_DCT_D[u] * _DCT_D[v])) for v in range(8)]
+    for u in range(8)
+]
+_DCT_SIG = b"LJ01"
+
+
+def _dct_block(gray: list[int], width: int, height: int) -> list[list[int]]:
+    """The padded 8x8 block: edge-replicated (clamp indexing) so the
+    pad rule is a pure function both engines replay."""
+    return [
+        [
+            gray[min(r, height - 1) * width + min(c, width - 1)]
+            for c in range(8)
+        ]
+        for r in range(8)
+    ]
+
+
+# numpy int64 twins of the basis/tables: all magnitudes stay < 2^53
+# (documented bounds in the oracle), so vectorized int64 arithmetic is
+# bit-identical to the pure-int definition (np.floor_divide == //).
+_DCT_M_NP = None
+_DCT_QS_NP = None
+_DCT_W_NP = None
+
+
+def _dct_np():
+    global _DCT_M_NP, _DCT_QS_NP, _DCT_W_NP
+    if _DCT_M_NP is None:
+        import numpy as np
+
+        _DCT_M_NP = np.array(_DCT_M, dtype=np.int64)
+        _DCT_QS_NP = np.array(_DCT_Q, dtype=np.int64) * _DCT_STEP
+        _DCT_W_NP = np.array(_DCT_W, dtype=np.int64)
+    return _DCT_M_NP, _DCT_QS_NP, _DCT_W_NP
+
+
+def dct_quantize(gray: list[int], width: int, height: int) -> list[int]:
+    """Forward integer DCT + JPEG-table quantization -> 64 coefficients
+    (row-major [u][v]). quant = floor(T/(Q*STEP) + 1/2) computed as
+    (2T + qs) // (2qs) — exact integers end to end (vectorized int64;
+    floor_divide == Python //)."""
+    import numpy as np
+
+    M, QS, _ = _dct_np()
+    B = np.array(_dct_block(gray, width, height), dtype=np.int64)
+    T = M @ B @ M.T
+    return [int(v) for v in np.floor_divide(2 * T + QS, 2 * QS).ravel()]
+
+
+def dct_reconstruct(quant: list[int]) -> list[int]:
+    """Inverse integer DCT over dequantized coefficients -> the 64
+    reconstructed (clamped) pixels of the padded block, row-major."""
+    import numpy as np
+
+    M, QS, W = _dct_np()
+    deqw = np.array(quant, dtype=np.int64).reshape(8, 8) * QS * W
+    num = M.T @ deqw @ M
+    half = 1 << (_DCT_S - 1)
+    pix = np.clip(np.floor_divide(num + half, 1 << _DCT_S), 0, 255)
+    return [int(v) for v in pix.ravel()]
+
+
+def dct_encode(width: int, height: int, pixel_source: bytes) -> bytes:
+    """Serialize the LJ01 lossy container: magic + >HH dims + a zlib
+    frame whose DEFLATE body is the r11 dynamic-Huffman writer over
+    the 64 int16-LE quantized coefficients — the lossy path exercises
+    the full compressed-container stack."""
+    src = pixel_source if pixel_source else b"\x00"
+    gray = [src[i % len(src)] for i in range(width * height)]
+    quant = dct_quantize(gray, width, height)
+    raw = b"".join(struct.pack("<h", q) for q in quant)
+    return (
+        _DCT_SIG
+        + struct.pack(">HH", width, height)
+        + _zlib_frame(deflate_dynamic(raw), raw)
+    )
+
+
+def dct_parse(b: bytes):
+    """Parse + losslessly decode the LJ01 container: (width, height,
+    quant[64], recon_block[64]) or None (A2 tolerant-decode)."""
+    try:
+        if bytes(b[:4]) != _DCT_SIG:
+            return None
+        w, h = struct.unpack_from(">HH", b, 4)
+        if not (0 < w <= 8 and 0 < h <= 8):
+            return None
+        raw = zlib.decompress(bytes(b[8:]))
+        if len(raw) != 128:
+            return None
+        quant = [
+            struct.unpack_from("<h", raw, 2 * i)[0] for i in range(64)
+        ]
+        return w, h, quant, dct_reconstruct(quant)
+    except Exception:
+        return None
+
+
+def encode_dct_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload, text): an LJ01 lossy image per document — the
+    fixture dims rule (width 4+doc_id%5, height 2+doc_id%4; always one
+    8x8 block), grayscale raster cycling the UTF-8 text."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = [
+                dct_encode(4 + int(d) % 5, 2 + int(d) % 4, t.encode("utf-8"))
+                for d, t in zip(batch["doc_id"], batch[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": payloads,
+                    "text": batch[text_col],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel, "doc_id bigint, payload binary, text string"
+    )
+
+
+def decode_dct(df: DataFrame) -> DataFrame:
+    """Decode LJ01 payloads and audit the lossy roundtrip against the
+    original raster (recomputed from the text rule): per doc — dims,
+    DC coefficient, surviving (nonzero) coefficient count, the
+    reconstructed pixel sum over REAL pixels, the max absolute pixel
+    error (the measured loss), and the ahash Hamming distance between
+    the original and reconstructed rasters (the dedup-tier survival
+    number). Corrupt payloads decode to nulls."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for d, b, t in zip(batch["doc_id"], batch["payload"], batch["text"]):
+                parsed = dct_parse(b) if b is not None else None
+                if parsed is None:
+                    rows.append((int(d), None, None, None, None, None, None, None))
+                    continue
+                w, h, quant, block = parsed
+                src = t.encode("utf-8") or b"\x00"
+                gray = [src[i % len(src)] for i in range(w * h)]
+                recon = [block[r * 8 + c] for r in range(h) for c in range(w)]
+                rows.append(
+                    (
+                        int(d),
+                        w,
+                        h,
+                        quant[0],
+                        sum(1 for q in quant if q != 0),
+                        sum(recon),
+                        max(abs(a - b2) for a, b2 in zip(gray, recon)),
+                        bin(
+                            _intens_ahash(gray, w, h)
+                            ^ _intens_ahash(recon, w, h)
+                        ).count("1"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "dc_quant",
+                    "n_nonzero",
+                    "recon_sum",
+                    "max_abs_err",
+                    "ahash_hamming",
+                ],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, dc_quant bigint, "
+        "n_nonzero bigint, recon_sum bigint, max_abs_err bigint, "
+        "ahash_hamming bigint",
+    )
+
+
 def encode_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, payload): a real PNG per document — the SAME dims rule
     as the BMP fixture (width 4+doc_id%5, height 2+doc_id%4), pixel
-    bytes cycling the UTF-8 text; DEFLATE mode alternates by doc_id
-    (even -> stored, odd -> fixed-Huffman) so one corpus exercises
-    both RFC 1951 block shapes."""
+    bytes cycling the UTF-8 text; DEFLATE mode cycles by doc_id
+    (doc_id%3: 0 -> stored, 1 -> fixed-Huffman, 2 -> dynamic-Huffman,
+    r11) so one corpus exercises ALL THREE RFC 1951 block shapes."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -1002,7 +1366,7 @@ def encode_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
                     4 + int(d) % 5,
                     2 + int(d) % 4,
                     t.encode("utf-8"),
-                    fixed_huffman=int(d) % 2 == 1,
+                    mode=("stored", "fixed", "dynamic")[int(d) % 3],
                 )
                 for d, t in zip(batch["doc_id"], batch[text_col])
             ]

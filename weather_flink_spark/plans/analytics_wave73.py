@@ -6,9 +6,11 @@ Perceptual image dedup was proven on uncompressed containers only
 (BMP/WAV); "a real decoder swaps the kernel" was untested prose. This
 wave makes it tested code: a genuine non-interlaced RGB8 PNG
 encoder/decoder (operators/multimodal.png_encode/png_parse) with a
-hand-rolled DEFLATE writer covering BOTH RFC 1951 block shapes the
-fixtures alternate between (stored for even doc_ids, literal-only
-fixed-Huffman for odd), real zlib/CRC framing, None/Sub scanline
+hand-rolled DEFLATE writer covering ALL THREE RFC 1951 block shapes
+the fixtures cycle through by doc_id%3 (stored; literal-only
+fixed-Huffman; and, r11, dynamic-Huffman with a real data-built
+two-level header — r10 verdict task #4), real zlib/CRC framing,
+None/Sub scanline
 filters on encode, and a full 5-filter unfilter pass + stdlib-zlib
 inflate on decode.
 
@@ -61,7 +63,8 @@ from weather_flink_spark.plans.registry import register
             FROM documents
         )
         SELECT doc_id, width, height,
-               CASE WHEN doc_id % 2 = 1 THEN 'fixed' ELSE 'stored' END
+               CASE doc_id % 3 WHEN 0 THEN 'stored'
+                    WHEN 1 THEN 'fixed' ELSE 'dynamic' END
                    AS deflate_mode,
                CAST(npix AS BIGINT) AS n_pixel_bytes,
                CAST(list_sum(list_transform(
@@ -73,8 +76,10 @@ from weather_flink_spark.plans.registry import register
     doc=(
         "REAL compressed-image decode (r10, r9 verdict task #6): each "
         "document's payload is a genuine non-interlaced RGB8 PNG "
-        "(hand-rolled DEFLATE — stored blocks for even doc_ids, "
-        "literal-only fixed-Huffman for odd — real zlib/CRC framing, "
+        "(hand-rolled DEFLATE cycling ALL THREE RFC 1951 block shapes "
+        "by doc_id%3 — stored, literal-only fixed-Huffman, and r11's "
+        "dynamic-Huffman with a real data-built two-level header — "
+        "real zlib/CRC framing, "
         "None/Sub scanline filters), and the Arrow-batched decoder "
         "walks chunks, verifies CRCs, inflates via stdlib zlib, "
         "unfilters all rows, and reports dims + the DEFLATE block type "
@@ -148,8 +153,8 @@ def _png_dedup_oracle() -> str:
         "Image near-dedup over a COMPRESSED container (r10, r9 verdict "
         "task #6): the wave-52 banded average-hash pipeline run "
         "verbatim over decoded PNG bytes — every payload a genuine "
-        "RGB8 PNG (stored + fixed-Huffman DEFLATE alternating by "
-        "doc_id) decoded through chunk walk, CRC, inflate, and "
+        "RGB8 PNG (stored/fixed/dynamic-Huffman DEFLATE cycling by "
+        "doc_id%3, r11) decoded through chunk walk, CRC, inflate, and "
         "unfilter before hashing with the SAME grid cores as the BMP "
         "tiers. 4x10-bit LSH bands blocked on (width, height), "
         "pigeonhole-complete at Hamming <= 3; per-image n_neardups + "

@@ -61,6 +61,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         analytics_wave58,
         analytics_wave70,
         analytics_wave74,
+        analytics_wave75,
         corpus_extra,
         llm_extra,
         llm_pipeline,
@@ -114,6 +115,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "pca_power_model": llm_wave5.pca_power_model,
         "pq_codes": analytics_wave13.pq_codes_table,
         "pr_graph": analytics_extra._pr_graph,
+        "rowgroup_layout": analytics_wave75.rowgroup_layout_and_manifest,
         "shingles": llm_pipeline.shingle_table,
         "simhash": llm_extra.simhash_table,
         "split_assigned": _registry_fn("q_split_leakage_check"),

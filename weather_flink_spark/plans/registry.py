@@ -142,6 +142,8 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave72,
         analytics_wave73,
         analytics_wave74,
+        analytics_wave75,
+        analytics_wave76,
         streaming_queries,
     )
 
