@@ -22,7 +22,7 @@ def test_pq_panel_shape_and_floors(spark):
         r.tier: r
         for r in all_specs()["q_sim_recall_panel_pq"].fn(spark, SF).collect()
     }
-    assert set(rows) == {"pq_adc", "opq_adc", "ivfpq", "ivfpq_refined"}
+    assert set(rows) == {"pq_adc", "opq_adc", "ivfpq", "ivfpq_refined", "opq_refined"}
     for r in rows.values():
         assert r.n_queries == w56.N_PANEL
         assert 0.0 <= r.recall_at_5 <= 1.0
@@ -36,6 +36,11 @@ def test_pq_panel_shape_and_floors(spark):
     # must clearly beat the baseline ivfpq operating point (0.250)
     assert rows["ivfpq_refined"].recall_at_5 >= 0.45
     assert rows["ivfpq_refined"].recall_at_5 > rows["ivfpq"].recall_at_5 + 0.1
+    # the OPQ-refined production stack is a real tier (floor one notch
+    # under its fixture measurement) and must also clear the baseline
+    # ivfpq operating point
+    assert rows["opq_refined"].recall_at_5 >= 0.40
+    assert rows["opq_refined"].recall_at_5 > rows["ivfpq"].recall_at_5
 
 
 def test_pq_panel_searches_match_gate_searchers_on_gate_queries(spark):
@@ -78,7 +83,7 @@ def test_every_searcher_tier_reads_recall_from_a_panel():
     oracles = {
         "q_sim_recall_panel": {"binary64", "binary256", "binary256_sampled", "ivf"},
         "q_sim_recall_panel_graph": {"flat_graph", "hnsw"},
-        "q_sim_recall_panel_pq": {"pq_adc", "opq_adc", "ivfpq", "ivfpq_refined"},
+        "q_sim_recall_panel_pq": {"pq_adc", "opq_adc", "ivfpq", "ivfpq_refined", "opq_refined"},
     }
     for name, tiers in oracles.items():
         text = specs[name].oracle

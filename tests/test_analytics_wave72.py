@@ -18,6 +18,7 @@ ALL_TIERS = {
     "opq_adc",
     "ivfpq",
     "ivfpq_refined",
+    "opq_refined",
     "flat_graph",
     "hnsw",
 }

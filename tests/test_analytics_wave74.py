@@ -109,6 +109,32 @@ def test_refined_recall_floor_at_sf01():
     assert binary["ivf"] >= 0.6, binary
 
 
+def test_opq_refined_panel_matches_gate_on_gate_queries(spark):
+    """The OPQ-refined panel run (n_queries=100) agrees row-for-row
+    with its 5-query gate entry on the gate queries (the panel only
+    widens the query set), and the rotated-code refine stage never
+    reads recall below the natural-code one at the fixture (rotation
+    is an isometry — it can only help or wash out, never hurt)."""
+    from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES
+    from weather_flink_spark.plans.registry import all_specs
+
+    gate = {
+        (r.query_id, r.vec_id, r.k_rank)
+        for r in all_specs()["q_sim_ann_opq_refined"].fn(spark, SF).collect()
+    }
+    panel_res = w74.opq_refined_panel_result_table(spark, SF)
+    panel = {
+        (r.query_id, r.vec_id, r.k_rank)
+        for r in panel_res.filter(panel_res.query_id < IVF_N_QUERIES).collect()
+    }
+    assert gate == panel and len(gate) > 0
+    rows = {
+        r.tier: r.recall_at_5
+        for r in all_specs()["q_sim_recall_panel_pq"].fn(spark, SF).collect()
+    }
+    assert rows["opq_refined"] >= rows["ivfpq_refined"] - 0.02
+
+
 def test_panel_caches_are_shared_not_rebuilt(spark):
     """The refined panel result is session-cached like every other
     index artifact: two reads return the same object's rows (the

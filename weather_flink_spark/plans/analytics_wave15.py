@@ -263,13 +263,20 @@ def _ivfpq_search(
     n_queries: int = IVF_N_QUERIES,
     nprobe: int = IVFPQ_NPROBE,
     shortlist: int = IVFPQ_SHORTLIST,
+    codes: DataFrame | None = None,
+    lut: DataFrame | None = None,
 ) -> DataFrame:
     """The IVFADC searcher; ``n_queries`` widens the query set (default
     the 5 gate queries; the wave-70 panel runs all 100 panel queries
     through this same code path). ``nprobe``/``shortlist`` widen the
     probe fan-out and the exactly-reranked ADC shortlist (defaults =
     the baseline 'ivfpq' operating point; the r11 refined tier,
-    q_sim_ann_ivfpq_refined, passes the digit-scaled widths)."""
+    q_sim_ann_ivfpq_refined, passes the digit-scaled widths).
+    ``codes``/``lut`` swap the code table (vec_id, code_0..3) and the
+    ADC lookup table (query_id, code, ld2_0..3) — the r11 OPQ-refined
+    tier passes the rotated-basis pair; probe routing and the exact
+    cosine re-rank stay in the ORIGINAL space either way (rotation is
+    an isometry of the codes, not of the stored vectors)."""
     from weather_flink_spark.plans.analytics_wave4 import (
         _kmeans_dist_col,
         kmeans_final_assignment,
@@ -277,7 +284,8 @@ def _ivfpq_search(
 
     assigned = ivf_assigned_table(spark, sf_dir)
     cent, _ = kmeans_final_assignment(spark, sf_dir)
-    codes = pq_codes_table(spark, sf_dir)
+    if codes is None:
+        codes = pq_codes_table(spark, sf_dir)
 
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -305,19 +313,20 @@ def _ivfpq_search(
 
     # --- ADC lookup table: |queries| x KC rows, one exact-decimal
     # subspace distance per subspace (query subvector vs codeword)
-    e = load(spark, sf_dir, "embeddings")
-    codebook = e.filter(F.col("vec_id") < _PQ_KC).select(
-        F.col("vec_id").alias("code"), F.col("embedding").alias("c_emb")
-    )
-    lut = (
-        q.select("query_id", F.col("q_emb").alias("embedding"))
-        .join(F.broadcast(codebook))
-        .select(
-            "query_id",
-            "code",
-            *[F.expr(_pq_dist_spark(m)).alias(f"ld2_{m}") for m in range(_PQ_M)],
+    if lut is None:
+        e = load(spark, sf_dir, "embeddings")
+        codebook = e.filter(F.col("vec_id") < _PQ_KC).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("c_emb")
         )
-    )
+        lut = (
+            q.select("query_id", F.col("q_emb").alias("embedding"))
+            .join(F.broadcast(codebook))
+            .select(
+                "query_id",
+                "code",
+                *[F.expr(_pq_dist_spark(m)).alias(f"ld2_{m}") for m in range(_PQ_M)],
+            )
+        )
 
     # --- candidates: probed cells only, ADC via 4 broadcast LUT joins
     cand = (

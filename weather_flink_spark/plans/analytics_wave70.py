@@ -23,7 +23,12 @@ panels, one output row per PQ tier:
   cells, ADC shortlist 15, exact cosine re-rank to top-5;
 - ``ivfpq_refined`` (r11) — the same searcher at the digit-scaled
   REFINE operating point (wave-74: nprobe = d-1, rerank budget
-  C = 40(d-1)) — fixture 0.512 / sf0.1 0.388, past binary64's 0.326.
+  C = 40(d-1)) — fixture 0.512 / sf0.1 0.388, past binary64's 0.326;
+- ``opq_refined`` (r11) — the full production stack: the refine
+  operating point over the OPQ-ROTATED codes/LUT (FAISS
+  OPQ+IVFPQ+RefineFlat) — 0.518 / 0.392 at fixture / sf0.1: OPQ's
+  unrefined 2x code gain largely washes out through the exact rerank
+  (the rerank budget, not code quality, binds at C = 40(d-1)).
 
 All three are ADC-table-shaped scans (no unrolled beam replay), so the
 20x panel is near-free on both engines — the oracle replays the OPQ
@@ -149,7 +154,14 @@ def _pq_panel_oracle() -> str:
     # point (nprobe=2, shortlist 15) and the r11 'ivfpq_refined'
     # digit-scaled one (nprobe = d-1, shortlist 40(d-1) from the sz
     # scalar subquery — the exact-rerank REFINE stage, wave-74)
-    def _ivfadc_ctes(px: str, nprobe_sql: str, shortlist_sql: str) -> str:
+    def _ivfadc_ctes(
+        px: str,
+        nprobe_sql: str,
+        shortlist_sql: str,
+        codes_union: str = None,
+        lut_name: str = "nat_lut",
+    ) -> str:
+        codes_sql = codes_union if codes_union is not None else nat_codes
         return f"""
         {px}_probes AS MATERIALIZED (
             SELECT query_id, probe_cell FROM (
@@ -173,8 +185,8 @@ def _pq_panel_oracle() -> str:
                     FROM {px}_probes p
                     JOIN assigned v
                       ON v.cell = p.probe_cell AND v.vec_id <> p.query_id
-                    JOIN ({nat_codes}) cd ON cd.vec_id = v.vec_id
-                    JOIN nat_lut l
+                    JOIN ({codes_sql}) cd ON cd.vec_id = v.vec_id
+                    JOIN {lut_name} l
                       ON l.query_id = p.query_id
                      AND l.m = cd.m AND l.code = cd.code
                     GROUP BY p.query_id, v.vec_id
@@ -206,9 +218,14 @@ def _pq_panel_oracle() -> str:
         _ivfadc_ctes("ppq", str(IVFPQ_NPROBE), str(IVFPQ_SHORTLIST))
         + ",\n"
         + _ivfadc_ctes("rpq", IVF_NPROBE_SQL, REFINE_SHORTLIST_SQL)
+        + ",\n"
+        + _ivfadc_ctes(
+            "rop", IVF_NPROBE_SQL, REFINE_SHORTLIST_SQL, opq_codes, "opq_lut"
+        )
     )
     ivfpq_tier = _ivfadc_tier("ppq", "ivfpq")
     refined_tier = _ivfadc_tier("rpq", "ivfpq_refined")
+    opq_refined_tier = _ivfadc_tier("rop", "opq_refined")
     return (
         "WITH RECURSIVE "
         + ", ".join(_opq_replay_parts())
@@ -222,7 +239,8 @@ def _pq_panel_oracle() -> str:
         t_pq_adc AS MATERIALIZED ({_adc_tier_sql('pq_adc', nat_codes, 'nat_lut')}),
         t_opq_adc AS MATERIALIZED ({_adc_tier_sql('opq_adc', opq_codes, 'opq_lut')}),
         t_ivfpq AS MATERIALIZED ({ivfpq_tier}),
-        t_ivfpq_refined AS MATERIALIZED ({refined_tier})
+        t_ivfpq_refined AS MATERIALIZED ({refined_tier}),
+        t_opq_refined AS MATERIALIZED ({opq_refined_tier})
         SELECT tier, n_queries, n_hits,
                CAST(n_hits AS DOUBLE) / ({N_PANEL} * {PANEL_K})
                    AS recall_at_5
@@ -231,6 +249,7 @@ def _pq_panel_oracle() -> str:
             UNION ALL SELECT * FROM t_opq_adc
             UNION ALL SELECT * FROM t_ivfpq
             UNION ALL SELECT * FROM t_ivfpq_refined
+            UNION ALL SELECT * FROM t_opq_refined
         )
         """
     )
@@ -281,6 +300,10 @@ def _pq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_refined_panel_result_table,
     )
 
+    from weather_flink_spark.plans.analytics_wave74 import (
+        opq_refined_panel_result_table,
+    )
+
     rows = [
         _tier_row("pq_adc", nat_top, gt),
         _tier_row("opq_adc", opq_top, gt),
@@ -288,6 +311,11 @@ def _pq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tier_row(
             "ivfpq_refined",
             ivfpq_refined_panel_result_table(spark, sf_dir),
+            gt,
+        ),
+        _tier_row(
+            "opq_refined",
+            opq_refined_panel_result_table(spark, sf_dir),
             gt,
         ),
     ]

@@ -2,7 +2,7 @@
 operating-point table an index-selection job reads (r9 verdict task
 #5).
 
-With eleven searcher tiers each reporting panel recall, the missing
+With twelve searcher tiers each reporting panel recall, the missing
 artifact was the joined view a capacity planner actually uses: for
 every tier, WHAT recall does it buy at WHAT scan cost and WHAT index
 footprint. ``q_sim_tier_frontier`` emits one row per tier:
@@ -228,6 +228,10 @@ def _frontier_oracle() -> str:
                (SELECT c FROM icands),
                CAST({N_PANEL} * {REFINE_SHORTLIST_SQL} AS BIGINT),
                CAST({_BYTES_IVFPQ} AS BIGINT)
+        UNION ALL SELECT 'opq_refined', 'measured',
+               (SELECT c FROM icands),
+               CAST({N_PANEL} * {REFINE_SHORTLIST_SQL} AS BIGINT),
+               CAST({_BYTES_IVFPQ} AS BIGINT)
         UNION ALL SELECT 'flat_graph', 'provisioned',
                CAST({N_PANEL} * {flat_budget} AS BIGINT),
                CAST({N_PANEL} * {flat_budget} AS BIGINT),
@@ -257,7 +261,7 @@ def _frontier_oracle() -> str:
     "q_sim_tier_frontier",
     oracle=_frontier_oracle(),
     doc=(
-        "Recall-vs-cost frontier over all eleven searcher tiers (r10, r9 "
+        "Recall-vs-cost frontier over all twelve searcher tiers (r10, r9 "
         "verdict task #5): panel recall@5 joined with each tier's "
         "scan cost (total candidate evaluations + total full-precision "
         "vector reads across the 100-query panel; measured from data "
@@ -334,6 +338,13 @@ def q_sim_tier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfpq", "measured", icand2, N_PANEL * IVFPQ_SHORTLIST, _BYTES_IVFPQ),
         (
             "ivfpq_refined",
+            "measured",
+            icands,
+            N_PANEL * refine_shortlist(d),
+            _BYTES_IVFPQ,
+        ),
+        (
+            "opq_refined",
             "measured",
             icands,
             N_PANEL * refine_shortlist(d),

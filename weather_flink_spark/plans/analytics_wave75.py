@@ -32,10 +32,11 @@ manifest and executes the pruned scan at row-group granularity.
    adds blooms); range probes on l_orderkey prune by ZONE overlap
    ([mn, mx] vs [lo, hi] — exactly where sort-key zones shine). The
    surviving (file, row_group) list is decided BEFORE any read.
-4. SCAN: each probe's lookup is a DISTRIBUTED read of only the
-   surviving row groups (``mapInPandas`` over the (path, rg) task
-   list; pyarrow ``read_row_group`` with column pruning) — a probe
-   surviving nowhere never touches storage. Each output row reports
+4. SCAN: ONE distributed pass serves every probe's pruned lookup
+   (``mapInPandas`` over (probe, file, surviving-rg-list) task rows;
+   pyarrow ``read_row_groups`` with column pruning; per-probe counts
+   grouped back) — the batch-lookup-service shape; a probe surviving
+   nowhere never appears in the pass at all. Each output row reports
    (n_rgs_total, n_rgs_read, n_rows_scanned, n_rows_found) where
    ``n_rows_scanned`` is counted FROM THE EXECUTED READ (rows
    materialized before the predicate), and the oracle recomputes the
@@ -213,29 +214,43 @@ def _point_positions(spark: SparkSession, bits: int) -> dict[int, list[int]]:
     }
 
 
-def _pruned_read(
+def _pruned_read_all(
     spark: SparkSession,
     layout_dir: str,
-    keep: list[tuple[int, int]],
-    pred_sql: str,
+    probes: list[tuple[str, int, int, list[tuple[int, int]]]],
 ) -> DataFrame:
-    """DISTRIBUTED read of exactly the surviving row groups: one task
-    row per FILE carrying its surviving row-group list (one pyarrow
-    file open per file, ``read_row_groups`` with column pruning);
-    returns 1 row (n_rows_scanned, n_rows_found) counted FROM THE
-    EXECUTED READ."""
-    by_file: dict[int, list[int]] = {}
-    for fid, rg in keep:
-        by_file.setdefault(fid, []).append(rg)
-    tasks = spark.createDataFrame(
-        [
-            (
-                os.path.join(layout_dir, f"file_id={fid}", "part-0.parquet"),
-                sorted(rgs),
+    """ONE distributed scan pass serving EVERY probe's pruned lookup —
+    the batch-lookup-service shape (r11: the first cut launched one
+    Spark job per probe; at 7 probes that is 7x the job overhead for
+    the same bytes). Task rows are (probe, file, surviving-rg-list):
+    one pyarrow file open per (probe, file), ``read_row_groups`` with
+    column pruning, per-probe (scanned, found) counted FROM THE
+    EXECUTED READ and grouped back per probe."""
+    task_rows = []
+    for kind, lo, hi, keep in probes:
+        by_file: dict[int, list[int]] = {}
+        for fid, rg in keep:
+            by_file.setdefault(fid, []).append(rg)
+        pred = (
+            f"l_partkey = {lo}"
+            if kind == "point"
+            else f"l_orderkey BETWEEN {lo} AND {hi}"
+        )
+        for fid, rgs in sorted(by_file.items()):
+            task_rows.append(
+                (
+                    kind,
+                    lo,
+                    hi,
+                    pred,
+                    os.path.join(layout_dir, f"file_id={fid}", "part-0.parquet"),
+                    sorted(rgs),
+                )
             )
-            for fid, rgs in sorted(by_file.items())
-        ],
-        "path string, rgs array<int>",
+    tasks = spark.createDataFrame(
+        task_rows,
+        "probe_kind string, probe_lo bigint, probe_hi bigint, "
+        "pred string, path string, rgs array<int>",
     )
 
     def read_rgs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,18 +258,39 @@ def _pruned_read(
         import pyarrow.parquet as pq
 
         for batch in batches:
-            for path, rgs in zip(batch["path"], batch["rgs"]):
+            for kind, lo, hi, pred, path, rgs in zip(
+                batch["probe_kind"],
+                batch["probe_lo"],
+                batch["probe_hi"],
+                batch["pred"],
+                batch["path"],
+                batch["rgs"],
+            ):
                 t = pq.ParquetFile(path).read_row_groups(
                     [int(r) for r in rgs], columns=["l_orderkey", "l_partkey"]
                 )
-                found = duckdb.arrow(t).filter(pred_sql).count("*").fetchone()[0]
+                found = duckdb.arrow(t).filter(pred).count("*").fetchone()[0]
                 yield pd.DataFrame(
-                    {"scanned": [t.num_rows], "found": [int(found)]}
+                    {
+                        "probe_kind": [kind],
+                        "probe_lo": [lo],
+                        "probe_hi": [hi],
+                        "scanned": [t.num_rows],
+                        "found": [int(found)],
+                    }
                 )
 
-    return tasks.mapInPandas(read_rgs, "scanned bigint, found bigint").agg(
-        F.sum("scanned").cast("bigint").alias("n_rows_scanned"),
-        F.sum("found").cast("bigint").alias("n_rows_found"),
+    return (
+        tasks.mapInPandas(
+            read_rgs,
+            "probe_kind string, probe_lo bigint, probe_hi bigint, "
+            "scanned bigint, found bigint",
+        )
+        .groupBy("probe_kind", "probe_lo", "probe_hi")
+        .agg(
+            F.sum("scanned").cast("bigint").alias("n_rows_scanned"),
+            F.sum("found").cast("bigint").alias("n_rows_found"),
+        )
     )
 
 
@@ -292,32 +328,30 @@ def run_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             key for key in all_rgs if zones[key][0] <= hi and zones[key][1] >= lo
         ]
         probes.append(("range", lo, hi, keep))
-    rows = []
-    for kind, lo, hi, keep in probes:
-        head = spark.createDataFrame(
-            [(kind, lo, hi, len(all_rgs), len(keep))],
-            "probe_kind string, probe_lo bigint, probe_hi bigint, "
-            "n_rgs_total bigint, n_rgs_read bigint",
+    # one head row per probe (totals + the BEFORE-read skip decision);
+    # probes pruned everywhere never appear in the scan pass at all
+    head = spark.createDataFrame(
+        [(kind, lo, hi, len(all_rgs), len(keep)) for kind, lo, hi, keep in probes],
+        "probe_kind string, probe_lo bigint, probe_hi bigint, "
+        "n_rgs_total bigint, n_rgs_read bigint",
+    )
+    surviving = [p for p in probes if p[3]]
+    scanned = _pruned_read_all(spark, layout, surviving)
+    return (
+        head.join(
+            F.broadcast(scanned), ["probe_kind", "probe_lo", "probe_hi"], "left"
         )
-        if keep:
-            pred = (
-                f"l_partkey = {lo}"
-                if kind == "point"
-                else f"l_orderkey BETWEEN {lo} AND {hi}"
-            )
-            rows.append(head.crossJoin(_pruned_read(spark, layout, keep, pred)))
-        else:  # pruned everywhere: the lookup never touches storage
-            rows.append(
-                head.select(
-                    "*",
-                    F.lit(0).cast("bigint").alias("n_rows_scanned"),
-                    F.lit(0).cast("bigint").alias("n_rows_found"),
-                )
-            )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        .fillna(0, subset=["n_rows_scanned", "n_rows_found"])
+        .select(
+            "probe_kind",
+            "probe_lo",
+            "probe_hi",
+            "n_rgs_total",
+            "n_rgs_read",
+            "n_rows_scanned",
+            "n_rows_found",
+        )
+    )
 
 
 _POINT_LIST = ", ".join(str(p) for p in RG_POINT_PROBES)

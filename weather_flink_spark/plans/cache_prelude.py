@@ -99,6 +99,10 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "ivfpq_refined_result_panel": (
             analytics_wave74.ivfpq_refined_panel_result_table
         ),
+        "opq_refined_ann_result": _registry_fn("q_sim_ann_opq_refined"),
+        "opq_refined_result_panel": (
+            analytics_wave74.opq_refined_panel_result_table
+        ),
         "ivfpq_result_panel": analytics_wave70.ivfpq_panel_result_table,
         "kmeans_final": analytics_wave4.kmeans_final_assignment,
         "knn_edges": analytics_wave20.knn_edges_table,
