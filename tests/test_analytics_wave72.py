@@ -19,6 +19,8 @@ ALL_TIERS = {
     "ivfpq",
     "ivfpq_refined",
     "opq_refined",
+    "pq8_adc",
+    "pq8_refined",
     "flat_graph",
     "hnsw",
 }

@@ -2,7 +2,7 @@
 operating-point table an index-selection job reads (r9 verdict task
 #5).
 
-With twelve searcher tiers each reporting panel recall, the missing
+With fourteen searcher tiers each reporting panel recall, the missing
 artifact was the joined view a capacity planner actually uses: for
 every tier, WHAT recall does it buy at WHAT scan cost and WHAT index
 footprint. ``q_sim_tier_frontier`` emits one row per tier:
@@ -62,6 +62,7 @@ _BYTES_B256 = 32  # 4 packed words
 _BYTES_IVF = 8  # cell id
 _BYTES_PQ = 2  # 4 codes x 4 bits (16 codewords)
 _BYTES_IVFPQ = 10  # PQ codes + cell id
+_BYTES_PQ8 = 4  # 4 codes x 8 bits (256 codewords, the r11 wave-77 width)
 
 
 def _graph_budgets(d: int) -> tuple[int, int]:
@@ -146,6 +147,7 @@ def _frontier_oracle() -> str:
     )
     from weather_flink_spark.plans.analytics_wave58 import _graph_panel_oracle
     from weather_flink_spark.plans.analytics_wave70 import _pq_panel_oracle
+    from weather_flink_spark.plans.analytics_wave77 import _pq8_panel_oracle
     from weather_flink_spark.plans.llm_extra import ivf_assigned_cte
 
     d = "(SELECT d FROM sz)"
@@ -232,6 +234,14 @@ def _frontier_oracle() -> str:
                (SELECT c FROM icands),
                CAST({N_PANEL} * {REFINE_SHORTLIST_SQL} AS BIGINT),
                CAST({_BYTES_IVFPQ} AS BIGINT)
+        UNION ALL SELECT 'pq8_adc', 'measured',
+               CAST({scan_all} AS BIGINT),
+               CAST(0 AS BIGINT),
+               CAST({_BYTES_PQ8} AS BIGINT)
+        UNION ALL SELECT 'pq8_refined', 'measured',
+               CAST({scan_all} AS BIGINT),
+               CAST({N_PANEL} * {REFINE_SHORTLIST_SQL} AS BIGINT),
+               CAST({_BYTES_PQ8} AS BIGINT)
         UNION ALL SELECT 'flat_graph', 'provisioned',
                CAST({N_PANEL} * {flat_budget} AS BIGINT),
                CAST({N_PANEL} * {flat_budget} AS BIGINT),
@@ -249,6 +259,7 @@ def _frontier_oracle() -> str:
             SELECT tier, recall_at_5 FROM ({_panel_oracle()})
             UNION ALL SELECT tier, recall_at_5 FROM ({_graph_panel_oracle()})
             UNION ALL SELECT tier, recall_at_5 FROM ({_pq_panel_oracle()})
+            UNION ALL SELECT tier, recall_at_5 FROM ({_pq8_panel_oracle()})
             UNION ALL SELECT 'exhaustive' AS tier,
                    CAST((WITH {panel_exact_cte()}
                          SELECT COUNT(*) FROM panel_exact) AS DOUBLE)
@@ -261,7 +272,7 @@ def _frontier_oracle() -> str:
     "q_sim_tier_frontier",
     oracle=_frontier_oracle(),
     doc=(
-        "Recall-vs-cost frontier over all twelve searcher tiers (r10, r9 "
+        "Recall-vs-cost frontier over all fourteen searcher tiers (r10, r9 "
         "verdict task #5): panel recall@5 joined with each tier's "
         "scan cost (total candidate evaluations + total full-precision "
         "vector reads across the 100-query panel; measured from data "
@@ -319,6 +330,11 @@ def q_sim_tier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .fn(spark, sf_dir)
             .select("tier", "recall_at_5")
         )
+        .unionByName(
+            specs["q_sim_recall_panel_pq8"]
+            .fn(spark, sf_dir)
+            .select("tier", "recall_at_5")
+        )
         .unionByName(exhaustive)
     )
     rows = [
@@ -349,6 +365,14 @@ def q_sim_tier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             icands,
             N_PANEL * refine_shortlist(d),
             _BYTES_IVFPQ,
+        ),
+        ("pq8_adc", "measured", scan_all, 0, _BYTES_PQ8),
+        (
+            "pq8_refined",
+            "measured",
+            scan_all,
+            N_PANEL * refine_shortlist(d),
+            _BYTES_PQ8,
         ),
         (
             "flat_graph",

@@ -1,0 +1,305 @@
+"""Wave-77 operator (round 11): 8-BIT PQ codes + refine — the FAISS
+default code width, closing the PQ footprint axis.
+
+The r10/r11 PQ story so far: 4-bit codes (16 codewords/subspace, 2 B/
+vector) are the measured recall floor (pq_adc 0.050 at sf0.1); the r11
+refine stage lifts them to 0.388. The industry-standard operating
+point is 8-BIT codes — 256 codewords per subspace, 4 B/vector — and
+the question the frontier couldn't answer was: what does the standard
+width buy at the same digit-scaled rerank budget?
+
+``q_sim_recall_panel_pq8`` answers it with two panel rows on the SAME
+100-query ground truth as every other panel:
+
+- ``pq8_adc``     — brute-force ADC over the 8-bit codes, top-5
+  directly (4 lookups into a 100 x 256 x 4 exact-decimal LUT);
+- ``pq8_refined`` — ADC shortlist C = 40(d-1) (the wave-74 budget)
+  exactly re-ranked by true cosine.
+
+Measured: fixture 0.240 / 0.936; sf0.1 0.176 / **0.702** — 8-bit
+codes + refine land within 0.034 of the exhaustive binary256 scan
+(0.736) at 1/8 its index footprint (4 B vs 32 B), while 8-bit ADC
+ALONE still reads under binary64 (0.326): across every code width the
+rerank budget, not the code, is what converts approximate ordering
+into recall (the wave-74/76 finding, now measured at the standard
+width too).
+
+Codebook rule: the first 256 corpus vectors' subvectors (the wave-13
+first-KC convention at the standard width). At the 500-row fixture
+that is half the corpus — codebook-resident vectors quantize to
+themselves, which inflates fixture ADC recall (0.240 vs 0.124 for
+4-bit; stated, not hidden); the honest read is sf0.1 where the
+codebook is 12.8% of the corpus. Parity: 6dp-quantized DECIMAL
+subspace distances end to end (code argmin and LUT exact on both
+engines), float cosine only in the final rerank fold.
+
+Scale: the code table is one corpus x 256 broadcast argmin per
+subspace (an index-build job, session-cached like pq_codes); serving
+cost is 4 LUT lookups per candidate — identical arithmetic to the
+4-bit tiers, 16x the LUT rows (still a broadcast: 100 x 256 x 4
+decimals); full-precision reads bounded at |queries| x C.
+
+Reference parity note: the reference implements no similarity search
+(empty plan body, ``WeatherProcessingJobPlan.java:9-11``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_flink_spark.io import load
+from weather_flink_spark.plans.analytics_wave13 import (
+    _PQ_M,
+    _pq_dist_spark,
+)
+from weather_flink_spark.plans.analytics_wave20 import SZ_CTE, corpus_digits
+from weather_flink_spark.plans.analytics_wave56 import N_PANEL, PANEL_K
+from weather_flink_spark.plans.analytics_wave74 import (
+    REFINE_SHORTLIST_SQL,
+    refine_shortlist,
+)
+from weather_flink_spark.plans.registry import register
+
+PQ8_KC = 256  # codewords per subspace: the 8-bit / FAISS-default width
+
+
+def pq8_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached 8-bit PQ code index: (vec_id, code_0..3) over the
+    256-codeword codebook (first PQ8_KC vectors' subvectors, exact-
+    decimal argmin per subspace — the wave-13 build at the standard
+    width)."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings")
+        code = e.filter(F.col("vec_id") < PQ8_KC).select(
+            F.col("vec_id").alias("code"), F.col("embedding").alias("c_emb")
+        )
+        joined = e.select("vec_id", "embedding").join(F.broadcast(code))
+        out = None
+        for m in range(_PQ_M):
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("d2").asc(), F.col("code").asc()
+            )
+            a = (
+                joined.select(
+                    "vec_id", "code", F.expr(_pq_dist_spark(m)).alias("d2")
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .where("rn = 1")
+                .select("vec_id", F.col("code").alias(f"code_{m}"))
+            )
+            out = a if out is None else out.join(a, "vec_id")
+        res = out.persist()
+        res.count()
+        return res
+
+    return _cached("pq8_codes", spark, sf_dir, build)
+
+
+def _pq8_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.analytics_wave25 import (
+        _adc_topk,
+        adc_lut,
+        pq_codes_long,
+    )
+    from weather_flink_spark.plans.analytics_wave56 import (
+        exact_topk_panel_table,
+    )
+    from weather_flink_spark.plans.analytics_wave58 import _tier_row
+    from weather_flink_spark.plans.llm_pipeline import dot_col, emb_table
+    from weather_flink_spark.operators import pca
+
+    gt = exact_topk_panel_table(spark, sf_dir)
+    e_q = pca.quantize_embeddings(
+        load(spark, sf_dir, "embeddings"), "embedding", dim=64
+    ).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("decimal(12,6)")).alias(
+            "q6"
+        ),
+    )
+    q = e_q.filter(F.col("vec_id") < N_PANEL).select(
+        F.col("vec_id").alias("query_id"), F.col("q6").alias("qv")
+    )
+    cb = e_q.filter(F.col("vec_id") < PQ8_KC).select(
+        F.col("vec_id").alias("code"), F.col("q6").alias("cv")
+    )
+    codes_long = pq_codes_long(pq8_codes_table(spark, sf_dir))
+    lut = adc_lut(q, cb)
+    # brute ADC top-5 (the wave-25 kernel; _ADC_K == PANEL_K == 5)
+    adc_top5 = _adc_topk(codes_long, lut)
+    # refined: ADC shortlist C(d), exact cosine rerank to top-5
+    d = corpus_digits(spark, sf_dir)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        codes_long.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc"))
+        .withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= refine_shortlist(d))
+        .select("query_id", "vec_id")
+    )
+    emb = emb_table(spark, sf_dir)  # (vec_id, demb double[], nrm)
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("demb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    vv = emb.select("vec_id", "demb", "nrm")
+    cos = dot_col(F.col("q_emb"), F.col("demb")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    refined = (
+        short.join(qv, "query_id")
+        .join(vv, "vec_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("k", F.row_number().over(w_rank))
+        .where(F.col("k") <= PANEL_K)
+        .select("query_id", "vec_id")
+    )
+    out = _tier_row("pq8_adc", adc_top5, gt).unionByName(
+        _tier_row("pq8_refined", refined, gt)
+    )
+    return out
+
+
+def _pq8_panel_oracle() -> str:
+    from weather_flink_spark.operators.opq import OPQ_M
+    from weather_flink_spark.plans.analytics_wave13 import _pq_dist_duck
+    from weather_flink_spark.plans.analytics_wave25 import _dist_q6_duck
+    from weather_flink_spark.plans.analytics_wave56 import panel_exact_cte
+    from weather_flink_spark.plans.llm_extra import _cos_duck
+
+    # 8-bit code assignment: argmin over the 256-codeword book per
+    # subspace (the wave-13/15 nested-alias-rank discipline)
+    pq_parts = []
+    for m in range(OPQ_M):
+        d2 = _pq_dist_duck(m).replace("v.embedding", "v.embedding")
+        pq_parts.append(
+            f"""p8_{m} AS MATERIALIZED (
+                SELECT vec_id, code FROM (
+                    SELECT vec_id, code,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY d2 ASC, code ASC) AS rn
+                    FROM (
+                        SELECT v.vec_id, c.vec_id AS code, {d2} AS d2
+                        FROM embeddings v
+                        JOIN embeddings c ON c.vec_id < {PQ8_KC}
+                    )
+                ) WHERE rn = 1
+            )"""
+        )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code FROM p8_{m}" for m in range(OPQ_M)
+    )
+    lut = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {m} AS m, c.vec_id AS code,
+                   {_dist_q6_duck('q.embedding', 'c.embedding', m)} AS d2q
+            FROM embeddings q JOIN embeddings c ON c.vec_id < {PQ8_KC}
+            WHERE q.vec_id < {N_PANEL}"""
+        for m in range(OPQ_M)
+    )
+    return f"""
+        WITH {SZ_CTE},
+        {",".join(pq_parts)},
+        {panel_exact_cte()},
+        lut8 AS MATERIALIZED ({lut}),
+        adc8 AS MATERIALIZED (
+            SELECT l.query_id, cd.vec_id, SUM(l.d2q) AS adc
+            FROM ({codes_union}) cd
+            JOIN lut8 l ON l.m = cd.m AND l.code = cd.code
+            WHERE cd.vec_id <> l.query_id
+            GROUP BY l.query_id, cd.vec_id
+        ),
+        t_adc AS (
+            SELECT 'pq8_adc' AS tier,
+                   CAST({N_PANEL} AS BIGINT) AS n_queries,
+                   CAST((
+                       SELECT COUNT(*) FROM panel_exact e
+                       JOIN (
+                           SELECT query_id, vec_id FROM (
+                               SELECT query_id, vec_id,
+                                      ROW_NUMBER() OVER (
+                                          PARTITION BY query_id
+                                          ORDER BY adc ASC, vec_id ASC) AS rk
+                               FROM adc8
+                           ) WHERE rk <= {PANEL_K}
+                       ) t ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+                   ) AS BIGINT) AS n_hits
+        ),
+        t_ref AS (
+            SELECT 'pq8_refined' AS tier,
+                   CAST({N_PANEL} AS BIGINT) AS n_queries,
+                   CAST((
+                       SELECT COUNT(*) FROM panel_exact e
+                       JOIN (
+                           SELECT query_id, vec_id FROM (
+                               SELECT s.query_id, s.vec_id,
+                                      ROW_NUMBER() OVER (
+                                          PARTITION BY s.query_id
+                                          ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
+                                                   s.vec_id ASC) AS k
+                               FROM (
+                                   SELECT query_id, vec_id FROM (
+                                       SELECT query_id, vec_id,
+                                              ROW_NUMBER() OVER (
+                                                  PARTITION BY query_id
+                                                  ORDER BY adc ASC,
+                                                           vec_id ASC) AS rk
+                                       FROM adc8
+                                   ) WHERE rk <= {REFINE_SHORTLIST_SQL}
+                               ) s
+                               JOIN embeddings q ON q.vec_id = s.query_id
+                               JOIN embeddings v ON v.vec_id = s.vec_id
+                           ) WHERE k <= {PANEL_K}
+                       ) t ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+                   ) AS BIGINT) AS n_hits
+        )
+        SELECT tier, n_queries, n_hits,
+               CAST(n_hits AS DOUBLE) / ({N_PANEL} * {PANEL_K})
+                   AS recall_at_5
+        FROM (SELECT * FROM t_adc UNION ALL SELECT * FROM t_ref)
+    """
+
+
+@register(
+    "q_sim_recall_panel_pq8",
+    oracle=_pq8_panel_oracle(),
+    doc=(
+        "100-query recall@5 panel rows for 8-BIT PQ codes (r11): "
+        "brute-force ADC over the 256-codeword/subspace code table "
+        "(pq8_adc) and the digit-scaled C = 40(d-1) exact-rerank "
+        "refine stage over the same shortlist (pq8_refined), scored "
+        "on the SAME shared panel ground truth as every other panel. "
+        "Measured: fixture 0.240 / 0.936, sf0.1 0.176 / 0.702 — the "
+        "FAISS-default code width + refine lands within 0.034 of the "
+        "exhaustive binary256 scan at 1/8 its footprint (4 B vs "
+        "32 B), while 8-bit ADC alone still reads under binary64: at "
+        "every code width the rerank budget, not the code, converts "
+        "approximate ordering into recall. Fixture caveat stated in "
+        "the module doc: the 256-codebook covers half the 500-row "
+        "fixture corpus. Oracle replays the code argmin, the "
+        "100x256x4 LUT, both scans, the rerank, and the ground truth "
+        "in one SQL with the widths from the sz scalar subquery."
+    ),
+    tags=("similarity", "ann", "pq", "evaluation"),
+)
+def q_sim_recall_panel_pq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    # 2-row result cached per session: the frontier re-reads these rows
+    return _cached(
+        "panel_rows_pq8",
+        spark,
+        sf_dir,
+        lambda: _pq8_panel(spark, sf_dir).localCheckpoint(),
+    )

@@ -62,6 +62,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         analytics_wave70,
         analytics_wave74,
         analytics_wave75,
+        analytics_wave77,
         corpus_extra,
         llm_extra,
         llm_pipeline,
@@ -116,7 +117,9 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "pairs": llm_pipeline.near_dup_pairs,
         "panel_rows_bin": _registry_fn("q_sim_recall_panel"),
         "panel_rows_pq": _registry_fn("q_sim_recall_panel_pq"),
+        "panel_rows_pq8": _registry_fn("q_sim_recall_panel_pq8"),
         "pca_power_model": llm_wave5.pca_power_model,
+        "pq8_codes": analytics_wave77.pq8_codes_table,
         "pq_codes": analytics_wave13.pq_codes_table,
         "pr_graph": analytics_extra._pr_graph,
         "rowgroup_layout": analytics_wave75.rowgroup_layout_and_manifest,

@@ -144,6 +144,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave74,
         analytics_wave75,
         analytics_wave76,
+        analytics_wave77,
         streaming_queries,
     )
 
