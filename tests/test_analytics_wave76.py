@@ -39,9 +39,8 @@ def test_lossy_roundtrip_is_lossy_and_bounded():
         w, h, src, gray = _fixture(d, f"Lossy fixture doc {d} payload {d * 13}")
         parsed = dct_parse(dct_encode(w, h, src))
         assert parsed is not None
-        pw, ph, quant, block = parsed
+        pw, ph, quant, recon = parsed
         assert (pw, ph) == (w, h)
-        recon = [block[r * 8 + c] for r in range(h) for c in range(w)]
         err = max(abs(a - b) for a, b in zip(gray, recon))
         worst = max(worst, err)
         assert err <= 64, (d, err)  # bounded reconstruction
@@ -74,9 +73,10 @@ def test_quantize_reconstruct_are_pure_integer_and_deterministic():
     w, h, src, gray = _fixture(3, "determinism probe text")
     assert dct_encode(w, h, src) == dct_encode(w, h, src)
     quant = dct_quantize(gray, w, h)
-    _, _, quant2, block2 = dct_parse(dct_encode(w, h, src))
+    _, _, quant2, recon2 = dct_parse(dct_encode(w, h, src))
     assert quant == quant2
-    assert block2 == dct_reconstruct(quant)
+    block = dct_reconstruct(quant)
+    assert recon2 == [block[r * 8 + c] for r in range(h) for c in range(w)]
 
 
 def test_dedup_tier_survival_profile_across_lossy_lossless():
@@ -92,8 +92,7 @@ def test_dedup_tier_survival_profile_across_lossy_lossless():
     n = 100
     for d in range(n):
         w, h, src, gray = _fixture(d, f"Lorem ipsum doc {d} with variety {d * 13} payload")
-        _, _, _, block = dct_parse(dct_encode(w, h, src))
-        recon = [block[r * 8 + c] for r in range(h) for c in range(w)]
+        _, _, _, recon = dct_parse(dct_encode(w, h, src))
         hams = {
             "ahash": bin(_intens_ahash(gray, w, h) ^ _intens_ahash(recon, w, h)).count("1"),
             "dhash": bin(_intens_dhash(gray, w, h) ^ _intens_dhash(recon, w, h)).count("1"),
@@ -127,8 +126,7 @@ def test_decode_entry_values(spark):
     ).fetchall()
     for doc_id, text in docs:
         w, h, src, gray = _fixture(doc_id, text)
-        _, _, quant, block = dct_parse(dct_encode(w, h, src))
-        recon = [block[r * 8 + c] for r in range(h) for c in range(w)]
+        _, _, quant, recon = dct_parse(dct_encode(w, h, src))
         r = rows[doc_id]
         assert (r.width, r.height) == (w, h)
         assert r.dc_quant == quant[0]
@@ -139,3 +137,96 @@ def test_decode_entry_values(spark):
             _intens_ahash(gray, w, h) ^ _intens_ahash(recon, w, h)
         ).count("1")
         assert r.ahash_hamming <= 3
+
+def test_multiblock_tiling_roundtrip_and_assembly():
+    """The general tiling: multi-tile images reconstruct with the same
+    bounded loss; the assembled raster's tile seams follow the indexing
+    rule exactly (each pixel comes from ITS tile's reconstruction);
+    single-tile behavior is the old path bit-for-bit."""
+    from weather_flink_spark.operators.multimodal import (
+        dct_n_tiles,
+        dct_quantize,
+    )
+
+    for w, h in [(9, 6), (16, 10), (12, 9), (20, 3), (3, 20)]:
+        src = f"multi-block {w}x{h} payload with variety".encode()
+        gray = [src[i % len(src)] for i in range(w * h)]
+        pw, ph, quant, recon = dct_parse(dct_encode(w, h, src))
+        n_br, n_bc = dct_n_tiles(w, h)
+        assert (pw, ph) == (w, h)
+        assert n_br * n_bc >= 2  # genuinely multi-tile
+        assert len(quant) == 64 * n_br * n_bc and len(recon) == w * h
+        assert max(abs(a - b) for a, b in zip(gray, recon)) <= 64
+        # per-tile coefficients match an independent per-tile forward
+        for br in range(n_br):
+            for bc in range(n_bc):
+                t = br * n_bc + bc
+                assert quant[64 * t : 64 * (t + 1)] == dct_quantize(
+                    gray, w, h, br, bc
+                ), (w, h, br, bc)
+        # assembled raster indexes blocks row-major per tile
+        blocks = [
+            dct_reconstruct(quant[64 * t : 64 * (t + 1)])
+            for t in range(n_br * n_bc)
+        ]
+        for r in range(h):
+            for c in range(w):
+                assert (
+                    recon[r * w + c]
+                    == blocks[(r // 8) * n_bc + (c // 8)][(r % 8) * 8 + c % 8]
+                )
+
+
+def test_tiled_entry_values_and_honest_drift_distribution(spark):
+    """Tiled-entry sanity: 500 rows at the bigger dims rule, every
+    image multi-tile, audit columns match a local recompute. The
+    honest multi-block finding is pinned as a DISTRIBUTION, not a
+    per-doc claim: on larger text-noise images the ahash tier drifts
+    MORE (median ~4.8% of bits, p-max 15%) than on the tiny
+    single-block fixtures (<=2 absolute bits) — lossy dedup pairing
+    measurably degrades as adversarial (pixel-noise) images grow,
+    which is exactly what a 100 TB curation pipeline must budget for
+    (real photos are smooth and quantize far better; stated in the
+    module doc)."""
+    from weather_flink_spark.operators.multimodal import dct_n_tiles
+
+    rows = {
+        r.doc_id: r
+        for r in all_specs()["q_multimodal_decode_dct_tiled"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert len(rows) == 500
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE doc_id < 8"
+    ).fetchall()
+    for doc_id, text in docs:
+        w, h = 9 + doc_id % 8, 6 + doc_id % 5
+        n_br, n_bc = dct_n_tiles(w, h)
+        assert n_br * n_bc >= 2
+        src = text.encode("utf-8")
+        gray = [src[i % len(src)] for i in range(w * h)]
+        _, _, quant, recon = dct_parse(dct_encode(w, h, src))
+        r = rows[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.dc_quant == quant[0]
+        assert r.n_nonzero == sum(1 for q in quant if q != 0)
+        assert r.recon_sum == sum(recon)
+        assert r.max_abs_err == max(abs(a - b) for a, b in zip(gray, recon))
+        assert r.ahash_hamming == bin(
+            _intens_ahash(gray, w, h) ^ _intens_ahash(recon, w, h)
+        ).count("1")
+    # the measured drift distribution (ahash bits differ / total bits):
+    # median ~0.048, 85.6% within the single-block 7.5% threshold,
+    # max 0.15 — pinned one notch loose so data regeneration can move
+    # it without masking a real codec regression
+    rels = sorted(
+        r.ahash_hamming / (r.width * r.height) for r in rows.values()
+    )
+    n = len(rels)
+    assert rels[n // 2] <= 0.06, rels[n // 2]
+    assert sum(1 for x in rels if x <= 0.075) / n >= 0.80
+    assert rels[-1] <= 0.20, rels[-1]
+

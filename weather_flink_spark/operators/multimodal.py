@@ -1177,12 +1177,23 @@ _DCT_W = [
 _DCT_SIG = b"LJ01"
 
 
-def _dct_block(gray: list[int], width: int, height: int) -> list[list[int]]:
-    """The padded 8x8 block: edge-replicated (clamp indexing) so the
-    pad rule is a pure function both engines replay."""
+def _dct_block(
+    gray: list[int],
+    width: int,
+    height: int,
+    br: int = 0,
+    bc: int = 0,
+) -> list[list[int]]:
+    """The padded 8x8 block at tile position (br, bc): edge-replicated
+    (clamp indexing against the IMAGE edge) so the pad rule is a pure
+    function both engines replay. (br, bc) = (0, 0) is the r11 single-
+    block case; larger images tile row-major."""
     return [
         [
-            gray[min(r, height - 1) * width + min(c, width - 1)]
+            gray[
+                min(br * 8 + r, height - 1) * width
+                + min(bc * 8 + c, width - 1)
+            ]
             for c in range(8)
         ]
         for r in range(8)
@@ -1208,17 +1219,24 @@ def _dct_np():
     return _DCT_M_NP, _DCT_QS_NP, _DCT_W_NP
 
 
-def dct_quantize(gray: list[int], width: int, height: int) -> list[int]:
-    """Forward integer DCT + JPEG-table quantization -> 64 coefficients
-    (row-major [u][v]). quant = floor(T/(Q*STEP) + 1/2) computed as
-    (2T + qs) // (2qs) — exact integers end to end (vectorized int64;
-    floor_divide == Python //)."""
+def dct_quantize(
+    gray: list[int], width: int, height: int, br: int = 0, bc: int = 0
+) -> list[int]:
+    """Forward integer DCT + JPEG-table quantization of ONE 8x8 tile ->
+    64 coefficients (row-major [u][v]). quant = floor(T/(Q*STEP) + 1/2)
+    computed as (2T + qs) // (2qs) — exact integers end to end
+    (vectorized int64; floor_divide == Python //)."""
     import numpy as np
 
     M, QS, _ = _dct_np()
-    B = np.array(_dct_block(gray, width, height), dtype=np.int64)
+    B = np.array(_dct_block(gray, width, height, br, bc), dtype=np.int64)
     T = M @ B @ M.T
     return [int(v) for v in np.floor_divide(2 * T + QS, 2 * QS).ravel()]
+
+
+def dct_n_tiles(width: int, height: int) -> tuple[int, int]:
+    """(tile rows, tile cols): ceil-div by the 8x8 block size."""
+    return (height + 7) // 8, (width + 7) // 8
 
 
 def dct_reconstruct(quant: list[int]) -> list[int]:
@@ -1237,12 +1255,29 @@ def dct_reconstruct(quant: list[int]) -> list[int]:
 def dct_encode(width: int, height: int, pixel_source: bytes) -> bytes:
     """Serialize the LJ01 lossy container: magic + >HH dims + a zlib
     frame whose DEFLATE body is the r11 dynamic-Huffman writer over
-    the 64 int16-LE quantized coefficients — the lossy path exercises
-    the full compressed-container stack."""
+    the quantized coefficients — 64 int16-LE per 8x8 tile, tiles
+    row-major (ceil(h/8) x ceil(w/8); one tile for the <=8x8 fixture
+    dims, the general tiling for anything larger)."""
+    import numpy as np
+
     src = pixel_source if pixel_source else b"\x00"
     gray = [src[i % len(src)] for i in range(width * height)]
-    quant = dct_quantize(gray, width, height)
-    raw = b"".join(struct.pack("<h", q) for q in quant)
+    n_br, n_bc = dct_n_tiles(width, height)
+    M, QS, _ = _dct_np()
+    # all tiles in one batched int64 transform (numpy matmul broadcasts
+    # (8,8) @ (T,8,8) @ (8,8)): identical arithmetic to the per-tile
+    # dct_quantize, one numpy dispatch instead of T
+    B = np.array(
+        [
+            _dct_block(gray, width, height, br, bc)
+            for br in range(n_br)
+            for bc in range(n_bc)
+        ],
+        dtype=np.int64,
+    )
+    T = np.matmul(np.matmul(M, B), M.T)
+    quant = np.floor_divide(2 * T + QS, 2 * QS).astype("<i2")
+    raw = quant.tobytes()
     return (
         _DCT_SIG
         + struct.pack(">HH", width, height)
@@ -1252,20 +1287,40 @@ def dct_encode(width: int, height: int, pixel_source: bytes) -> bytes:
 
 def dct_parse(b: bytes):
     """Parse + losslessly decode the LJ01 container: (width, height,
-    quant[64], recon_block[64]) or None (A2 tolerant-decode)."""
+    quant, recon) or None (A2 tolerant-decode). ``quant`` is the full
+    coefficient list (64 per tile, tiles row-major); ``recon`` is the
+    reconstructed width x height raster (row-major, valid pixels only
+    — tile pad regions are dropped on assembly)."""
     try:
         if bytes(b[:4]) != _DCT_SIG:
             return None
         w, h = struct.unpack_from(">HH", b, 4)
-        if not (0 < w <= 8 and 0 < h <= 8):
+        if w == 0 or h == 0:
             return None
+        n_br, n_bc = dct_n_tiles(w, h)
         raw = zlib.decompress(bytes(b[8:]))
-        if len(raw) != 128:
+        if len(raw) != 128 * n_br * n_bc:
             return None
-        quant = [
-            struct.unpack_from("<h", raw, 2 * i)[0] for i in range(64)
+        import numpy as np
+
+        qa = (
+            np.frombuffer(raw, dtype="<i2")
+            .astype(np.int64)
+            .reshape(n_br * n_bc, 8, 8)
+        )
+        M, QS, W = _dct_np()
+        num = np.matmul(np.matmul(M.T, qa * QS * W), M)
+        half = 1 << (_DCT_S - 1)
+        blocks = np.clip(
+            np.floor_divide(num + half, 1 << _DCT_S), 0, 255
+        )
+        quant = [int(v) for v in qa.ravel()]
+        recon = [
+            int(blocks[(r // 8) * n_bc + (c // 8)][r % 8][c % 8])
+            for r in range(h)
+            for c in range(w)
         ]
-        return w, h, quant, dct_reconstruct(quant)
+        return w, h, quant, recon
     except Exception:
         return None
 
@@ -1279,6 +1334,31 @@ def encode_dct_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         for batch in batches:
             payloads = [
                 dct_encode(4 + int(d) % 5, 2 + int(d) % 4, t.encode("utf-8"))
+                for d, t in zip(batch["doc_id"], batch[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": payloads,
+                    "text": batch[text_col],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel, "doc_id bigint, payload binary, text string"
+    )
+
+
+def encode_dct_tiled_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload, text): MULTI-BLOCK LJ01 images — dims rule
+    width 9+doc_id%8 (9..16), height 6+doc_id%5 (6..10), i.e. 2-4
+    8x8 tiles per image — the general tiling the <=8x8 fixture never
+    exercises."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = [
+                dct_encode(9 + int(d) % 8, 6 + int(d) % 5, t.encode("utf-8"))
                 for d, t in zip(batch["doc_id"], batch[text_col])
             ]
             yield pd.DataFrame(
@@ -1311,10 +1391,9 @@ def decode_dct(df: DataFrame) -> DataFrame:
                 if parsed is None:
                     rows.append((int(d), None, None, None, None, None, None, None))
                     continue
-                w, h, quant, block = parsed
+                w, h, quant, recon = parsed
                 src = t.encode("utf-8") or b"\x00"
                 gray = [src[i % len(src)] for i in range(w * h)]
-                recon = [block[r * 8 + c] for r in range(h) for c in range(w)]
                 rows.append(
                     (
                         int(d),

@@ -202,3 +202,164 @@ def q_multimodal_decode_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return decode_dct(encode_dct_payload(d))
+
+def _dct_tiled_oracle() -> str:
+    from weather_flink_spark.operators.multimodal import (
+        _DCT_M,
+        _DCT_Q,
+        _DCT_S,
+        _DCT_STEP,
+        _DCT_W,
+    )
+
+    m = _sql_list([v for row in _DCT_M for v in row])
+    q = _sql_list([v for row in _DCT_Q for v in row])
+    wt = _sql_list([v for row in _DCT_W for v in row])
+    half = 1 << (_DCT_S - 1)
+    den = 1 << _DCT_S
+    # ahash Hamming is counted as per-position bit DISAGREEMENTS (the
+    # tiled rasters run to 160 pixels — past BIGINT shift range, so the
+    # single-block oracle's integer-code xor cannot be used here; the
+    # count of differing bits is the same number).
+    return f"""
+        WITH consts AS (
+            SELECT {m} AS MB, {q} AS QT, {wt} AS WT
+        ),
+        p AS (
+            SELECT doc_id, text,
+                   9 + doc_id % 8 AS w,
+                   6 + doc_id % 5 AS h,
+                   length(text) AS L
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, w, h, w * h AS n,
+                   (w + 7) // 8 AS n_bc,
+                   (h + 7) // 8 AS n_br,
+                   list_transform(range(0, w * h),
+                       i -> CAST(ascii(text[CAST(i % L AS INTEGER) + 1])
+                                 AS BIGINT)) AS gray
+            FROM p
+        ),
+        tiles AS (
+            SELECT doc_id, w, h, n, n_bc, gray,
+                   CAST(ti AS INTEGER) AS ti,
+                   CAST(ti // n_bc AS INTEGER) AS br,
+                   CAST(ti % n_bc AS INTEGER) AS bc
+            FROM g, UNNEST(range(0, n_br * n_bc)) AS t(ti)
+        ),
+        blk AS (
+            SELECT doc_id, w, h, n, n_bc, gray, ti,
+                   list_transform(range(0, 64),
+                       k -> gray[CAST(LEAST(br * 8 + k // 8, h - 1) * w
+                                      + LEAST(bc * 8 + k % 8, w - 1)
+                                  AS INTEGER) + 1]
+                   ) AS B
+            FROM tiles
+        ),
+        qnt AS (
+            SELECT doc_id, w, h, n, n_bc, gray, ti,
+                   list_transform(range(0, 64), uv ->
+                       CAST(FLOOR(CAST(
+                           2 * list_sum(list_transform(range(0, 64), k ->
+                               c.MB[CAST((uv // 8) * 8 + (k // 8) AS INTEGER) + 1]
+                               * B[CAST(k AS INTEGER) + 1]
+                               * c.MB[CAST((uv % 8) * 8 + (k % 8) AS INTEGER) + 1]))
+                           + c.QT[CAST(uv AS INTEGER) + 1] * {_DCT_STEP}
+                       AS DOUBLE) / CAST(
+                           2 * c.QT[CAST(uv AS INTEGER) + 1] * {_DCT_STEP}
+                       AS DOUBLE)) AS BIGINT)
+                   ) AS quant
+            FROM blk, consts c
+        ),
+        rec AS (
+            SELECT doc_id, w, h, n, n_bc, gray, ti, quant,
+                   list_transform(range(0, 64), rc ->
+                       LEAST(255, GREATEST(0, CAST(FLOOR((CAST(
+                           list_sum(list_transform(range(0, 64), uv ->
+                               c.MB[CAST((uv // 8) * 8 + (rc // 8) AS INTEGER) + 1]
+                               * c.MB[CAST((uv % 8) * 8 + (rc % 8) AS INTEGER) + 1]
+                               * quant[CAST(uv AS INTEGER) + 1]
+                               * c.QT[CAST(uv AS INTEGER) + 1] * {_DCT_STEP}
+                               * c.WT[CAST(uv AS INTEGER) + 1]))
+                           AS DOUBLE) + {half}) / {den}.0) AS BIGINT)))
+                   ) AS block
+            FROM qnt, consts c
+        ),
+        perdoc AS (
+            SELECT doc_id, w, h, n, n_bc, gray,
+                   LIST(block ORDER BY ti) AS blocks,
+                   MIN(CASE WHEN ti = 0 THEN quant[1] END) AS dc_quant,
+                   CAST(SUM(list_sum(list_transform(quant,
+                       x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END))) AS BIGINT)
+                       AS n_nonzero
+            FROM rec
+            GROUP BY doc_id, w, h, n, n_bc, gray
+        ),
+        audit AS (
+            SELECT doc_id, w, h, n, gray, dc_quant, n_nonzero,
+                   list_transform(range(0, n), i ->
+                       blocks[CAST((i // w) // 8 * n_bc
+                                   + (i % w) // 8 AS INTEGER) + 1]
+                             [CAST(((i // w) % 8) * 8
+                                   + (i % w) % 8 AS INTEGER) + 1]
+                   ) AS recon
+            FROM perdoc
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               dc_quant,
+               n_nonzero,
+               CAST(list_sum(recon) AS BIGINT) AS recon_sum,
+               CAST(list_max(list_transform(range(0, n),
+                   i -> abs(gray[CAST(i AS INTEGER) + 1]
+                            - recon[CAST(i AS INTEGER) + 1]))) AS BIGINT)
+                   AS max_abs_err,
+               CAST(list_sum(list_transform(range(0, n), j ->
+                   CASE WHEN (gray[CAST(j AS INTEGER) + 1] * n
+                              > list_sum(gray))
+                          <> (recon[CAST(j AS INTEGER) + 1] * n
+                              > list_sum(recon))
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS ahash_hamming
+        FROM audit
+    """
+
+
+@register(
+    "q_multimodal_decode_dct_tiled",
+    oracle=_dct_tiled_oracle(),
+    doc=(
+        "MULTI-BLOCK lossy DCT decode (r11): the LJ01 container at "
+        "dims the <=8x8 fixture never exercises — width 9..16, height "
+        "6..10, i.e. 2-4 real 8x8 tiles per image, each independently "
+        "transformed/quantized (ITU T.81 table, integer basis) with "
+        "edge-replication clamped to the IMAGE boundary, coefficients "
+        "concatenated tile-row-major inside one dynamic-Huffman zlib "
+        "frame, and the decoder re-assembling the full raster from "
+        "per-tile reconstructions (pad regions dropped). Same audit "
+        "columns as the single-block entry; ahash Hamming counted as "
+        "per-position bit disagreements (rasters up to 160 px exceed "
+        "BIGINT code range — the count is the same number). The oracle "
+        "replays every tile (UNNEST over the tile grid), the assembly "
+        "indexing, and both ahash bit rules from the text rule and the "
+        "three embedded integer tables. This converts the single-block "
+        "entry's 'a real corpus tiles blocks' scale claim from prose "
+        "into tested arithmetic — and publishes the honest cost: on "
+        "these larger TEXT-NOISE images the ahash drift grows (median "
+        "~4.8% of bits, max 15% vs <=2 absolute bits single-block; "
+        "distribution pinned in tests) — pixel-noise is the "
+        "adversarial case for a transform codec, the budget a curation "
+        "pipeline must carry for its worst images."
+    ),
+    tags=("multimodal", "binary", "pandas-udf", "llm-pipeline"),
+)
+def q_multimodal_decode_dct_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.operators.multimodal import (
+        decode_dct,
+        encode_dct_tiled_payload,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_dct(encode_dct_tiled_payload(d))
+
