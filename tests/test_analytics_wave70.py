@@ -84,7 +84,7 @@ def test_every_searcher_tier_reads_recall_from_a_panel():
         "q_sim_recall_panel": {"binary64", "binary256", "binary256_sampled", "ivf"},
         "q_sim_recall_panel_graph": {"flat_graph", "hnsw"},
         "q_sim_recall_panel_pq": {"pq_adc", "opq_adc", "ivfpq", "ivfpq_refined", "opq_refined"},
-        "q_sim_recall_panel_pq8": {"pq8_adc", "pq8_refined"},
+        "q_sim_recall_panel_pq8": {"pq8_adc", "pq8_refined", "ivfpq8_refined"},
     }
     for name, tiers in oracles.items():
         text = specs[name].oracle

@@ -21,6 +21,7 @@ ALL_TIERS = {
     "opq_refined",
     "pq8_adc",
     "pq8_refined",
+    "ivfpq8_refined",
     "flat_graph",
     "hnsw",
 }

@@ -41,7 +41,7 @@ def test_pq8_panel_floors_and_orderings(spark):
         r.tier: r
         for r in all_specs()["q_sim_recall_panel_pq8"].fn(spark, SF).collect()
     }
-    assert set(rows) == {"pq8_adc", "pq8_refined"}
+    assert set(rows) == {"pq8_adc", "pq8_refined", "ivfpq8_refined"}
     for r in rows.values():
         assert r.n_queries == w56.N_PANEL
         assert abs(r.recall_at_5 - r.n_hits / (w56.N_PANEL * w56.PANEL_K)) < 1e-12
@@ -54,6 +54,16 @@ def test_pq8_panel_floors_and_orderings(spark):
     assert rows["pq8_adc"].recall_at_5 > pq4["pq_adc"]
     assert rows["pq8_refined"].recall_at_5 > rows["pq8_adc"].recall_at_5 + 0.3
     assert rows["pq8_refined"].recall_at_5 > max(pq4.values())
+    # the FAISS-default composition (IVF + PQ8 + refine, fixture 0.544
+    # / sf0.1 0.516): between the 4-bit refined tier and the full-scan
+    # pq8 refine — cell pruning trades exactly the recall the missed
+    # cells held
+    assert rows["ivfpq8_refined"].recall_at_5 >= 0.48
+    assert (
+        pq4["ivfpq_refined"]
+        < rows["ivfpq8_refined"].recall_at_5
+        < rows["pq8_refined"].recall_at_5
+    )
 
 
 def test_pq8_rows_flow_into_the_frontier(spark):
@@ -80,3 +90,11 @@ def test_pq8_rows_flow_into_the_frontier(spark):
     # the headline fact: the standard width + refine tops every other
     # PQ tier, at a footprint between pq (2 B) and ivfpq (10 B)
     assert rows["pq8_refined"].recall_at_5 > rows["ivfpq_refined"].recall_at_5
+    # the IVF+PQ8 composition scans only probed-cell members (the same
+    # measured count as every scaled-probe IVF tier) at 12 B/vector
+    assert rows["ivfpq8_refined"].index_bytes_per_vector == 12
+    assert rows["ivfpq8_refined"].scanned_candidates == rows["ivf"].scanned_candidates
+    assert (
+        rows["ivfpq8_refined"].full_vector_reads
+        == rows["pq8_refined"].full_vector_reads
+    )

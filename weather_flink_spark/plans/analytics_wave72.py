@@ -2,7 +2,7 @@
 operating-point table an index-selection job reads (r9 verdict task
 #5).
 
-With fourteen searcher tiers each reporting panel recall, the missing
+With fifteen searcher tiers each reporting panel recall, the missing
 artifact was the joined view a capacity planner actually uses: for
 every tier, WHAT recall does it buy at WHAT scan cost and WHAT index
 footprint. ``q_sim_tier_frontier`` emits one row per tier:
@@ -63,6 +63,7 @@ _BYTES_IVF = 8  # cell id
 _BYTES_PQ = 2  # 4 codes x 4 bits (16 codewords)
 _BYTES_IVFPQ = 10  # PQ codes + cell id
 _BYTES_PQ8 = 4  # 4 codes x 8 bits (256 codewords, the r11 wave-77 width)
+_BYTES_IVFPQ8 = 12  # 8-bit codes + the 8 B cell id every IVF tier carries
 
 
 def _graph_budgets(d: int) -> tuple[int, int]:
@@ -242,6 +243,10 @@ def _frontier_oracle() -> str:
                CAST({scan_all} AS BIGINT),
                CAST({N_PANEL} * {REFINE_SHORTLIST_SQL} AS BIGINT),
                CAST({_BYTES_PQ8} AS BIGINT)
+        UNION ALL SELECT 'ivfpq8_refined', 'measured',
+               (SELECT c FROM icands),
+               CAST({N_PANEL} * {REFINE_SHORTLIST_SQL} AS BIGINT),
+               CAST({_BYTES_IVFPQ8} AS BIGINT)
         UNION ALL SELECT 'flat_graph', 'provisioned',
                CAST({N_PANEL} * {flat_budget} AS BIGINT),
                CAST({N_PANEL} * {flat_budget} AS BIGINT),
@@ -272,7 +277,7 @@ def _frontier_oracle() -> str:
     "q_sim_tier_frontier",
     oracle=_frontier_oracle(),
     doc=(
-        "Recall-vs-cost frontier over all fourteen searcher tiers (r10, r9 "
+        "Recall-vs-cost frontier over all fifteen searcher tiers (r10, r9 "
         "verdict task #5): panel recall@5 joined with each tier's "
         "scan cost (total candidate evaluations + total full-precision "
         "vector reads across the 100-query panel; measured from data "
@@ -373,6 +378,13 @@ def q_sim_tier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             scan_all,
             N_PANEL * refine_shortlist(d),
             _BYTES_PQ8,
+        ),
+        (
+            "ivfpq8_refined",
+            "measured",
+            icands,
+            N_PANEL * refine_shortlist(d),
+            _BYTES_IVFPQ8,
         ),
         (
             "flat_graph",

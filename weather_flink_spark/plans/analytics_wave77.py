@@ -165,8 +165,16 @@ def _pq8_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k") <= PANEL_K)
         .select("query_id", "vec_id")
     )
-    out = _tier_row("pq8_adc", adc_top5, gt).unionByName(
-        _tier_row("pq8_refined", refined, gt)
+    out = (
+        _tier_row("pq8_adc", adc_top5, gt)
+        .unionByName(_tier_row("pq8_refined", refined, gt))
+        .unionByName(
+            _tier_row(
+                "ivfpq8_refined",
+                ivfpq8_refined_panel_result_table(spark, sf_dir),
+                gt,
+            )
+        )
     )
     return out
 
@@ -208,10 +216,29 @@ def _pq8_panel_oracle() -> str:
             WHERE q.vec_id < {N_PANEL}"""
         for m in range(OPQ_M)
     )
+    from weather_flink_spark.plans.analytics_wave4 import (
+        KMEANS_ITERS,
+        _kmeans_dist_duck,
+    )
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_cte
+    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE_SQL
+
     return f"""
         WITH {SZ_CTE},
         {",".join(pq_parts)},
+        {ivf_assigned_cte()},
         {panel_exact_cte()},
+        p8probes AS MATERIALIZED (
+            SELECT query_id, probe_cell FROM (
+                SELECT q.vec_id AS query_id, c.cid AS probe_cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_kmeans_dist_duck('q.embedding', 'c.c')} ASC,
+                                    c.cid ASC) AS rn
+                FROM embeddings q CROSS JOIN cent{KMEANS_ITERS} c
+                WHERE q.vec_id < {N_PANEL}
+            ) WHERE rn <= {IVF_NPROBE_SQL}
+        ),
         lut8 AS MATERIALIZED ({lut}),
         adc8 AS MATERIALIZED (
             SELECT l.query_id, cd.vec_id, SUM(l.d2q) AS adc
@@ -263,11 +290,48 @@ def _pq8_panel_oracle() -> str:
                            ) WHERE k <= {PANEL_K}
                        ) t ON t.query_id = e.query_id AND t.vec_id = e.vec_id
                    ) AS BIGINT) AS n_hits
+        ),
+        t_ivf8 AS (
+            SELECT 'ivfpq8_refined' AS tier,
+                   CAST({N_PANEL} AS BIGINT) AS n_queries,
+                   CAST((
+                       SELECT COUNT(*) FROM panel_exact e
+                       JOIN (
+                           SELECT query_id, vec_id FROM (
+                               SELECT s.query_id, s.vec_id,
+                                      ROW_NUMBER() OVER (
+                                          PARTITION BY s.query_id
+                                          ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
+                                                   s.vec_id ASC) AS k
+                               FROM (
+                                   SELECT query_id, vec_id FROM (
+                                       SELECT a8.query_id, a8.vec_id,
+                                              ROW_NUMBER() OVER (
+                                                  PARTITION BY a8.query_id
+                                                  ORDER BY a8.adc ASC,
+                                                           a8.vec_id ASC) AS rk
+                                       FROM adc8 a8
+                                       JOIN assigned av
+                                         ON av.vec_id = a8.vec_id
+                                       JOIN p8probes pp
+                                         ON pp.query_id = a8.query_id
+                                        AND pp.probe_cell = av.cell
+                                   ) WHERE rk <= {REFINE_SHORTLIST_SQL}
+                               ) s
+                               JOIN embeddings q ON q.vec_id = s.query_id
+                               JOIN embeddings v ON v.vec_id = s.vec_id
+                           ) WHERE k <= {PANEL_K}
+                       ) t ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+                   ) AS BIGINT) AS n_hits
         )
         SELECT tier, n_queries, n_hits,
                CAST(n_hits AS DOUBLE) / ({N_PANEL} * {PANEL_K})
                    AS recall_at_5
-        FROM (SELECT * FROM t_adc UNION ALL SELECT * FROM t_ref)
+        FROM (
+            SELECT * FROM t_adc
+            UNION ALL SELECT * FROM t_ref
+            UNION ALL SELECT * FROM t_ivf8
+        )
     """
 
 
@@ -303,3 +367,202 @@ def q_sim_recall_panel_pq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _pq8_panel(spark, sf_dir).localCheckpoint(),
     )
+
+# ---------------------------------------------------------------------------
+# IVF + PQ8 + refine: the FAISS production default (cell-pruned scan
+# over 8-bit codes, digit-scaled widths, exact rerank) — 12 B/vector
+# (4 B codes + the 8 B cell id every IVF tier carries)
+# ---------------------------------------------------------------------------
+
+
+def _pq8_lut_wide(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
+    """Wide ADC lookup table over the 8-bit codebook: (query_id, code,
+    ld2_0..3) — the wave-15 searcher's LUT shape at the 256-codeword
+    width (exact-decimal subspace distances)."""
+    from weather_flink_spark.operators import pca
+    from weather_flink_spark.plans.analytics_wave25 import _dist_cols_spark
+
+    e_q = pca.quantize_embeddings(
+        load(spark, sf_dir, "embeddings"), "embedding", dim=64
+    ).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("decimal(12,6)")).alias(
+            "q6"
+        ),
+    )
+    q = e_q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q6").alias("q_q6")
+    )
+    cb = e_q.filter(F.col("vec_id") < PQ8_KC).select(
+        F.col("vec_id").alias("code"), F.col("q6").alias("c_q6")
+    )
+    return q.join(F.broadcast(cb)).select(
+        "query_id",
+        "code",
+        *[
+            F.expr(_dist_cols_spark("q_q6", "c_q6", m)).alias(f"ld2_{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+
+
+def _ivfpq8_refined_search(
+    spark: SparkSession, sf_dir: str, n_queries: int
+) -> DataFrame:
+    """The wave-15 IVFADC searcher with the 8-bit code/LUT pair at the
+    digit-scaled refine widths — the composed IVF + PQ8 + RefineFlat
+    production stack."""
+    from weather_flink_spark.plans.analytics_wave15 import _ivfpq_search
+    from weather_flink_spark.plans.similarity_extra import ivf_nprobe
+
+    d = corpus_digits(spark, sf_dir)
+    return _ivfpq_search(
+        spark,
+        sf_dir,
+        n_queries=n_queries,
+        nprobe=ivf_nprobe(d),
+        shortlist=refine_shortlist(d),
+        codes=pq8_codes_table(spark, sf_dir),
+        lut=_pq8_lut_wide(spark, sf_dir, n_queries),
+    )
+
+
+def _ivfpq8_refined_oracle() -> str:
+    from weather_flink_spark.operators.opq import OPQ_M
+    from weather_flink_spark.plans.analytics_wave4 import (
+        KMEANS_ITERS,
+        _kmeans_dist_duck,
+    )
+    from weather_flink_spark.plans.analytics_wave13 import _pq_dist_duck
+    from weather_flink_spark.plans.analytics_wave25 import _dist_q6_duck
+    from weather_flink_spark.plans.llm_extra import (
+        IVF_N_QUERIES,
+        IVF_TOP_K,
+        _cos_duck,
+        ivf_assigned_cte,
+    )
+    from weather_flink_spark.plans.similarity_extra import IVF_NPROBE_SQL
+
+    pq_parts = []
+    for m in range(OPQ_M):
+        pq_parts.append(
+            f"""p8_{m} AS MATERIALIZED (
+                SELECT vec_id, code FROM (
+                    SELECT vec_id, code,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY d2 ASC, code ASC) AS rn
+                    FROM (
+                        SELECT v.vec_id, c.vec_id AS code,
+                               {_pq_dist_duck(m)} AS d2
+                        FROM embeddings v
+                        JOIN embeddings c ON c.vec_id < {PQ8_KC}
+                    )
+                ) WHERE rn = 1
+            )"""
+        )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code FROM p8_{m}" for m in range(OPQ_M)
+    )
+    lut = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {m} AS m, c.vec_id AS code,
+                   {_dist_q6_duck('q.embedding', 'c.embedding', m)} AS d2q
+            FROM embeddings q JOIN embeddings c ON c.vec_id < {PQ8_KC}
+            WHERE q.vec_id < {IVF_N_QUERIES}"""
+        for m in range(OPQ_M)
+    )
+    return f"""
+        WITH {SZ_CTE},
+        {",".join(pq_parts)},
+        {ivf_assigned_cte()},
+        i8probes AS MATERIALIZED (
+            SELECT query_id, probe_cell FROM (
+                SELECT q.vec_id AS query_id, c.cid AS probe_cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_kmeans_dist_duck('q.embedding', 'c.c')} ASC,
+                                    c.cid ASC) AS rn
+                FROM embeddings q CROSS JOIN cent{KMEANS_ITERS} c
+                WHERE q.vec_id < {IVF_N_QUERIES}
+            ) WHERE rn <= {IVF_NPROBE_SQL}
+        ),
+        i8lut AS MATERIALIZED ({lut}),
+        i8cand AS MATERIALIZED (
+            SELECT p.query_id, v.vec_id, v.cell, SUM(l.d2q) AS adc
+            FROM i8probes p
+            JOIN assigned v
+              ON v.cell = p.probe_cell AND v.vec_id <> p.query_id
+            JOIN ({codes_union}) cd ON cd.vec_id = v.vec_id
+            JOIN i8lut l
+              ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+            GROUP BY p.query_id, v.vec_id, v.cell
+        ),
+        i8short AS (
+            SELECT query_id, vec_id, cell, adc FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc ASC, vec_id ASC
+                ) AS s_rank FROM i8cand
+            ) WHERE s_rank <= {REFINE_SHORTLIST_SQL}
+        )
+        SELECT query_id, vec_id, cell, adc_d2, cosine, k_rank FROM (
+            SELECT s.query_id, s.vec_id, s.cell,
+                   CAST(s.adc AS DOUBLE) AS adc_d2,
+                   {_cos_duck('q.embedding', 'v.embedding')} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY {_cos_duck('q.embedding', 'v.embedding')} DESC,
+                                s.vec_id ASC
+                   ) AS k_rank
+            FROM i8short s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings v ON v.vec_id = s.vec_id
+        ) WHERE k_rank <= {IVF_TOP_K}
+    """
+
+
+@register(
+    "q_sim_ann_ivfpq8_refined",
+    oracle=_ivfpq8_refined_oracle(),
+    doc=(
+        "IVF + PQ8 + refine (r11): the FAISS production-DEFAULT "
+        "composition — trained-IVF routing at the digit-scaled "
+        "nprobe = d-1, ADC over the 8-BIT (256-codeword/subspace) "
+        "codes of only the probed cells' members, exact cosine rerank "
+        "of the C = 40(d-1) shortlist — run through the same wave-15 "
+        "searcher with the 8-bit code/LUT pair. Panel recall 0.544 "
+        "fixture / 0.516 at sf0.1: between the 4-bit refined tier "
+        "(0.388) and the full-scan pq8 refine (0.702), at ~nprobe/8 "
+        "of the full ADC scan and 12 B/vector (4 B codes + the 8 B "
+        "cell id every IVF tier carries). Oracle replays the 256-wide "
+        "code argmin, probe routing, cell-blocked ADC, shortlist, and "
+        "rerank with both widths from the sz scalar subquery."
+    ),
+    tags=("similarity", "ann", "ivf", "pq", "llm-pipeline"),
+)
+def q_sim_ann_ivfpq8_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    return _cached(
+        "ivfpq8_refined_ann_result",
+        spark,
+        sf_dir,
+        lambda: _ivfpq8_refined_search(
+            spark, sf_dir, IVF_N_QUERIES
+        ).localCheckpoint(),
+    )
+
+
+def ivfpq8_refined_panel_result_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-cached IVF+PQ8+refine search over the 100-query panel."""
+    from weather_flink_spark.plans.llm_pipeline import _cached
+
+    return _cached(
+        "ivfpq8_refined_result_panel",
+        spark,
+        sf_dir,
+        lambda: _ivfpq8_refined_search(spark, sf_dir, N_PANEL).localCheckpoint(),
+    )
+

@@ -118,6 +118,10 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "panel_rows_bin": _registry_fn("q_sim_recall_panel"),
         "panel_rows_pq": _registry_fn("q_sim_recall_panel_pq"),
         "panel_rows_pq8": _registry_fn("q_sim_recall_panel_pq8"),
+        "ivfpq8_refined_ann_result": _registry_fn("q_sim_ann_ivfpq8_refined"),
+        "ivfpq8_refined_result_panel": (
+            analytics_wave77.ivfpq8_refined_panel_result_table
+        ),
         "pca_power_model": llm_wave5.pca_power_model,
         "pq8_codes": analytics_wave77.pq8_codes_table,
         "pq_codes": analytics_wave13.pq_codes_table,
