@@ -63,6 +63,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         analytics_wave74,
         analytics_wave75,
         analytics_wave77,
+        analytics_wave78,
         corpus_extra,
         llm_extra,
         llm_pipeline,
@@ -127,6 +128,7 @@ def prelude_builders() -> dict[str, Callable[[SparkSession, str], object]]:
         "pq_codes": analytics_wave13.pq_codes_table,
         "pr_graph": analytics_extra._pr_graph,
         "rowgroup_layout": analytics_wave75.rowgroup_layout_and_manifest,
+        "rowgroup_zorder_layout": analytics_wave78.zorder_layout_and_manifest,
         "shingles": llm_pipeline.shingle_table,
         "simhash": llm_extra.simhash_table,
         "split_assigned": _registry_fn("q_split_leakage_check"),

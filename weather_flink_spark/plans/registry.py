@@ -145,6 +145,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_wave75,
         analytics_wave76,
         analytics_wave77,
+        analytics_wave78,
         streaming_queries,
     )
 
