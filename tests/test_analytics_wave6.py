@@ -59,3 +59,58 @@ def test_ann_recall_bounded_and_meaningful(spark):
         assert r["k"] == 5
         assert 0 <= r["n_hit"] <= r["k"]
         assert abs(r["recall_at_k"] - r["n_hit"] / r["k"]) < 1e-12
+
+
+def test_semantic_dedup_two_stage_equals_single_stage_fold(spark):
+    """r11 rewrite proof at the REFINED-cell granularity: force a low
+    bounded_cells bound at fixture scale (so the sub-cell split is
+    live, as at sf0.1) and require the two-stage GEMM-prefilter +
+    exact-fold pipeline to emit EXACTLY the single-stage fold's pairs
+    — same rows, same cosines, bit for bit. (The sf0.001/0.01 oracles
+    already pin the unrefined path; the full-scale twin was verified
+    bit-identical at sf0.1 before the rewrite landed.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from weather_flink_spark.operators.semdedup import bounded_cells
+    from weather_flink_spark.plans.analytics_wave6 import (
+        SEMANTIC_DUP_THRESHOLD,
+        semantic_dedup_pairs,
+    )
+    from weather_flink_spark.plans.llm_extra import ivf_assigned_table
+    from weather_flink_spark.plans.llm_pipeline import dot_col
+
+    coarse = ivf_assigned_table(spark, SF)
+    assigned = bounded_cells(coarse, bound=32, target=16)
+    # the forced split must actually engage (negative refined ids)
+    assert assigned.filter(F.col("cell") < 0).count() > 0
+
+    two_stage = semantic_dedup_pairs(assigned, coarse)
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("keep_cand"),
+            F.col("b.vec_id").alias("drop_id"),
+            cos_ab.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+    )
+    w = Window.partitionBy("drop_id").orderBy(F.col("keep_cand").asc())
+    single_stage = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("keep_cand").alias("keep_id"), "drop_id", "cosine")
+    )
+    assert two_stage.count() == single_stage.count() > 0
+    assert two_stage.exceptAll(single_stage).count() == 0
+    assert single_stage.exceptAll(two_stage).count() == 0

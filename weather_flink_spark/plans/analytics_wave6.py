@@ -466,12 +466,20 @@ SEMANTIC_DUP_THRESHOLD = 0.30  # ≈ p99 of within-cell cosine on this corpus;
         "bound²-limited per cell; refined ids equal the coarse ids "
         "whenever a cell is within bound, so the sf0.01 oracle is "
         "unaffected while the split is live at sf0.1+. The cell is the "
-        "shuffle key, so every comparison is partition-local. Threshold "
-        "is data-scaled (see constant); the plan shape is exactly "
-        "production SemDeDup: cluster, compare within cluster, keep "
-        "one representative."
+        "shuffle key, so every comparison is partition-local. r11 "
+        "(three-round wall-clock offender, 2.7→6.6 s): the pair phase "
+        "is two-stage — a per-cell Arrow/numpy GEMM prefilter (fused "
+        "BLAS over the bound²-capped cell, margin 1e-9 below τ: a "
+        "64-term float64 dot's summation-order error is < 1.5e-14, so "
+        "no true pair can be lost and the candidate set is "
+        "BLAS-independent) followed by the SAME sequential-fold exact "
+        "cosine re-deciding only the ~p99 survivors — output "
+        "bit-identical to the single-stage fold, oracle unchanged, "
+        "~5x wall-clock. Threshold is data-scaled (see constant); the "
+        "plan shape is exactly production SemDeDup: cluster, compare "
+        "within cluster, keep one representative."
     ),
-    tags=("dedup", "embedding", "semantic"),
+    tags=("dedup", "embedding", "semantic", "pandas-udf"),
 )
 def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_flink_spark.operators.semdedup import bounded_cells
@@ -481,23 +489,73 @@ def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with q_sim_ann_ivf / q_sim_ann_recall; one persist, many consumers.
     # bounded_cells caps the quadratic pair space per cell (no-op at the
     # sf0.01 oracle gate where every cell is within bound).
-    assigned = bounded_cells(ivf_assigned_table(spark, sf_dir))
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos_ab = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    coarse = ivf_assigned_table(spark, sf_dir)
+    return semantic_dedup_pairs(bounded_cells(coarse), coarse)
+
+
+def semantic_dedup_pairs(assigned: DataFrame, coarse: DataFrame) -> DataFrame:
+    """The two-stage within-cell pair phase (exposed so tests can force
+    a low refinement bound): GEMM prefilter over ``assigned`` (refined
+    cells), exact-fold verify against ``coarse`` (vec_id → embedding)."""
+    import pandas as _pd
+
+    # Stage 1 — GEMM prefilter, partition-local per refined cell: one
+    # fused float64 matmul over the bound²-capped cell replaces ~cell²
+    # interpreted zip_with/aggregate lambda folds (higher-order exprs
+    # get no codegen — this was the measured 5-6 s). The 1e-9 margin
+    # dominates any summation-order divergence between BLAS and the
+    # sequential fold (64 terms x 2.2e-16 ulp ~ 1.5e-14), so every
+    # true >= τ pair survives regardless of BLAS build/threading.
+    margin = SEMANTIC_DUP_THRESHOLD - 1e-9
+
+    def cell_pairs(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        g = (x @ x.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = g[iu, ju] >= margin
+        return _pd.DataFrame(
+            {
+                "cell": np.full(int(m.sum()), int(pdf["cell"].iloc[0])),
+                "keep_cand": ids[iu[m]],
+                "drop_id": ids[ju[m]],
+            }
+        )
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        cell_pairs, "cell bigint, keep_cand bigint, drop_id bigint"
+    )
+
+    # Stage 2 — the SAME sequential-fold exact cosine re-decides the
+    # small survivor set (reads embeddings from the coarse cache on
+    # vec_id; candidate count is ~p99 of within-cell pairs, never the
+    # pair space), so the emitted cosine and the >= τ decision are
+    # bit-identical to the single-stage fold the oracle replays.
+    ka = coarse.select(
+        F.col("vec_id").alias("keep_cand"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    kb = coarse.select(
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cand.join(ka, "keep_cand")
+        .join(kb, "drop_id")
         .select(
-            F.col("a.cell").alias("cell"),
-            F.col("a.vec_id").alias("keep_cand"),
-            F.col("b.vec_id").alias("drop_id"),
-            cos_ab.alias("cosine"),
+            "cell",
+            "keep_cand",
+            "drop_id",
+            (
+                dot_col(F.col("e_a"), F.col("e_b"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
     )
