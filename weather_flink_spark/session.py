@@ -25,15 +25,22 @@ def _default_warehouse() -> str:
     (the judge's oracle sweep beside pytest was the observed race —
     r8 verdict task #4) each get their own dir, so one can't rebuild a
     bucketed table under the other's reader. Best-effort prune of
-    siblings whose owning process is gone keeps /tmp bounded."""
+    dead-owner dirs keeps /tmp bounded — generalized in r11 from
+    warehouse dirs to EVERY wfs_* fixture/sink/layout dir (all follow
+    wfs_<kind>_<pid>[_<suffix>]: the owning pid is the FIRST all-digit
+    underscore token, so a live process's dir can never be mistaken
+    for dead via its numeric hash suffix)."""
     base = "/tmp"
     try:
         import glob
         import shutil
 
-        for d in glob.glob(f"{base}/wfs_warehouse_*"):
-            pid = d.rsplit("_", 1)[-1]
-            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+        for d in glob.glob(f"{base}/wfs_*"):
+            pid = next(
+                (t for t in os.path.basename(d).split("_") if t.isdigit()),
+                None,
+            )
+            if pid is not None and not os.path.exists(f"/proc/{pid}"):
                 shutil.rmtree(d, ignore_errors=True)
     except Exception:
         pass
