@@ -33,6 +33,26 @@ _LOC = "__go_loc"
 _OFF = "__go_off"
 
 
+def _snapshot(local: DataFrame) -> DataFrame:
+    """Materialize the range-parted local table once (lazy
+    localCheckpoint) so the two consumers below it — the per-partition
+    offsets aggregate and the output join — read a computed snapshot
+    instead of each re-planning the whole upstream subtree.
+
+    Without this, every helper call multiplies its input plan ~3x
+    (local + offsets + the caller's reuse of ``df``), and CHAINED calls
+    compound exponentially — q_customer_rfm's three ntiles planned 224
+    shuffle exchanges / 108 parquet scans for a 3-exchange computation
+    (r11 measurement). The snapshot pins pass 1 of the documented
+    two-pass pattern: compute the ranged table once, derive offsets
+    from it, join them back. Values are unchanged (the subtree is
+    deterministic), only the number of times it executes. At cluster
+    scale this is the same materialization a production two-pass
+    global order performs between its passes; executor loss recompute
+    is traded away exactly as persist() would."""
+    return local.localCheckpoint(eager=False)
+
+
 def _range_parted(df: DataFrame, order_cols: list[Column], num_partitions: int | None):
     if num_partitions is not None:
         parted = df.repartitionByRange(num_partitions, *order_cols)
@@ -52,8 +72,10 @@ def attach_global_row_number(
     Equivalent to ``ROW_NUMBER() OVER (ORDER BY ...)`` but distributed:
     range-shuffle + per-partition row_number + broadcast count offsets.
     """
-    local = _range_parted(df, order_cols, num_partitions).withColumn(
-        _LOC, F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
+    local = _snapshot(
+        _range_parted(df, order_cols, num_partitions).withColumn(
+            _LOC, F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols))
+        )
     )
     wprev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -91,7 +113,10 @@ def attach_global_ntile(
     """
     rn = "__go_rn"
     ranked = attach_global_row_number(df, order_cols, out_col=rn, num_partitions=num_partitions)
-    tot = df.agg(F.count("*").alias("__go_N"))
+    # N == max global rank (the order is total), read from the ranked
+    # snapshot — re-aggregating ``df`` here would duplicate the whole
+    # input subtree a fourth time per ntile call
+    tot = ranked.agg(F.max(rn).cast("long").alias("__go_N"))
     N = F.col("__go_N")
     r = F.col(rn)
 
@@ -133,8 +158,10 @@ def attach_exclusive_prefix_max(
     local_w = (
         Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = _range_parted(df, order_cols, num_partitions).withColumn(
-        _LOC, F.max(val_col).over(local_w)
+    local = _snapshot(
+        _range_parted(df, order_cols, num_partitions).withColumn(
+            _LOC, F.max(val_col).over(local_w)
+        )
     )
     wprev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -174,8 +201,10 @@ def attach_prefix_sum(
     local_w = (
         Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, hi)
     )
-    local = _range_parted(df, order_cols, num_partitions).withColumn(
-        _LOC, F.sum(val_col).over(local_w)
+    local = _snapshot(
+        _range_parted(df, order_cols, num_partitions).withColumn(
+            _LOC, F.sum(val_col).over(local_w)
+        )
     )
     wprev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

@@ -385,14 +385,22 @@ def q_attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    # snapshot the sequenced events: fp and the pre-purchase slice both
+    # read it (one window pass instead of two) (r11)
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).localCheckpoint(eager=False)
     fp = (
         seq.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min("rn").alias("prn"))
     )
-    j = seq.join(fp, "user_id", "left").where(
-        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    # snapshot the pre-purchase slice: transition pairs, last-step and
+    # null-row branches all read it (3 references) (r11)
+    j = (
+        seq.join(fp, "user_id", "left")
+        .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .localCheckpoint(eager=False)
     )
     w_j = Window.partitionBy("user_id").orderBy("rn")
     pairs = j.select(

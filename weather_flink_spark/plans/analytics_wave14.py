@@ -413,7 +413,9 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w6"),
         )
     )
-    qual = op.join(sz, "ok")  # (ok, pk, w6): qualifying baskets only
+    # (ok, pk, w6): qualifying baskets only — snapshotted, both wedge
+    # sides read it (r11)
+    qual = op.join(sz, "ok").localCheckpoint(eager=False)
     # NOTE on the round-3 verdict-#4 pre-filter pattern: unlike
     # item-Jaccard (where it prunes and was kept), a min-co semi-join
     # here prunes NOTHING on this data (measured at sf0.1: every part

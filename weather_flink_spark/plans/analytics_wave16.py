@@ -291,19 +291,29 @@ def q_emb_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in _MRL_PREFIXES
         ],
     )
-    parts = [
-        ratios.agg(
-            F.lit(k).alias("prefix_dim"),
-            F.count("*").alias("n"),
-            F.avg(f"r{k}").cast("double").alias("avg_energy_ratio"),
-            F.avg(f"c{k}").cast("double").alias("avg_prefix_cosine"),
-        )
-        for k in _MRL_PREFIXES
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE aggregation pass over the ratio table, per-prefix rows by
+    # explode — the prior per-prefix agg union re-ran the energy fold
+    # over the corpus once per prefix (r11); per-column avgs identical
+    sums = ratios.agg(
+        F.count("*").alias("n"),
+        *[F.avg(f"r{k}").cast("double").alias(f"ar{k}") for k in _MRL_PREFIXES],
+        *[F.avg(f"c{k}").cast("double").alias(f"ac{k}") for k in _MRL_PREFIXES],
+    )
+    return sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("prefix_dim"),
+                        F.col(f"ar{k}").alias("avg_energy_ratio"),
+                        F.col(f"ac{k}").alias("avg_prefix_cosine"),
+                    )
+                    for k in _MRL_PREFIXES
+                ]
+            )
+        ).alias("t"),
+        "n",
+    ).select("t.prefix_dim", "n", "t.avg_energy_ratio", "t.avg_prefix_cosine")
 
 
 # ---------------------------------------------------------------------------

@@ -525,18 +525,6 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             passed.alias("passed"),
         )
 
-    r1 = rule(
-        "orders_nonempty",
-        o.agg(F.count("*").alias("obs")),
-        F.col("obs") > 0,
-    )
-    r2 = rule(
-        "orderkey_unique",
-        o.agg(
-            (F.count("*") - F.countDistinct("o_orderkey")).alias("obs")
-        ),
-        F.col("obs") == 0,
-    )
     r3 = rule(
         "lineitem_fk_orders",
         li.join(
@@ -544,20 +532,6 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
             "left_anti",
         ).agg(F.count("*").alias("obs")),
-        F.col("obs") == 0,
-    )
-    r4 = rule(
-        "quantity_in_range",
-        li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
-            F.count("*").alias("obs")
-        ),
-        F.col("obs") == 0,
-    )
-    r5 = rule(
-        "shipdate_not_null",
-        li.filter(F.col("l_shipdate").isNull()).agg(
-            F.count("*").alias("obs")
-        ),
         F.col("obs") == 0,
     )
     r6 = rule(
@@ -569,10 +543,53 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count("*").alias("obs")),
         F.col("obs") == 0,
     )
-    out = r1
-    for r in (r2, r3, r4, r5, r6):
-        out = out.unionByName(r)
-    return out
+    # the four pure-aggregate rules fused into ONE scan of orders and
+    # ONE of lineitem (conditional counts), exploded to rows — the
+    # prior per-rule union scanned orders 2x and lineitem 3x for them
+    # (r11); the two anti-join rules keep their own subtrees
+    flat = o.agg(
+        F.count("*").alias("o_n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("o_dup"),
+    ).crossJoin(
+        li.agg(
+            F.count(
+                F.when(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                    F.lit(1),
+                )
+            ).alias("li_range"),
+            F.count(F.when(F.col("l_shipdate").isNull(), F.lit(1))).alias(
+                "li_nullship"
+            ),
+        )
+    )
+    fused = flat.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders_nonempty").alias("rule"),
+                    F.col("o_n").cast("bigint").alias("observed"),
+                    (F.col("o_n") > 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("orderkey_unique").alias("rule"),
+                    F.col("o_dup").cast("bigint").alias("observed"),
+                    (F.col("o_dup") == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("quantity_in_range").alias("rule"),
+                    F.col("li_range").cast("bigint").alias("observed"),
+                    (F.col("li_range") == 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("shipdate_not_null").alias("rule"),
+                    F.col("li_nullship").cast("bigint").alias("observed"),
+                    (F.col("li_nullship") == 0).alias("passed"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.observed", "r.passed")
+    return fused.unionByName(r3).unionByName(r6)
 
 
 # ---------------------------------------------------------------------------

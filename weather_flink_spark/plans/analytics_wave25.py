@@ -376,32 +376,34 @@ def adc_lut(q: DataFrame, c: DataFrame) -> DataFrame:
     """Long-format ADC lookup table (query_id, m, code, d2q): exact
     decimal subspace distance between each query subvector (``qv``)
     and each codeword subvector (``cv``), one row per subspace."""
-    per_m = [
-        q.crossJoin(F.broadcast(c)).select(
-            "query_id",
+    # one crossJoin, all OPQ_M subspace distances exploded per row: the
+    # prior per-m unionByName re-planned the query/codeword subtrees
+    # once per subspace (r11 — part of adc_recall's 135-scan before-
+    # plan); per-element arithmetic is unchanged
+    md = [
+        F.struct(
             F.lit(m).alias("m"),
-            "code",
             F.expr(_dist_cols_spark("qv", "cv", m)).alias("d2q"),
         )
         for m in range(OPQ_M)
     ]
-    out = per_m[0]
-    for p in per_m[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "code", F.explode(F.array(*md)).alias("md"))
+        .select("query_id", F.col("md.m").alias("m"), "code", F.col("md.d2q").alias("d2q"))
+    )
 
 
 def pq_codes_long(tbl: DataFrame) -> DataFrame:
     """Unpivot a wide code table (vec_id, code_0..3) to long
-    (vec_id, m, code)."""
-    per_m = [
-        tbl.select("vec_id", F.lit(m).alias("m"), F.col(f"code_{m}").alias("code"))
+    (vec_id, m, code) — single-subtree explode, not a per-m union."""
+    mc = [
+        F.struct(F.lit(m).alias("m"), F.col(f"code_{m}").alias("code"))
         for m in range(OPQ_M)
     ]
-    out = per_m[0]
-    for p in per_m[1:]:
-        out = out.unionByName(p)
-    return out
+    return tbl.select("vec_id", F.explode(F.array(*mc)).alias("mc")).select(
+        "vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code")
+    )
 
 
 def adc_topk_tables(
@@ -414,11 +416,17 @@ def adc_topk_tables(
     from weather_flink_spark.operators import pca
     from weather_flink_spark.plans.analytics_wave13 import pq_codes_table
 
-    e_q = pca.quantize_embeddings(
-        load(spark, sf_dir, "embeddings"), "embedding", dim=64
-    ).select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("decimal(12,6)")).alias("q6"),
+    # snapshot the quantized corpus once: it feeds both sides of each
+    # LUT crossJoin (queries + codewords, natural basis)
+    e_q = (
+        pca.quantize_embeddings(
+            load(spark, sf_dir, "embeddings"), "embedding", dim=64
+        )
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("decimal(12,6)")).alias("q6"),
+        )
+        .localCheckpoint(eager=False)
     )
     nat_q = e_q.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q6").alias("qv")

@@ -878,6 +878,9 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(_HYBRID_TOPK)
+        # snapshot the 40-row dense shortlist: the rank self-join below
+        # otherwise re-runs the full-corpus cosine scan per side (r11)
+        .localCheckpoint(eager=False)
     )
     da, db = dtop.alias("da"), dtop.alias("db")
     d_better = (F.col("db.cosine") > F.col("da.cosine")) | (

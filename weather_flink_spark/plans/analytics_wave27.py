@@ -426,6 +426,11 @@ def _lpa_labels(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
                 "best"
             )
         ).select("node", (-F.col("best.nl")).alias("label"))
+        # snapshot each synchronous round (the wave-26/kcore lesson,
+        # lazy variant): without it round r's plan re-plans rounds
+        # 1..r-1 per reference — 240 shuffle exchanges for a
+        # 3-round/9-exchange computation (r11 before-plan)
+        labels = labels.localCheckpoint(eager=False)
     return labels
 
 

@@ -439,11 +439,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
     edges = pairs.groupBy("p1", "p2").agg(F.count("*").alias("s")).filter(F.col("s") >= 2)
-    # no persist: the two broadcast copies bound recomputation, and a
-    # per-call persist without unpersist leaks cached plans for the
-    # session lifetime (tools/scaling_probe.py materializes-then-unpersists
-    # instead when it needs the cache)
-    edges = edges.select("p1", "p2")
+    # snapshot instead of persist (r11): a per-call persist without
+    # unpersist leaks cached plans for the session lifetime, but a
+    # localCheckpoint is owned by this DataFrame and GC'd with it —
+    # and edges is referenced 5x (e1/e2/e3 + nodes twice + the edge
+    # count), which the before-plan paid as 46 exchanges / 25 scans
+    edges = edges.select("p1", "p2").localCheckpoint(eager=False)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(F.broadcast(e2), F.col("e2.p1") == F.col("e1.p2"))
@@ -2308,10 +2309,12 @@ def _anom_oracle() -> str:
 )
 def q_emb_anomaly_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    # snapshot the projections: the min/max stats and the binning pass
+    # both read them (one projection pass instead of two) (r11)
     proj = e.select(
         "vec_id",
         *[F.expr(_anom_proj_spark(p)).alias(f"x{p}") for p in range(ANOM_N_PLANES)],
-    )
+    ).localCheckpoint(eager=False)
     stats = proj.agg(
         F.count("*").alias("n"),
         *[F.min(f"x{p}").alias(f"min_x{p}") for p in range(ANOM_N_PLANES)],
@@ -2332,12 +2335,27 @@ def q_emb_anomaly_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in range(ANOM_N_PLANES)
         ],
     )
-    melted = None
-    for p in range(ANOM_N_PLANES):
-        part = binned.select(
-            "vec_id", "n", F.lit(p).alias("plane"), F.col(f"b{p}").alias("bin")
+    # single-subtree melt (explode over planes, not a per-plane union)
+    # + snapshot: the density histogram and the scoring join both read
+    # it (r11)
+    melted = (
+        binned.select(
+            "vec_id",
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("plane"), F.col(f"b{p}").alias("bin")
+                        )
+                        for p in range(ANOM_N_PLANES)
+                    ]
+                )
+            ).alias("pb"),
         )
-        melted = part if melted is None else melted.unionAll(part)
+        .select("vec_id", "n", F.col("pb.plane").alias("plane"), F.col("pb.bin").alias("bin"))
+        .localCheckpoint(eager=False)
+    )
     dens = melted.groupBy("plane", "bin").agg(F.count("*").alias("c"))
     lnp = F.log(F.col("c").cast("double") / F.col("n").cast("double")).cast(
         "decimal(20,12)"

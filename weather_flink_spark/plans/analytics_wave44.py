@@ -166,6 +166,9 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.sum("h").cast("bigint").alias("a"))
     )
+    # snapshot the final authority table: the max-normalizer and the
+    # output read it, otherwise both re-run the two HITS half-steps (r11)
+    a2 = a2.localCheckpoint(eager=False)
     mx = a2.agg(F.max("a").alias("m"))
     return (
         a2.crossJoin(F.broadcast(mx))

@@ -97,7 +97,10 @@ def q_orders_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = op.groupBy("ok").count().filter(
         F.col("count") >= _AP3_MIN_BASKET
     ).select("ok")
-    qual = op.join(sz, "ok")
+    # snapshot the qualified basket slice: the 3-way self-join below
+    # references it once per side, re-planning the size-filter join
+    # each time without it (r11)
+    qual = op.join(sz, "ok").localCheckpoint(eager=False)
     a, b, c = qual.alias("a"), qual.alias("b"), qual.alias("c")
     triples = (
         a.join(

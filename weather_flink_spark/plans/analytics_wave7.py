@@ -368,19 +368,25 @@ def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc * miss
         return F.lit(1.0) - acc
 
-    parts = []
-    for b, r in _LSH_CONFIGS:
-        parts.append(
-            powed.select(
-                F.lit(f"b{b}r{r}").alias("config"),
-                F.lit(b).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                prob(b, r).cast("decimal(18,12)").alias("p_dec"),
-            )
+    # ONE pass over the pair table: each pair row explodes into its 4
+    # per-config probability structs. The previous 4-way unionByName
+    # re-planned (and re-executed) the entire upstream near-dup pair
+    # mining once per config — 4 identical 9-exchange subtrees, 27
+    # exchanges total (r11 before-plan); the explode keeps the math
+    # per element identical (same DECIMAL(18,12) quantization) in a
+    # single subtree.
+    cfg_structs = [
+        F.struct(
+            F.lit(f"b{b}r{r}").alias("config"),
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            prob(b, r).cast("decimal(18,12)").alias("p_dec"),
         )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
+        for b, r in _LSH_CONFIGS
+    ]
+    allp = powed.select(
+        F.explode(F.array(*cfg_structs)).alias("cfg")
+    ).select("cfg.*")
     return allp.groupBy("config", "bands", "rows_per_band").agg(
         F.count("*").alias("n_pairs"),
         (F.sum("p_dec").cast("double") / F.count("*")).alias("expected_recall"),

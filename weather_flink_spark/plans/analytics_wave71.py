@@ -103,17 +103,31 @@ def write_bloom_layout(spark: SparkSession, sf_dir: str) -> str:
 BLOOM_BITS_PER_KEY = 16  # k=2 hashes -> fpp ~ (1 - e^(-1/8))^2 ~ 1.4%
 
 
-def sized_bloom_bits(spark: SparkSession, layout_dir: str) -> int:
+def distinct_file_keys(spark: SparkSession, layout_dir: str) -> DataFrame:
+    """The (file_id, k) distinct-key table read back FROM THE WRITTEN
+    FILES — the one data-sized pass both the sizing rule and the
+    sidecar build need. Snapshotted so the two consumers share a
+    single distinct instead of each re-scanning the layout (r11)."""
+    back = spark.read.parquet(layout_dir)
+    return (
+        back.select("file_id", F.col("l_partkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def sized_bloom_bits(
+    spark: SparkSession, layout_dir: str, keys: DataFrame | None = None
+) -> int:
     """NDV-sized bloom width, the rule a real writer applies per file:
     16 bits per distinct key at the LARGEST file, rounded up to whole
     63-bit words (min 4 words — the wave-17 fixed design as the
     floor). Integer-exact, so the oracle replays it from the same
     counts. Bounded collect: 1 value (the writer's sizing decision)."""
-    back = spark.read.parquet(layout_dir)
+    if keys is None:
+        keys = distinct_file_keys(spark, layout_dir)
     ndv_max = (
-        back.select("file_id", "l_partkey")
-        .distinct()
-        .groupBy("file_id")
+        keys.groupBy("file_id")
         .agg(F.count("*").alias("ndv"))
         .agg(F.max("ndv").alias("m"))
         .collect()[0]["m"]
@@ -125,15 +139,18 @@ def sized_bloom_bits(spark: SparkSession, layout_dir: str) -> int:
 
 
 def build_bloom_sidecar(
-    spark: SparkSession, layout_dir: str, bits: int
+    spark: SparkSession,
+    layout_dir: str,
+    bits: int,
+    keys: DataFrame | None = None,
 ) -> dict[int, list[int]]:
     """Per-file bloom words FROM THE WRITTEN FILES: file_id ->
     [w0..w_{bits/63-1}]. Bounded collect: |files| x (bits/63) rows —
     the manifest/footer artifact of a lakehouse bloom index (index
     size scales with NDV, never with row count)."""
     n_words = bits // 63
-    back = spark.read.parquet(layout_dir)
-    keys = back.select("file_id", F.col("l_partkey").alias("k")).distinct()
+    if keys is None:
+        keys = distinct_file_keys(spark, layout_dir)
     h1 = F.expr(_BH1.format(k="k", bits=bits))
     h2 = F.expr(_BH2.format(k="k", bits=bits))
     words = (
@@ -180,35 +197,48 @@ def surviving_files(
 
 def run_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the layout, build the sidecar, and execute every probe's
-    point lookup over ONLY its surviving files; one row per probe."""
+    point lookup over ONLY the surviving files; one row per probe.
+
+    r11: ONE distributed read over the UNION of the probes' surviving
+    files serves every probe (the wave-75 row-group discipline brought
+    back to file granularity) instead of a per-probe scan subtree
+    unioned 5 ways. Correctness is unchanged by construction: blooms
+    have no false negatives, so every row of probe p lives in p's own
+    surviving set — counting p's rows over the union can see no extra
+    rows — and a probe surviving nowhere contributes no path and
+    left-joins to 0 without touching storage. The union is still a
+    bloom-pruned strict subset of the layout whenever any file is
+    skipped (the executed-scan subset proof in tests reads per-probe
+    paths through the same helpers)."""
     layout = write_bloom_layout(spark, sf_dir)
-    bits = sized_bloom_bits(spark, layout)
-    sidecar = build_bloom_sidecar(spark, layout, bits)
+    keys = distinct_file_keys(spark, layout)
+    bits = sized_bloom_bits(spark, layout, keys)
+    sidecar = build_bloom_sidecar(spark, layout, bits, keys)
     pos = probe_positions(spark, bits)
-    rows = []
-    for p in _BLOOM_PROBES:
-        keep = surviving_files(sidecar, pos[p])
-        row = spark.createDataFrame(
-            [(p, len(sidecar), len(keep))],
-            "probe_key bigint, n_files_total bigint, n_files_read bigint",
+    keep = {p: surviving_files(sidecar, pos[p]) for p in _BLOOM_PROBES}
+    probe_rows = spark.createDataFrame(
+        [(p, len(sidecar), len(keep[p])) for p in _BLOOM_PROBES],
+        "probe_key bigint, n_files_total bigint, n_files_read bigint",
+    )
+    union_fids = sorted({fid for fids in keep.values() for fid in fids})
+    if not union_fids:
+        # every bloom said NO everywhere: no lookup touches storage
+        return probe_rows.select(
+            "*", F.lit(0).cast("bigint").alias("n_rows_found")
         )
-        if keep:
-            paths = [os.path.join(layout, f"file_id={fid}") for fid in keep]
-            found = (
-                spark.read.parquet(*paths)
-                .filter(F.col("l_partkey") == p)
-                .agg(F.count("*").cast("bigint").alias("n_rows_found"))
-            )
-            rows.append(row.crossJoin(found))
-        else:
-            # bloom said NO everywhere: the lookup never touches storage
-            rows.append(
-                row.select("*", F.lit(0).cast("bigint").alias("n_rows_found"))
-            )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    paths = [os.path.join(layout, f"file_id={fid}") for fid in union_fids]
+    counts = (
+        spark.read.parquet(*paths)
+        .filter(F.col("l_partkey").isin([int(p) for p in _BLOOM_PROBES]))
+        .groupBy(F.col("l_partkey").alias("probe_key"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return probe_rows.join(F.broadcast(counts), "probe_key", "left").select(
+        "probe_key",
+        "n_files_total",
+        "n_files_read",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_rows_found"),
+    )
 
 
 _PROBE_LIST = ", ".join(str(p) for p in _BLOOM_PROBES)

@@ -159,6 +159,11 @@ def q_text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pg"),
         )
         .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+        # snapshot the narrow (doc_id, pos, gh) proxy: the dup-gram
+        # aggregate, the span join AND the token count below all read
+        # it — the corpus was previously re-tokenized once per branch
+        # (guide §8: decide on the lightweight fingerprint table) (r11)
+        .localCheckpoint(eager=False)
     )
     dup = g.groupBy("gh").agg(F.count("*").alias("n")).where("n >= 2").select("gh")
     dpos = g.join(dup, "gh").select("doc_id", "pos")
@@ -179,12 +184,18 @@ def q_text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + F.lit(_SPAN_K)).alias("dup_tokens"),
     )
-    return per_doc.join(tok, "doc_id").select(
+    # n_tokens from the gram table itself: positions run 1..size-K+1,
+    # so size(tok) == max(pos) + K - 1 exactly for every doc in g (and
+    # every doc with a dup span is in g) — no re-tokenization join
+    ntok = g.groupBy("doc_id").agg(
+        (F.max("pos") + F.lit(_SPAN_K - 1)).cast("bigint").alias("n_tokens")
+    )
+    return per_doc.join(ntok, "doc_id").select(
         "doc_id",
-        F.expr("cast(size(tok) as bigint)").alias("n_tokens"),
+        "n_tokens",
         "n_dup_spans",
         F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
-        (F.col("dup_tokens").cast("double") / F.expr("size(tok)")).alias("dup_frac"),
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_frac"),
     )
 
 
@@ -798,14 +809,30 @@ def q_graph_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_partkey").alias("p")
     )
-    cp = o.join(l, o.o_orderkey == l.l_orderkey).select("c", "p").distinct()
+    # snapshot the distinct edge table: it feeds the degree cap AND the
+    # capped slice, and without the snapshot every downstream reference
+    # re-plans the orders⋈lineitem join+distinct — the r11 before-plan
+    # ran 48 parquet scans / 66 exchanges for what is one join, one
+    # distinct and a handful of small aggregates
+    cp = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("c", "p")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg_c = cp.groupBy("c").agg(F.count("*").alias("d"))
     capped = (
         cp.join(deg_c, "c")
         .where(F.col("d").between(2, _JAC_CAP))
         .select("c", "p")
     )
-    item_deg = capped.groupBy("p").agg(F.count("*").alias("dp"))
+    # item_deg is read 3x (prune filter + both Jaccard degree joins),
+    # pruned 2x (the self-join sides): snapshot both small tables
+    item_deg = (
+        capped.groupBy("p")
+        .agg(F.count("*").alias("dp"))
+        .localCheckpoint(eager=False)
+    )
     # pair-space pre-filter (round-3 verdict #4): an item whose
     # capped-universe degree is below the co-occurrence floor cannot
     # appear in any surviving pair — semi-join it out BEFORE the
@@ -814,7 +841,7 @@ def q_graph_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         item_deg.where(F.col("dp") >= _JAC_MIN_CO).select("p"),
         "p",
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     a = pruned.alias("a")
     b = pruned.alias("b")
     pairs = (

@@ -79,7 +79,15 @@ def get_spark(
         # timestamps in testdata are TIMESTAMP (no tz); keep them as-is
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs 32 concurrent tasks in ONE JVM: at 8g the
+        # unified region (~4.8g) left ~150 MB execution memory per task
+        # slot and the suite's heavy-shuffle entries degraded 5-10x
+        # under session-long heap pressure (r11 measurement:
+        # q_dedup_lsh_scurve 3.4s at 16g vs 17.3s at 8g, same code).
+        # 16g ~= 0.5g/core, the guide's per-concurrent-task sizing; on
+        # a real cluster this is the per-executor memory/cores ratio,
+        # still env-overridable.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # managed tables (bucketed-join tests) land in tmp, never the
         # repo — PID-scoped so concurrent verification processes (e.g.
         # an oracle sweep beside pytest) can't overwrite each other's
