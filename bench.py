@@ -58,6 +58,9 @@ def main() -> None:
     for _ in range(n_passes):
         for name in sorted(specs):
             spec = specs[name]
+            # label the jobs (guide §1.5) — UI/event-log attribution
+            # only, no effect on the timed work
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             t0 = time.time()
             spec.fn(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)

@@ -117,3 +117,30 @@ def test_bloom_sizing_is_ndv_scaled(spark):
     )
     assert bits >= w71.BLOOM_BITS_PER_KEY * ndv_max
     assert bits >= 252
+
+
+def test_union_scan_counts_equal_per_probe_scans(spark):
+    """r11: the fused single-read probe phase must count exactly what
+    the per-probe pruned scans count (no false negatives means a
+    probe's rows cannot exist outside its own surviving set)."""
+    layout = w71.write_bloom_layout(spark, SF)
+    keys = w71.distinct_file_keys(spark, layout)
+    bits = w71.sized_bloom_bits(spark, layout, keys)
+    sidecar = w71.build_bloom_sidecar(spark, layout, bits, keys)
+    pos = w71.probe_positions(spark, bits)
+    fused = {
+        int(r.probe_key): (int(r.n_files_read), int(r.n_rows_found))
+        for r in all_specs()["q_layout_bloom_skipping"].fn(spark, SF).collect()
+    }
+    for p in w71._BLOOM_PROBES:
+        keep = w71.surviving_files(sidecar, pos[p])
+        if keep:
+            paths = [os.path.join(layout, f"file_id={fid}") for fid in keep]
+            n = (
+                spark.read.parquet(*paths)
+                .filter(F.col("l_partkey") == p)
+                .count()
+            )
+        else:
+            n = 0
+        assert fused[p] == (len(keep), n), p

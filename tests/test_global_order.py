@@ -57,3 +57,32 @@ def test_exclusive_prefix_max_matches_window(base_df):
     assert got.select("id", "pm").exceptAll(exp.select("id", "pm")).count() == 0
     # first row of the total order has an empty preceding frame -> NULL
     assert got.filter(F.col("pm").isNull()).count() == 1
+
+
+def test_global_ntile_empty_input(spark):
+    # r11: N is derived from max(global rank) instead of a second
+    # aggregate over the input — an empty frame must yield an empty
+    # result (not a crash on a NULL N)
+    empty = spark.createDataFrame([], "id long, v double")
+    got = attach_global_ntile(empty, 4, [F.col("v").asc(), F.col("id").asc()], "nt")
+    assert got.count() == 0
+
+
+def test_chained_ntiles_match_windows(spark):
+    # r11: the RFM shape — three chained ntile calls over snapshotted
+    # (localCheckpoint) intermediates must stay bit-identical to three
+    # independent global windows
+    random.seed(11)
+    rows = [(i, random.random(), random.randint(0, 9)) for i in range(499)]
+    df = spark.createDataFrame(rows, "id long, a double, b long").repartition(8)
+    got = attach_global_ntile(df, 4, [F.col("a").asc(), F.col("id").asc()], "n1", num_partitions=4)
+    got = attach_global_ntile(got, 4, [F.col("b").desc(), F.col("id").asc()], "n2", num_partitions=4)
+    got = attach_global_ntile(got, 4, [F.col("id").asc()], "n3", num_partitions=4)
+    exp = (
+        df.withColumn("n1", F.ntile(4).over(Window.orderBy(F.col("a").asc(), F.col("id").asc())))
+        .withColumn("n2", F.ntile(4).over(Window.orderBy(F.col("b").desc(), F.col("id").asc())))
+        .withColumn("n3", F.ntile(4).over(Window.orderBy(F.col("id").asc())))
+    )
+    cols = ["id", "n1", "n2", "n3"]
+    g = got.select(*[F.col(c).cast("int") if c != "id" else F.col(c) for c in cols])
+    assert g.exceptAll(exp.select(*cols)).count() == 0
