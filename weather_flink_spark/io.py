@@ -39,12 +39,30 @@ def table_path(sf_dir: str, name: str) -> str:
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs the oracle contract depends on, enforced on ANY
     session (the driver's verify uses its own SparkSession, which may
-    not have gone through session.get_spark)."""
+    not have gone through session.get_spark). Applied once per session
+    object — each conf.set is a py4j roundtrip, and load() runs on
+    every table reference (r11)."""
+    if getattr(spark, "_wfs_confs_ok", False):
+        return
     try:
         # date/time semantics must match DuckDB's UTC interpretation
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark._wfs_confs_ok = True
     except Exception:
         pass
+
+
+# Resolved-plan cache: (applicationId, sf_dir, table) -> DataFrame.
+# ``spark.read.parquet`` re-resolves the file index and footer schema on
+# the DRIVER on every call — measured 85 ms/call on this host — and the
+# suite composes ~900 table references per bench pass, i.e. tens of
+# seconds of pure metadata stalls. The cached object is the LOGICAL
+# PLAN only (DataFrames are immutable); every execution still scans the
+# parquet input — no rows or results are memoized. This is the same
+# metadata-reuse lever as Spark's own file-index cache (guide §6),
+# applied at the catalog boundary. Keyed by applicationId so a new
+# session never sees another session's plans.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,6 +79,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_confs(spark)
+    appid = getattr(spark, "_wfs_appid", None)
+    if appid is None:
+        # pinned on the session OBJECT (not keyed by id()), so a new
+        # session can never inherit a dead session's cache entries
+        appid = spark.sparkContext.applicationId
+        spark._wfs_appid = appid
+    key = (appid, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_uncached(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

@@ -809,30 +809,20 @@ def q_graph_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_partkey").alias("p")
     )
-    # snapshot the distinct edge table: it feeds the degree cap AND the
-    # capped slice, and without the snapshot every downstream reference
-    # re-plans the orders⋈lineitem join+distinct — the r11 before-plan
-    # ran 48 parquet scans / 66 exchanges for what is one join, one
-    # distinct and a handful of small aggregates
-    cp = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select("c", "p")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # NOT snapshotted (r11, measured): the printed plan re-plans this
+    # distinct per reference (48 scans / 66 exchanges on paper), but
+    # every branch ends at the IDENTICAL distinct exchange, so runtime
+    # ReuseExchange executes it once — warm A/B read 3.4 s without
+    # snapshots vs 4.8 s with (the checkpoint pays 600k-row
+    # materialization for work the engine already dedupes)
+    cp = o.join(l, o.o_orderkey == l.l_orderkey).select("c", "p").distinct()
     deg_c = cp.groupBy("c").agg(F.count("*").alias("d"))
     capped = (
         cp.join(deg_c, "c")
         .where(F.col("d").between(2, _JAC_CAP))
         .select("c", "p")
     )
-    # item_deg is read 3x (prune filter + both Jaccard degree joins),
-    # pruned 2x (the self-join sides): snapshot both small tables
-    item_deg = (
-        capped.groupBy("p")
-        .agg(F.count("*").alias("dp"))
-        .localCheckpoint(eager=False)
-    )
+    item_deg = capped.groupBy("p").agg(F.count("*").alias("dp"))
     # pair-space pre-filter (round-3 verdict #4): an item whose
     # capped-universe degree is below the co-occurrence floor cannot
     # appear in any surviving pair — semi-join it out BEFORE the
@@ -841,7 +831,7 @@ def q_graph_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         item_deg.where(F.col("dp") >= _JAC_MIN_CO).select("p"),
         "p",
         "left_semi",
-    ).localCheckpoint(eager=False)
+    )
     a = pruned.alias("a")
     b = pruned.alias("b")
     pairs = (
