@@ -181,3 +181,22 @@ def test_compacted_layout_cuts_bytes_read(spark):
     # correctness: the pruned read returns exactly the unpruned answer
     want = full.filter((full.zval >= 64) & (full.zval < 96)).count()
     assert pruned.count() == want and want > 0
+
+
+def test_partial_fixture_dir_is_rewritten(spark):
+    """Fixture reuse is gated on _SUCCESS, not bare dir existence: a
+    write that died mid-job leaves a dir without the commit marker, and
+    the next call must rebuild rather than silently read the partial
+    fixture (r11 advice)."""
+    import shutil
+
+    frag_dir, _ = w42.compact_dirs(SF)
+    # simulate a mid-write failure: dir exists, no _SUCCESS, bogus file
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    os.makedirs(frag_dir)
+    with open(os.path.join(frag_dir, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    w42.run_compaction(spark, SF).count()
+    assert os.path.exists(os.path.join(frag_dir, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(frag_dir, "part-junk.parquet"))
+    assert len(_parquet_files(frag_dir)) == w42.N_FRAGMENTS

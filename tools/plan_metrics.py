@@ -156,13 +156,33 @@ def collect_metrics(spark, sf_dir: str = SF_DIR, names=None) -> dict[str, dict[s
     build_all_caches(spark, sf_dir)
     specs = all_specs()
     out: dict[str, dict[str, int]] = {}
-    for name in sorted(specs):
-        if name.startswith("s_"):
-            continue
-        if names and name not in names:
-            continue
-        df = specs[name].fn(spark, sf_dir)
-        out[name] = extract_df(df)
+    # Capture plans with snapshots DISABLED (r11 verdict #4/#6): a
+    # materialized localCheckpoint starts the captured plan at "Scan
+    # ExistingRDD", hiding everything upstream of it from the
+    # regression gate — q_graph_label_propagation's row was {}. With
+    # WFS_NO_SNAPSHOT=1 every snapshot site is a no-op, so the FULL
+    # logical topology is what gets counted. Only planning happens
+    # here (no action on the entry frame), so the exponential
+    # re-execution the snapshots prevent at runtime never runs; the
+    # session caches above were built in normal mode and hide behind
+    # InMemoryTableScan leaves either way.
+    import os as _os
+
+    prev = _os.environ.get("WFS_NO_SNAPSHOT")
+    _os.environ["WFS_NO_SNAPSHOT"] = "1"
+    try:
+        for name in sorted(specs):
+            if name.startswith("s_"):
+                continue
+            if names and name not in names:
+                continue
+            df = specs[name].fn(spark, sf_dir)
+            out[name] = extract_df(df)
+    finally:
+        if prev is None:
+            _os.environ.pop("WFS_NO_SNAPSHOT", None)
+        else:
+            _os.environ["WFS_NO_SNAPSHOT"] = prev
     missing = unlisted_kinds()
     if missing:
         raise RuntimeError(

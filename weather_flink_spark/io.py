@@ -75,6 +75,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     without timezone (reads as TIMESTAMP_NTZ — cast to TimestampType
     under the pinned UTC session zone, the same instants DuckDB sees).
     Both normalize to microsecond TimestampType named ``ts``.
+
+    Cache invariants (r11 advice, documented): repeated ``load`` of the
+    same (session, sf_dir, table) returns the IDENTICAL DataFrame
+    object — a plan that self-joins two load() results must
+    ``.alias()`` each side (standard Spark self-join hygiene; every
+    registry entry that self-joins already derives distinct frames).
+    The cached plan also pins the resolved file index: files
+    added/removed under ``sf_dir`` mid-process are not seen, which is
+    the contract here (the driver's testdata is immutable per run —
+    at 100 TB a manifest table format owns this invalidation instead).
+    Entries from dead sessions are pruned when a new appid pins.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -85,6 +96,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session can never inherit a dead session's cache entries
         appid = spark.sparkContext.applicationId
         spark._wfs_appid = appid
+        # a fresh session means prior sessions' plans are dead weight;
+        # dropping them bounds _PLAN_CACHE at (tables x sf_dirs) for
+        # the live session (r11 advice: unbounded growth across appids)
+        for k in [k for k in _PLAN_CACHE if k[0] != appid]:
+            del _PLAN_CACHE[k]
     key = (appid, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:

@@ -34,10 +34,10 @@ _OFF = "__go_off"
 
 
 def _snapshot(local: DataFrame) -> DataFrame:
-    """Materialize the range-parted local table once (lazy
-    localCheckpoint) so the two consumers below it — the per-partition
-    offsets aggregate and the output join — read a computed snapshot
-    instead of each re-planning the whole upstream subtree.
+    """Materialize the range-parted local table once so the two
+    consumers below it — the per-partition offsets aggregate and the
+    output join — read a computed snapshot instead of each re-planning
+    the whole upstream subtree.
 
     Without this, every helper call multiplies its input plan ~3x
     (local + offsets + the caller's reuse of ``df``), and CHAINED calls
@@ -46,11 +46,16 @@ def _snapshot(local: DataFrame) -> DataFrame:
     (r11 measurement). The snapshot pins pass 1 of the documented
     two-pass pattern: compute the ranged table once, derive offsets
     from it, join them back. Values are unchanged (the subtree is
-    deterministic), only the number of times it executes. At cluster
-    scale this is the same materialization a production two-pass
-    global order performs between its passes; executor loss recompute
-    is traded away exactly as persist() would."""
-    return local.localCheckpoint(eager=False)
+    deterministic), only the number of times it executes.
+
+    Mechanism and fault-tolerance posture live in
+    :mod:`weather_flink_spark.operators.snapshot` (lineage truncation
+    via localCheckpoint by default — NOT recompute-on-executor-loss
+    like persist(); WFS_SNAPSHOT_MODE=reliable switches every site to a
+    fault-tolerant reliable checkpoint for cluster runs)."""
+    from weather_flink_spark.operators.snapshot import snapshot
+
+    return local.transform(snapshot(eager=False))
 
 
 def _range_parted(df: DataFrame, order_cols: list[Column], num_partitions: int | None):

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 # ---------------------------------------------------------------------------
 # MATCH_RECOGNIZE-style V-shape detection
@@ -389,7 +390,7 @@ def q_attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read it (one window pass instead of two) (r11)
     seq = e.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot(eager=False))
     fp = (
         seq.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -400,7 +401,7 @@ def q_attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         seq.join(fp, "user_id", "left")
         .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
-        .localCheckpoint(eager=False)
+        .transform(snapshot(eager=False))
     )
     w_j = Window.partitionBy("user_id").orderBy("rn")
     pairs = j.select(

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 # ---------------------------------------------------------------------------
 # Sample-ratio mismatch (SRM) chi-square
@@ -415,7 +416,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (ok, pk, w6): qualifying baskets only — snapshotted, both wedge
     # sides read it (r11)
-    qual = op.join(sz, "ok").localCheckpoint(eager=False)
+    qual = op.join(sz, "ok").transform(snapshot(eager=False))
     # NOTE on the round-3 verdict-#4 pre-filter pattern: unlike
     # item-Jaccard (where it prunes and was kept), a min-co semi-join
     # here prunes NOTHING on this data (measured at sf0.1: every part

@@ -51,6 +51,7 @@ from weather_flink_spark.plans.llm_extra import (
 )
 from weather_flink_spark.plans.llm_pipeline import dot_col
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 IVFPQ_NPROBE = 2
 IVFPQ_SHORTLIST = 15  # ADC candidates exactly re-ranked per query
@@ -253,7 +254,7 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivfpq_ann_result",
         spark,
         sf_dir,
-        lambda: _ivfpq_search(spark, sf_dir).localCheckpoint(),
+        lambda: _ivfpq_search(spark, sf_dir).transform(snapshot()),
     )
 
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 # ---------------------------------------------------------------------------
 # Incremental (delta-batch) near-dedup
@@ -583,7 +584,7 @@ def q_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graph_ann_result",
         spark,
         sf_dir,
-        lambda: _graph_search(spark, sf_dir).localCheckpoint(),
+        lambda: _graph_search(spark, sf_dir).transform(snapshot()),
     )
 
 
@@ -641,7 +642,7 @@ def _graph_search(
             .select("query_id", "node", cos_qn.alias("cosine"))
             .unionByName(frontier.select("query_id", "node", "cosine"))
             .distinct()
-            .localCheckpoint()
+            .transform(snapshot())
         )
         frontier = (
             expanded.withColumn("rk", F.row_number().over(w_beam))

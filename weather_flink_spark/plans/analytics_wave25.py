@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from weather_flink_spark.io import load
 from weather_flink_spark.operators.opq import OPQ_M, OPQ_SUB
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 _Q6_SPARK = "cast(round(cast(element_at({v}, {d}) as double), 6) as decimal(12,6))"
 _Q6_DUCK = "CAST(ROUND(CAST({v}[{d}] AS DOUBLE), 6) AS DECIMAL(12,6))"
@@ -426,7 +427,7 @@ def adc_topk_tables(
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("decimal(12,6)")).alias("q6"),
         )
-        .localCheckpoint(eager=False)
+        .transform(snapshot(eager=False))
     )
     nat_q = e_q.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q6").alias("qv")

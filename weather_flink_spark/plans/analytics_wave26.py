@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 _L1_MOD = 4  # coarse layer = md5 bucket 0 of 4 (~25% of nodes)
 _L1_KNN = 3  # coarse in-cell out-degree
@@ -579,7 +580,7 @@ def _beam_hops(frontier: DataFrame, edges: DataFrame, q: DataFrame, node_vec: Da
             # per-hop eager lineage truncation: without it every later
             # hop re-optimizes the whole unrolled tree (measured: the
             # every-2nd-hop variant nearly doubled the cold build)
-            .localCheckpoint()
+            .transform(snapshot())
         )
         frontier = (
             expanded.withColumn("rk", F.row_number().over(w_beam))
@@ -718,7 +719,7 @@ def _hnsw_search(
         .withColumn("k_rank", F.row_number().over(w_rank))
         .filter(F.col("k_rank") <= IVF_TOP_K)
         .select("query_id", F.col("node").alias("vec_id"), "cosine", "k_rank")
-        .localCheckpoint()
+        .transform(snapshot())
     )
 
 
@@ -880,7 +881,7 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HYBRID_TOPK)
         # snapshot the 40-row dense shortlist: the rank self-join below
         # otherwise re-runs the full-corpus cosine scan per side (r11)
-        .localCheckpoint(eager=False)
+        .transform(snapshot(eager=False))
     )
     da, db = dtop.alias("da"), dtop.alias("db")
     d_better = (F.col("db.cosine") > F.col("da.cosine")) | (
@@ -1040,7 +1041,7 @@ def q_sample_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(round(cast(sum({_DRM_LOSS_SPARK}) as double) / count(*), 9)"
             " as decimal(12,9))"
         ).alias("loss_mean"),
-    ).localCheckpoint()
+    ).transform(snapshot())
     ns = dom0.agg(F.count("*").alias("ns"))
     cur = dom0.crossJoin(F.broadcast(ns)).select(
         "source",
@@ -1074,7 +1075,7 @@ def q_sample_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(round(cast(raw as double) / cast(z as double), 9)"
                 " as decimal(12,9))"
             ).alias("w"),
-        ).localCheckpoint()
+        ).transform(snapshot())
     nt = dom0.agg(F.sum("n_docs").alias("nt"))
     return (
         cur.join(F.broadcast(init), "source")
@@ -1472,7 +1473,7 @@ def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id", cos_qv.alias("cosine"))
-        .localCheckpoint()
+        .transform(snapshot())
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from weather_flink_spark.io import load
 from weather_flink_spark.operators.global_order import attach_prefix_sum
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 # ---------------------------------------------------------------------------
 # DSIR hashed-bigram importance weights
@@ -430,7 +431,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
         # lazy variant): without it round r's plan re-plans rounds
         # 1..r-1 per reference — 240 shuffle exchanges for a
         # 3-round/9-exchange computation (r11 before-plan)
-        labels = labels.localCheckpoint(eager=False)
+        labels = labels.transform(snapshot(eager=False))
     return labels
 
 
@@ -510,7 +511,7 @@ def _kcore_rounds(
     # eager localCheckpoint per round (the wave-26 HNSW lesson): the
     # count branches and the next round would otherwise each re-execute
     # the whole peeling lineage from the kNN build
-    und = _und_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _und_edges(spark, sf_dir).transform(snapshot())
     out = [
         und.agg(
             F.countDistinct("src").alias("n_nodes"),
@@ -530,7 +531,7 @@ def _kcore_rounds(
                 keep.select(F.col("node").alias("src")), "src", "left_semi"
             )
             .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(snapshot())
         )
         out.append(
             cur.agg(

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 # ---------------------------------------------------------------------------
 # k-center greedy coreset
@@ -139,7 +140,7 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(seed.select(F.col("n").alias("cn")))
         )
         .select("vec_id", "n", d2(F.col("n"), F.col("cn")).alias("md"))
-        .localCheckpoint(eager=True)
+        .transform(snapshot())
     )
     out = [
         seed.select(
@@ -177,7 +178,7 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "md"
                     ),
                 )
-                .localCheckpoint(eager=True)
+                .transform(snapshot())
             )
     res = out[0]
     for df in out[1:]:

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from weather_flink_spark.io import load
 from weather_flink_spark.operators.global_order import attach_global_row_number
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 LN2 = 0.6931471805599453  # same literal in both engines; never ln(2) at runtime
 
@@ -444,7 +445,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint is owned by this DataFrame and GC'd with it —
     # and edges is referenced 5x (e1/e2/e3 + nodes twice + the edge
     # count), which the before-plan paid as 46 exchanges / 25 scans
-    edges = edges.select("p1", "p2").localCheckpoint(eager=False)
+    edges = edges.select("p1", "p2").transform(snapshot(eager=False))
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(F.broadcast(e2), F.col("e2.p1") == F.col("e1.p2"))
@@ -2314,7 +2315,7 @@ def q_emb_anomaly_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = e.select(
         "vec_id",
         *[F.expr(_anom_proj_spark(p)).alias(f"x{p}") for p in range(ANOM_N_PLANES)],
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot(eager=False))
     stats = proj.agg(
         F.count("*").alias("n"),
         *[F.min(f"x{p}").alias(f"min_x{p}") for p in range(ANOM_N_PLANES)],
@@ -2354,7 +2355,7 @@ def q_emb_anomaly_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pb"),
         )
         .select("vec_id", "n", F.col("pb.plane").alias("plane"), F.col("pb.bin").alias("bin"))
-        .localCheckpoint(eager=False)
+        .transform(snapshot(eager=False))
     )
     dens = melted.groupBy("plane", "bin").agg(F.count("*").alias("c"))
     lnp = F.log(F.col("c").cast("double") / F.col("n").cast("double")).cast(

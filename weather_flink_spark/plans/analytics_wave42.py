@@ -76,7 +76,15 @@ def run_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic function of the testdata — the wave-75 session-
     # cached-layout discipline): the fixture is the job's INPUT, the
     # measured work is the compaction below, which re-runs every call.
-    if not os.path.exists(frag_dir):
+    # Reuse is gated on the commit marker, not bare dir existence:
+    # mode('overwrite') creates the dir at write START, so a write that
+    # died mid-job would otherwise leave a partial fixture every later
+    # call silently reads (r11 advice). A miss deletes any partial dir
+    # and rewrites — the write's own _SUCCESS re-arms the gate.
+    if not os.path.exists(os.path.join(frag_dir, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(frag_dir, ignore_errors=True)
         li.repartition(N_FRAGMENTS).write.mode("overwrite").parquet(frag_dir)
     fragmented = spark.read.parquet(frag_dir)
     # Small parquet blocks force multiple row groups per file even at

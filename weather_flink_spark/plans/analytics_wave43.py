@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 _BQ_CAND = 20  # Hamming candidates per query fed to the exact rerank
 
@@ -241,7 +242,7 @@ def _binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("query_id", "vec_id", "hamming", cosine.alias("cosine"))
         .withColumn("k_rank", F.row_number().over(w_cos))
         .filter(F.col("k_rank") <= IVF_TOP_K)
-        .localCheckpoint()
+        .transform(snapshot())
     )
     return res
 

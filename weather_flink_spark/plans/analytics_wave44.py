@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 _COHORT_MAX_K = 11  # months after first order tracked (one year)
 _HITS_TOP = 20
@@ -168,7 +169,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # snapshot the final authority table: the max-normalizer and the
     # output read it, otherwise both re-run the two HITS half-steps (r11)
-    a2 = a2.localCheckpoint(eager=False)
+    a2 = a2.transform(snapshot(eager=False))
     mx = a2.agg(F.max("a").alias("m"))
     return (
         a2.crossJoin(F.broadcast(mx))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 _AP3_MIN_BASKET = 3
 _AP3_MIN_SUPPORT = 2  # triple must appear in >= 2 baskets
@@ -100,7 +101,7 @@ def q_orders_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot the qualified basket slice: the 3-way self-join below
     # references it once per side, re-planning the size-filter join
     # each time without it (r11)
-    qual = op.join(sz, "ok").localCheckpoint(eager=False)
+    qual = op.join(sz, "ok").transform(snapshot(eager=False))
     a, b, c = qual.alias("a"), qual.alias("b"), qual.alias("c")
     triples = (
         a.join(

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 # Hamming candidates per query fed to the exact rerank — DIGIT-SCALED
 # like the graph searchers' beams (wave20.corpus_digits): a fixed pool
@@ -433,7 +434,7 @@ def _b256_search(
         cand.select("query_id", "vec_id", "hamming", cosine.alias("cosine"))
         .withColumn("k_rank", F.row_number().over(w_cos))
         .filter(F.col("k_rank") <= IVF_TOP_K)
-        .localCheckpoint()
+        .transform(snapshot())
     )
 
 

@@ -64,8 +64,13 @@ def run_compaction3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixture written once per process+sf (wave-42/wave-75 discipline):
     # the 48-shard mess is the job's INPUT; the measured compaction
-    # below re-runs every call
-    if not os.path.exists(frag_dir):
+    # below re-runs every call. Reuse gated on _SUCCESS (not bare dir
+    # existence) so a mid-write failure can never leave a partial
+    # fixture that later calls silently read (r11 advice).
+    if not os.path.exists(os.path.join(frag_dir, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(frag_dir, ignore_errors=True)
         li.repartition(N_FRAGMENTS).write.mode("overwrite").parquet(frag_dir)
     fragmented = spark.read.parquet(frag_dir)
     # rows//8 block sizing as wave-42 (multiple row groups per file at

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 _BFS_ROUNDS = 4
 _BFS_SEED_PARTS = 3  # seeds: part nodes 1..3
@@ -131,7 +132,7 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(p_enc.alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("lvl"))
-        .localCheckpoint()
+        .transform(snapshot())
     )
     reached = frontier
     for k in range(1, _BFS_ROUNDS + 1):
@@ -141,7 +142,7 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(reached.select("node"), "node", "left_anti")
             .select("node", F.lit(k).alias("lvl"))
-            .localCheckpoint()
+            .transform(snapshot())
         )
         reached = reached.unionByName(frontier)
     node_str = F.when(
@@ -376,7 +377,7 @@ def run_cdc_upsert_stream(
         .start()
     )
     q.awaitTermination(120)
-    final = spark.read.parquet(snap_dir).localCheckpoint()
+    final = spark.read.parquet(snap_dir).transform(snapshot())
     handles = {
         "dir": d,
         "snap_dir": snap_dir,

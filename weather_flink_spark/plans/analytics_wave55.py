@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 _KFOLD = 5
 _EPOCH = "2024-01-01"
@@ -178,7 +179,7 @@ def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("x")
         .agg(F.count("*").cast("bigint").alias("y"))
-        .localCheckpoint()  # tiny calendar-bounded frame, reused 4x
+        .transform(snapshot())  # tiny calendar-bounded frame, reused 4x
     )
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(b, F.col("b.x") > F.col("a.x")).select(

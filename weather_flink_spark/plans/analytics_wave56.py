@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 N_PANEL = 100
 PANEL_K = 5
@@ -454,7 +455,7 @@ def q_sim_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "panel_rows_bin",
         spark,
         sf_dir,
-        lambda: _binary_panel(spark, sf_dir).localCheckpoint(),
+        lambda: _binary_panel(spark, sf_dir).transform(snapshot()),
     )
 
 

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.plans.analytics_wave56 import N_PANEL, PANEL_K
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 
 def _tier_row(tier: str, result: DataFrame, gt: DataFrame) -> DataFrame:
@@ -103,7 +104,7 @@ def flat_panel_result_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flat_result_panel",
         spark,
         sf_dir,
-        lambda: _graph_search(spark, sf_dir, n_queries=N_PANEL).localCheckpoint(),
+        lambda: _graph_search(spark, sf_dir, n_queries=N_PANEL).transform(snapshot()),
     )
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 _ALPHA_NUM, _ALPHA_DEN = 1, 10  # alpha = 0.1 as an exact rational
 
@@ -143,7 +144,7 @@ def q_stats_conformal_interval(
         "conformal_result",
         spark,
         sf_dir,
-        lambda: _conformal_build(spark, sf_dir).localCheckpoint(),
+        lambda: _conformal_build(spark, sf_dir).transform(snapshot()),
     )
 
 
@@ -184,14 +185,14 @@ def _conformal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
         F.col("n").alias("n_train"),
-    ).localCheckpoint()
+    ).transform(snapshot())
     resid = F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
     cal = (
         base.filter((F.col("bucket") >= 60) & (F.col("bucket") < 80))
         .crossJoin(F.broadcast(fit.select("slope", "intercept")))
         .select("l_orderkey", "l_linenumber", resid.alias("ar"))
     )
-    n_cal = cal.agg(F.count("*").cast("bigint").alias("n_cal")).localCheckpoint()
+    n_cal = cal.agg(F.count("*").cast("bigint").alias("n_cal")).transform(snapshot())
     # degenerate-input guard: if the calibration split is smaller than
     # the conformal rank index ceil((den-num)(n+1)/den) (n_cal < 9 at
     # alpha=0.1), the qhat frame would be empty and the Spark side
@@ -221,7 +222,7 @@ def _conformal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(n_cal))
         .filter(F.col("rn") == F.floor(rank_idx))
         .select(F.col("ar").alias("q_hat"))
-        .localCheckpoint()
+        .transform(snapshot())
     )
     test = (
         base.filter(F.col("bucket") >= 80)

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from weather_flink_spark.plans.analytics_wave56 import N_PANEL, PANEL_K
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 
 def ivfpq_panel_result_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +70,7 @@ def ivfpq_panel_result_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivfpq_result_panel",
         spark,
         sf_dir,
-        lambda: _ivfpq_search(spark, sf_dir, n_queries=N_PANEL).localCheckpoint(),
+        lambda: _ivfpq_search(spark, sf_dir, n_queries=N_PANEL).transform(snapshot()),
     )
 
 
@@ -285,7 +286,7 @@ def q_sim_recall_panel_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "panel_rows_pq",
         spark,
         sf_dir,
-        lambda: _pq_panel(spark, sf_dir).localCheckpoint(),
+        lambda: _pq_panel(spark, sf_dir).transform(snapshot()),
     )
 
 

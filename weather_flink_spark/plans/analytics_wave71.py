@@ -72,6 +72,7 @@ from weather_flink_spark.plans.analytics_wave17 import (
     _BLOOM_PROBES,
 )
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 
 def bloomskip_dir(sf_dir: str) -> str:
@@ -112,7 +113,7 @@ def distinct_file_keys(spark: SparkSession, layout_dir: str) -> DataFrame:
     return (
         back.select("file_id", F.col("l_partkey").alias("k"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(snapshot(eager=False))
     )
 
 
@@ -209,7 +210,14 @@ def run_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-joins to 0 without touching storage. The union is still a
     bloom-pruned strict subset of the layout whenever any file is
     skipped (the executed-scan subset proof in tests reads per-probe
-    paths through the same helpers)."""
+    paths through the same helpers).
+
+    Reporting note (r11 advice): ``n_files_read`` is the LOGICAL
+    per-probe prune count (what a stand-alone lookup for that probe
+    would read), not the file count of the single executed union scan
+    — the entry measures one union scan, less I/O than the per-probe
+    lookups it models, so pre-r11 A/B comparisons of this entry's
+    seconds are not pure engine wins."""
     layout = write_bloom_layout(spark, sf_dir)
     keys = distinct_file_keys(spark, layout)
     bits = sized_bloom_bits(spark, layout, keys)

@@ -56,6 +56,7 @@ from weather_flink_spark.plans.similarity_extra import (
     IVF_NPROBE_SQL,
     ivf_nprobe,
 )
+from weather_flink_spark.operators.snapshot import snapshot
 
 # rerank budget per requested neighbor per corpus digit (FAISS
 # IndexRefineFlat's k_factor, digit-scaled): C = 8 * k * (d-1)
@@ -115,7 +116,7 @@ def q_sim_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             nprobe=ivf_nprobe(d),
             shortlist=refine_shortlist(d),
-        ).localCheckpoint(),
+        ).transform(snapshot()),
     )
 
 
@@ -139,7 +140,7 @@ def ivfpq_refined_panel_result_table(
             n_queries=N_PANEL,
             nprobe=ivf_nprobe(d),
             shortlist=refine_shortlist(d),
-        ).localCheckpoint(),
+        ).transform(snapshot()),
     )
 
 # ---------------------------------------------------------------------------
@@ -319,7 +320,7 @@ def q_sim_ann_opq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _opq_refined_search(
             spark, sf_dir, IVF_N_QUERIES
-        ).localCheckpoint(),
+        ).transform(snapshot()),
     )
 
 
@@ -334,5 +335,5 @@ def opq_refined_panel_result_table(
         "opq_refined_result_panel",
         spark,
         sf_dir,
-        lambda: _opq_refined_search(spark, sf_dir, N_PANEL).localCheckpoint(),
+        lambda: _opq_refined_search(spark, sf_dir, N_PANEL).transform(snapshot()),
     )

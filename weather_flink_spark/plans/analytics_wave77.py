@@ -60,6 +60,7 @@ from weather_flink_spark.plans.analytics_wave74 import (
     refine_shortlist,
 )
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 PQ8_KC = 256  # codewords per subspace: the 8-bit / FAISS-default width
 
@@ -365,7 +366,7 @@ def q_sim_recall_panel_pq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "panel_rows_pq8",
         spark,
         sf_dir,
-        lambda: _pq8_panel(spark, sf_dir).localCheckpoint(),
+        lambda: _pq8_panel(spark, sf_dir).transform(snapshot()),
     )
 
 # ---------------------------------------------------------------------------
@@ -549,7 +550,7 @@ def q_sim_ann_ivfpq8_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _ivfpq8_refined_search(
             spark, sf_dir, IVF_N_QUERIES
-        ).localCheckpoint(),
+        ).transform(snapshot()),
     )
 
 
@@ -563,6 +564,6 @@ def ivfpq8_refined_panel_result_table(
         "ivfpq8_refined_result_panel",
         spark,
         sf_dir,
-        lambda: _ivfpq8_refined_search(spark, sf_dir, N_PANEL).localCheckpoint(),
+        lambda: _ivfpq8_refined_search(spark, sf_dir, N_PANEL).transform(snapshot()),
     )
 

@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 
 from weather_flink_spark.io import load
 from weather_flink_spark.plans.registry import register
+from weather_flink_spark.operators.snapshot import snapshot
 
 # ---------------------------------------------------------------------------
 # Exact repeated-substring spans (relational suffix-array dedup signal)
@@ -163,7 +164,7 @@ def q_text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregate, the span join AND the token count below all read
         # it — the corpus was previously re-tokenized once per branch
         # (guide §8: decide on the lightweight fingerprint table) (r11)
-        .localCheckpoint(eager=False)
+        .transform(snapshot(eager=False))
     )
     dup = g.groupBy("gh").agg(F.count("*").alias("n")).where("n >= 2").select("gh")
     dpos = g.join(dup, "gh").select("doc_id", "pos")

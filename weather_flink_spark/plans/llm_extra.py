@@ -680,6 +680,7 @@ CC_MAX_ITERS = 20
 
 
 from weather_flink_spark.plans.llm_pipeline import NEAR_DUP_PAIRS_SQL
+from weather_flink_spark.operators.snapshot import snapshot
 
 DEDUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({NEAR_DUP_PAIRS_SQL}),
@@ -768,13 +769,13 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .transform(snapshot())
         )
         verts = (
             edges.select(F.col("u").alias("doc_id"))
             .union(edges.select(F.col("v").alias("doc_id")))
             .distinct()
-            .localCheckpoint()
+            .transform(snapshot())
         )
         # alternating rounds until the edge set is a fixpoint — star
         # contraction converges in O(log n) rounds (vs the old
@@ -784,7 +785,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the exact set compare only once counts agree.
         prev_count = edges.count()
         for _ in range(CC_MAX_ITERS):
-            nxt = _small_star(_large_star(edges)).localCheckpoint()
+            nxt = _small_star(_large_star(edges)).transform(snapshot())
             nxt_count = nxt.count()
             if (
                 nxt_count == prev_count
