@@ -1,6 +1,7 @@
 """Wave-10 semantics beyond the oracle hash."""
 
 from __future__ import annotations
+import pytest
 
 import numpy as np
 
@@ -48,6 +49,7 @@ def test_centroid_drift_bounds(spark):
         assert r.l2sq_to_global >= 0.0
 
 
+@pytest.mark.slow
 def test_keep_list_one_keeper_per_cluster(spark):
     rows = all_specs()["q_dedup_keep_list"].fn(spark, SF).collect()
     assert rows
@@ -82,6 +84,7 @@ def test_keep_list_consistent_with_clusters(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_mmr_diversifies_vs_topk(spark):
     """MMR's selection must (a) start with the top-1 by similarity,
     (b) never select near-identical pairs when a diverse alternative

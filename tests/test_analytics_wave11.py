@@ -1,6 +1,7 @@
 """Wave-11 semantics beyond the oracle hash."""
 
 from __future__ import annotations
+import pytest
 
 import datetime
 import os
@@ -31,6 +32,7 @@ def _events_fixture(spark, values_by_user):
     return d
 
 
+@pytest.mark.slow
 def test_alert_debounce_state_machine(spark):
     """Pin the hysteresis semantics on crafted sequences (H=breach 100,
     L=recovery 0; threshold 40, K=3):

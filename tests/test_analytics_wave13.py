@@ -1,6 +1,7 @@
 """Wave-13 semantics beyond the oracle hash."""
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.plans.registry import all_specs
 
@@ -28,6 +29,7 @@ def test_pq_codebook_members_reconstruct_exactly(spark):
             assert all(getattr(r, f"code_{m}") == r.vec_id for m in range(_PQ_M))
 
 
+@pytest.mark.slow
 def test_markov_removal_invariants(spark):
     rows = all_specs()["q_attr_markov_removal"].fn(spark, SF).collect()
     assert len(rows) == 4

@@ -1,6 +1,7 @@
 """Wave-14 semantics beyond the oracle hash."""
 
 from __future__ import annotations
+import pytest
 
 import math
 
@@ -99,6 +100,7 @@ def test_zorder_files_have_narrow_spans_on_both_dims(spark):
         assert r.sx_max - r.sx_min <= 3
 
 
+@pytest.mark.slow
 def test_adamic_adar_weights_favor_small_baskets(spark):
     df = all_specs()["q_graph_adamic_adar"].fn(spark, SF)
     rows = df.collect()
@@ -144,6 +146,7 @@ def test_profile_matches_direct_aggregates(spark):
     assert prof["l_extendedprice"].max_v == direct.mx
 
 
+@pytest.mark.slow
 def test_kl_divergence_nonnegative_and_self_consistent(spark):
     """KL >= 0 up to the 9dp term quantization; a source that IS most
     of the corpus should diverge less than a tiny skewed one... at

@@ -1,6 +1,7 @@
 """Wave-16 semantics beyond the oracle hash."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -60,6 +61,7 @@ def test_matryoshka_quality_monotone_in_prefix(spark):
         assert 0.0 < r.avg_energy_ratio <= 1.0 + 1e-9
 
 
+@pytest.mark.slow
 def test_cluster_sizes_account_for_every_document(spark):
     rows = all_specs()["q_dedup_cluster_sizes"].fn(spark, SF).collect()
     n_docs = load(spark, SF, "documents").count()
@@ -106,6 +108,7 @@ def test_percentile_disc_returns_observed_values(spark):
         assert r.p50_disc <= r.p90_disc <= r.p99_disc
 
 
+@pytest.mark.slow
 def test_bm25_topk_matches_full_scorer(spark):
     """The top-10 must be exactly the 10 best rows of the full scorer
     under (bm25 desc, doc_id asc), ranks 1..10."""

@@ -1,6 +1,7 @@
 """Wave-17 semantics beyond the oracle hash."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -10,6 +11,7 @@ from weather_flink_spark.plans.registry import all_specs
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_bounded_and_consistent(spark):
     rows = all_specs()["q_sim_ann_ivfpq_recall"].fn(spark, SF).collect()
     assert len(rows) == 5  # one per query

@@ -1,6 +1,7 @@
 """Wave-18 semantics beyond the oracle hash."""
 
 from __future__ import annotations
+import pytest
 
 import math
 
@@ -12,6 +13,7 @@ from weather_flink_spark.plans.registry import all_specs
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_croston_forecast_consistency(spark):
     rows = all_specs()["q_orders_croston"].fn(spark, SF).collect()
     assert rows

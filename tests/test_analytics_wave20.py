@@ -1,6 +1,7 @@
 """Wave-20 semantics beyond the oracle hash."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -45,6 +46,7 @@ def test_incremental_dedup_agrees_with_full_pair_table(spark):
             assert incr[hi].n_history_matches >= 1
 
 
+@pytest.mark.slow
 def test_graph_ann_output_shape_and_visited_semantics(spark):
     rows = all_specs()["q_sim_ann_graph"].fn(spark, SF).collect()
     by_q: dict[int, list] = {}

@@ -14,6 +14,7 @@ Proves the properties the module docstring claims:
 """
 
 from __future__ import annotations
+import pytest
 
 import glob
 import os
@@ -41,6 +42,7 @@ def _read_verdicts(spark, verdict_dir):
     }
 
 
+@pytest.mark.slow
 def test_curation_stream_end_to_end_and_monotonic(spark, sf_dir):
     snapshots = []
 
@@ -72,6 +74,7 @@ def test_curation_stream_end_to_end_and_monotonic(spark, sf_dir):
     assert sizes == sorted(sizes) and sizes[-1] == 9
 
 
+@pytest.mark.slow
 def test_curation_stream_replay_idempotent(spark, sf_dir):
     first = {
         r["doc_id"]: (r["verdict"], r["best_match_id"], r["best_jaccard"], r["batch_id"])
@@ -84,6 +87,7 @@ def test_curation_stream_replay_idempotent(spark, sf_dir):
     assert first == replay
 
 
+@pytest.mark.slow
 def test_curation_verdicts_batch_boundary_independent(spark, sf_dir):
     """Verdicts depend only on (history, doc): running the verdict frame
     over all streamed docs in ONE batch equals the 3-batch stream."""

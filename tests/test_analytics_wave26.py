@@ -1,6 +1,7 @@
 """Wave-26 semantics beyond the oracle hash: hierarchical (HNSW) ANN."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -71,6 +72,7 @@ def test_coarse_edges_contain_highway_and_to_medoid(spark):
             assert (vec_id, med[cell]) in edges, ("to_medoid", vec_id, cell)
 
 
+@pytest.mark.slow
 def test_hnsw_shape_and_determinism(spark):
     res = all_specs()["q_sim_ann_hnsw"].fn(spark, SF)
     rows = res.collect()
@@ -86,6 +88,7 @@ def test_hnsw_shape_and_determinism(spark):
     }
 
 
+@pytest.mark.slow
 def test_hnsw_recall_gates_at_ivfpq_and_flat_graph(spark):
     """The hierarchical searcher must meet or beat BOTH the quantized
     (IVFPQ) searcher and the multi-entry flat graph on mean recall at
@@ -115,6 +118,7 @@ def test_hnsw_recall_gates_at_ivfpq_and_flat_graph(spark):
         assert 0.0 <= rec <= 1.0, (qid, rec)
 
 
+@pytest.mark.slow
 def test_hybrid_rrf_semantics(spark):
     """RRF invariants: ranks are contiguous from 1; every fused doc
     appears in at least one retriever's top-10; a doc ranked by both
@@ -153,6 +157,7 @@ def test_doremi_upweights_lossy_domains(spark):
     assert lo.w_final <= lo.w_init + 1e-9, (lo.source, lo.w_init, lo.w_final)
 
 
+@pytest.mark.slow
 def test_stream_hnsw_insert_matches_batch_and_brute_force(spark):
     """(a) The streamed insert edges equal the batch computation of the
     same frame on the same vectors (plumbing equality); (b) structural

@@ -3,6 +3,7 @@ decomposition, LPA communities, k-core cascade, JL projection,
 Kruskal-Wallis, l-diversity."""
 
 from __future__ import annotations
+import pytest
 
 import math
 
@@ -74,6 +75,7 @@ def test_decompose_trend_removal_shrinks_variance(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_lpa_partitions_all_nodes(spark):
     res = all_specs()["q_graph_label_propagation"].fn(spark, SF).toPandas()
     n_vec = load(spark, SF, "embeddings").count()
@@ -84,6 +86,7 @@ def test_lpa_partitions_all_nodes(spark):
     assert 1 < len(res) < n_vec
 
 
+@pytest.mark.slow
 def test_lpa_rounds_refine_not_explode(spark):
     """Community count must not increase from round 2 to round 3
     by more than the synchronous-LPA oscillation allowance — and the

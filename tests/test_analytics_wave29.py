@@ -2,6 +2,7 @@
 streamed-vs-batch Kalman state equality."""
 
 from __future__ import annotations
+import pytest
 
 import numpy as np
 from pyspark.sql import functions as F
@@ -75,6 +76,7 @@ def test_kcenter_selection_distances_decrease(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_stream_kalman_final_state_equals_batch_fold(spark):
     """The LAST emitted state per user must equal a batch fold of the
     same fixture events bit-for-bit (same op order, time-ordered

@@ -2,6 +2,7 @@
 numpy recompute."""
 
 from __future__ import annotations
+import pytest
 
 import numpy as np
 
@@ -21,6 +22,7 @@ def _dense_hourly(spark):
     return c
 
 
+@pytest.mark.slow
 def test_pacf_matches_numpy_durbin_levinson(spark):
     res = all_specs()["q_events_pacf"].fn(spark, SF).toPandas().iloc[0]
     x = _dense_hourly(spark).astype(np.float64)

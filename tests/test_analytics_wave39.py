@@ -2,6 +2,7 @@
 direct DFT bin."""
 
 from __future__ import annotations
+import pytest
 
 import numpy as np
 
@@ -17,6 +18,7 @@ def _pcm(text: str) -> np.ndarray:
     return np.where(b < 128, b, b - 256).astype(np.float64)
 
 
+@pytest.mark.slow
 def test_goertzel_equals_direct_dft_bin(spark):
     """Goertzel's |s_N|^2 form must equal the textbook
     |sum x_n e^{-i 2 pi f n}|^2 for every document (float tolerance —

@@ -3,6 +3,7 @@ oracle cannot see (file counts, one file per directory, tight parquet
 row-group statistics, file-level skipping profile)."""
 
 from __future__ import annotations
+import pytest
 
 import glob
 import os
@@ -19,6 +20,7 @@ def _parquet_files(d: str) -> list[str]:
     return sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
 
 
+@pytest.mark.slow
 def test_compaction_binpacks_48_fragments_into_target_files(spark):
     profile = {r.file_id: r for r in all_specs()["q_layout_compact_optimize"].fn(spark, SF).collect()}
     frag_dir, opt_dir = w42.compact_dirs(SF)
@@ -140,6 +142,7 @@ def test_compacted_layout_prunes_files_and_row_groups(spark):
     assert "PushedFilters" in plan and "zval" in plan.split("PushedFilters")[1].split("]")[0], plan[:800]
 
 
+@pytest.mark.slow
 def test_compacted_layout_cuts_bytes_read(spark):
     """END-TO-END bytes proof from Spark's own scan metrics (not just
     footer metadata): a zval-range query routed through the curve's

@@ -1,6 +1,7 @@
 """Wave-43: binary quantization + Hamming rerank searcher."""
 
 from __future__ import annotations
+import pytest
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -80,6 +81,7 @@ def test_rerank_matches_numpy_pipeline(spark):
             ).count("1")
 
 
+@pytest.mark.slow
 def test_binary_recall_shape_and_range(spark):
     from weather_flink_spark.plans.llm_extra import IVF_N_QUERIES
 

@@ -3,6 +3,7 @@ replay of the code build, the Hamming==L1 identity the tier rests on,
 and the >=-64-bit recall gate."""
 
 from __future__ import annotations
+import pytest
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -91,6 +92,7 @@ def test_hamming_equals_l1_of_quantized_levels(spark):
             assert ham == l1, (a, b)
 
 
+@pytest.mark.slow
 def test_recall_geq_64bit_tier(spark):
     """What 4x code width buys: the 256-bit thermometer gate must be
     >= the 64-bit sign-code gate at the fixture (measured 0.80 vs

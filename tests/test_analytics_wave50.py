@@ -2,6 +2,7 @@
 search-recall-parity proof (refreshed >= stale, same searcher)."""
 
 from __future__ import annotations
+import pytest
 
 import pyspark.sql.functions as F
 
@@ -41,6 +42,7 @@ def test_refresh_work_order_matches_batch_builder(spark):
     assert n_changed >= 1, "epoch produced no medoid drift"
 
 
+@pytest.mark.slow
 def test_refreshed_recall_geq_stale(spark):
     """Run the SAME 2-layer searcher against the stale coarse
     structures (stale medoids + topology rebuilt from them) and the

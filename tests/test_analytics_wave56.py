@@ -1,6 +1,7 @@
 """Wave-56: the 100-query binary-tier recall panel."""
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.plans import analytics_wave56 as w56
 from weather_flink_spark.plans.registry import all_specs
@@ -8,6 +9,7 @@ from weather_flink_spark.plans.registry import all_specs
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_panel_shape_and_tier_ordering(spark):
     """One row per tier; 256-bit tiers must beat the 64-bit tier by a
     clear margin at panel scale (the whole point of the wider code),
@@ -38,6 +40,7 @@ def test_panel_ground_truth_is_exact_and_bounded(spark):
     assert all(v == w56.PANEL_K for v in by_q.values())
 
 
+@pytest.mark.slow
 def test_graph_tier_panel_floors(spark):
     """The r9 multi-probe degree-8 index upgrade, gated at panel
     scale: both graph searchers run over the 100-query panel (the
@@ -98,6 +101,7 @@ def test_flat_hop_budget_is_digit_scaled():
     assert "2 * (SELECT d FROM sz) - 3" in w20.G_HOPS_SQL
 
 
+@pytest.mark.slow
 def test_stream_ann_search_panel_parity(spark):
     """r9 verdict task #7: the streaming searcher is held to the PANEL
     quality surface, not just the 5 gate queries — stream all 100

@@ -1,6 +1,7 @@
 """Wave-57: audio near-dedup via the energy-gradient hash."""
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.operators.multimodal import (
     EHASH_N_FRAMES,
@@ -60,6 +61,7 @@ def test_entry_verdicts_are_symmetric_and_blocked(spark):
         assert r.n_neardups >= 1
 
 
+@pytest.mark.slow
 def test_union_verdict_counts_are_consistent(spark):
     """The union entry's flags must equal the tiers' own verdicts and
     the count must be their sum; the union strictly out-flags any

@@ -1,6 +1,7 @@
 """Wave-6 semantics beyond the oracle hash (incremental MV, BPE, recall)."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -61,6 +62,7 @@ def test_ann_recall_bounded_and_meaningful(spark):
         assert abs(r["recall_at_k"] - r["n_hit"] / r["k"]) < 1e-12
 
 
+@pytest.mark.slow
 def test_semantic_dedup_two_stage_equals_single_stage_fold(spark):
     """r11 rewrite proof at the REFINED-cell granularity: force a low
     bounded_cells bound at fixture scale (so the sub-cell split is

@@ -1,6 +1,7 @@
 """Wave-66: video shot-boundary detection."""
 
 from __future__ import annotations
+import pytest
 
 import pandas as pd
 
@@ -22,6 +23,7 @@ def _python_shots(text: str) -> tuple[int, int, int]:
     return n, nb, max(ads, default=0)
 
 
+@pytest.mark.slow
 def test_shot_summary_matches_python_replay(spark):
     rows = {
         r.doc_id: r

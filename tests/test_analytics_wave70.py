@@ -1,6 +1,7 @@
 """Wave-70: the 100-query PQ-tier recall panel (r9 verdict task #2)."""
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.plans import analytics_wave56 as w56
 from weather_flink_spark.plans import analytics_wave70 as w70
@@ -9,6 +10,7 @@ from weather_flink_spark.plans.registry import all_specs
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_pq_panel_shape_and_floors(spark):
     """One row per PQ tier; floors one hit-rate notch under the
     measured fixture values (pq_adc 0.124 / opq_adc 0.102 / ivfpq

@@ -2,6 +2,7 @@
 done-bar: monotone facts pinned)."""
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.plans import analytics_wave56 as w56
 from weather_flink_spark.plans.registry import all_specs
@@ -27,6 +28,7 @@ ALL_TIERS = {
 }
 
 
+@pytest.mark.slow
 def test_frontier_monotone_facts(spark):
     rows = {
         r.tier: r

@@ -2,6 +2,7 @@
 and the digit-scaled IVF nprobe (task #5)."""
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.plans import analytics_wave56 as w56
 from weather_flink_spark.plans import analytics_wave74 as w74
@@ -75,6 +76,7 @@ def test_refined_shortlist_is_a_widened_ivfpq(spark):
     assert base == narrowed and len(base) > 0
 
 
+@pytest.mark.slow
 def test_refined_recall_floor_at_sf01():
     """THE r10 verdict task #1 done-bar, pinned at the scale where the
     PQ floor was published: the refined tier's 100-query panel recall

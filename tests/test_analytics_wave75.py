@@ -2,6 +2,7 @@
 oracle-replayed manifest decision + executed-scan proof)."""
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -49,6 +50,7 @@ def test_physical_footers_match_the_relational_manifest(spark):
         ), (fid, rg, rws)
 
 
+@pytest.mark.slow
 def test_entry_prunes_a_strict_subset_and_misses_read_nothing(spark):
     """Executed-scan facts: every probe scans a strict subset of the
     table (row groups are actually skipped); present point keys find

@@ -1,6 +1,7 @@
 """Wave-77: 8-bit PQ codes + refine (the FAISS-default width)."""
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.plans import analytics_wave56 as w56
 from weather_flink_spark.plans import analytics_wave77 as w77
@@ -31,6 +32,7 @@ def test_pq8_codes_table_shape_and_self_coding(spark):
     assert self_coded >= w77.PQ8_KC - 5, self_coded
 
 
+@pytest.mark.slow
 def test_pq8_panel_floors_and_orderings(spark):
     """Fixture floors one notch under the measured values (pq8_adc
     0.240, pq8_refined 0.936) and the orderings that carry the story:
@@ -66,6 +68,7 @@ def test_pq8_panel_floors_and_orderings(spark):
     )
 
 
+@pytest.mark.slow
 def test_pq8_rows_flow_into_the_frontier(spark):
     """The frontier carries both pq8 tiers with the right cost shape:
     full-corpus ADC scan, zero full reads for the pure-ADC tier,

@@ -7,12 +7,14 @@ correctness gate. Two back-to-back runs must agree exactly on counts.
 """
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.plans.registry import all_specs
 
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_every_query_is_rerunnable_and_count_stable(spark):
     flaky = {}
     errors = {}

@@ -12,6 +12,7 @@ tools/bench_budget.py).
 """
 
 from __future__ import annotations
+import pytest
 
 import json
 import sys
@@ -35,6 +36,7 @@ _PINNED_CONFS = {
 }
 
 
+@pytest.mark.slow
 def test_plan_metrics_snapshot(spark, sf_dir):
     saved = {k: spark.conf.get(k) for k in _PINNED_CONFS}
     for k, v in _PINNED_CONFS.items():
@@ -60,6 +62,7 @@ def test_plan_metrics_snapshot(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_snapshot_is_insertion_order_free(spark, sf_dir):
     """r8 verdict task #5 done-bar: register a SYNTHETIC entry that
     sorts before everything ('a_...') and eagerly MATERIALIZES shared

@@ -3,6 +3,7 @@ survive a 100× scale-up (pushdown reaches the scan, dims broadcast,
 no unblocked cartesian products, Python stays off the hot path)."""
 
 from __future__ import annotations
+import pytest
 
 from weather_flink_spark.plans.registry import all_specs
 
@@ -68,6 +69,7 @@ def test_whole_stage_codegen_active(spark):
     assert "Found 0 WholeStageCodegen" not in plan
 
 
+@pytest.mark.slow
 def test_no_query_plans_a_cartesian_product(spark):
     """No registered batch query may fall back to an unblocked cross
     product — at 100 TB that plan never finishes. (BroadcastNestedLoop
@@ -82,6 +84,7 @@ def test_no_query_plans_a_cartesian_product(spark):
     assert not bad, f"cartesian fallback in: {bad}"
 
 
+@pytest.mark.slow
 def test_no_row_python_udf_in_registered_plans(spark):
     """Hot paths stay JVM-side or Arrow-batched: no row-at-a-time
     BatchEvalPython in any registered batch query plan (ArrowEvalPython
@@ -253,6 +256,7 @@ def _windowspec_partition_args(args_line: str) -> list[list[str]]:
     return specs
 
 
+@pytest.mark.slow
 def test_no_partitionless_window_in_any_registered_plan(spark):
     """The regression net the round-1 audit asked for: a Window with no
     partition spec collapses the input to ONE task — a scale-killer when
@@ -337,6 +341,7 @@ def test_decontaminate_bench_set_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_session_caches_are_the_only_cached_plans(spark):
     """Registry-wide persist-leak net (round-2 verdict #3).
 

@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from weather_flink_spark.plans.registry import all_specs  # noqa: E402
 from weather_flink_spark.session import get_spark  # noqa: E402
 
-PLAN_DIR = Path(__file__).resolve().parent.parent / "plans" / "r11"
+PLAN_DIR = Path(__file__).resolve().parent.parent / "plans" / "r12"
 
 
 def plan_summary(text: str) -> str:

@@ -490,7 +490,14 @@ def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded_cells caps the quadratic pair space per cell (no-op at the
     # sf0.01 oracle gate where every cell is within bound).
     coarse = ivf_assigned_table(spark, sf_dir)
-    return semantic_dedup_pairs(bounded_cells(coarse), coarse)
+    # snapshot the refined assignment (r12): the bounded_cells subtree
+    # (sizes join + two windows + union) was re-planned per downstream
+    # reference — 89 Exchange / 27 BNLJ for a 3-shuffle computation.
+    # The refinement is deterministic; only its plan count changes.
+    from weather_flink_spark.operators.snapshot import snapshot
+
+    assigned = bounded_cells(coarse).transform(snapshot(eager=False))
+    return semantic_dedup_pairs(assigned, coarse)
 
 
 def semantic_dedup_pairs(assigned: DataFrame, coarse: DataFrame) -> DataFrame:
