@@ -132,7 +132,7 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(p_enc.alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("lvl"))
-        .transform(snapshot())
+        .transform(snapshot(eager=False))
     )
     reached = frontier
     for k in range(1, _BFS_ROUNDS + 1):
@@ -142,7 +142,7 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(reached.select("node"), "node", "left_anti")
             .select("node", F.lit(k).alias("lvl"))
-            .transform(snapshot())
+            .transform(snapshot(eager=False))
         )
         reached = reached.unionByName(frontier)
     node_str = F.when(
