@@ -32,3 +32,20 @@ def test_cached_events_normalization_sticks(spark):
 def test_all_tables_load(spark):
     for t in TABLES:
         assert load(spark, "/root/testdata/sf0.001", t).columns
+
+
+def test_dead_appid_entries_pruned_when_new_appid_pins(spark):
+    """r12: a fresh session's first load() drops plans cached under any
+    other applicationId, bounding _PLAN_CACHE at tables x sf_dirs for
+    the live session."""
+    import weather_flink_spark.io as io
+
+    load(spark, "/root/testdata/sf0.001", "orders")  # pin current appid
+    appid = spark._wfs_appid
+    io._PLAN_CACHE[("dead-app-123", "/root/testdata/sf0.001", "orders")] = object()
+    # simulate a fresh session object pinning anew: clear the pin marker
+    del spark._wfs_appid
+    load(spark, "/root/testdata/sf0.001", "nation")
+    assert ("dead-app-123", "/root/testdata/sf0.001", "orders") not in io._PLAN_CACHE
+    # live-session entries survive the prune
+    assert (appid, "/root/testdata/sf0.001", "orders") in io._PLAN_CACHE
