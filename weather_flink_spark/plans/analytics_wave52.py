@@ -203,7 +203,19 @@ def _band_dedup(
     ``band_bits`` blocked on the block columns -> pigeonhole-complete
     candidates at Hamming <= threshold -> verify -> per-item rollup.
     Reused by both image tiers (wave-52) and the audio tier
-    (wave-57)."""
+    (wave-57).
+
+    r12: ``ah`` is the OUTPUT of the tier's Python encode pipeline
+    (mapInPandas BMP/WAV synthesis + perceptual hashing) and is
+    consumed twice with different partitionings — the band self-join
+    exchange (x/y share one via ReuseExchange) and the final
+    doc_id-keyed left join — so the encode executed twice per call.
+    Snapshot it once: the hash frame is a few narrow columns per doc
+    (the 8-byte index a lakehouse would persist), the encode is the
+    expensive part. Values unchanged."""
+    from weather_flink_spark.operators.snapshot import snapshot
+
+    ah = ah.transform(snapshot(eager=False))
     bands = spark.range(_N_BANDS).select(F.col("id").cast("int").alias("b"))
     banded = ah.crossJoin(F.broadcast(bands)).select(
         "doc_id",
